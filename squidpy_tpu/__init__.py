@@ -1,0 +1,17 @@
+"""squidpy_tpu — TPU-native spatial single-cell omics analysis.
+
+A ground-up rebuild of scverse/squidpy's capabilities on JAX/XLA/Pallas:
+spatial neighbor graphs, graph statistics (permutation tests, spatial
+autocorrelation, co-occurrence, Ripley curves, sepal, niches, ligrec),
+microscopy image featurization, plotting, readers and datasets — with the
+same AnnData-facing API and key conventions as the reference.
+"""
+
+from __future__ import annotations
+
+from squidpy_tpu import gr
+from squidpy_tpu._core import AnnData, SpatialGraph, concat, read_h5ad
+
+__all__ = ["gr", "AnnData", "SpatialGraph", "concat", "read_h5ad", "__version__"]
+
+__version__ = "0.1.0"

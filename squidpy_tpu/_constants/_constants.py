@@ -1,0 +1,137 @@
+"""User-facing enums.
+
+Value-compatible with the reference's enums
+(/root/reference/src/squidpy/_constants/_constants.py:10-135) so code written
+against squidpy keeps working verbatim.
+"""
+
+from __future__ import annotations
+
+from enum import unique
+
+from squidpy_tpu._constants._utils import ModeEnum
+
+
+@unique
+class ImageFeature(ModeEnum):
+    TEXTURE = "texture"
+    SUMMARY = "summary"
+    COLOR_HIST = "histogram"
+    SEGMENTATION = "segmentation"
+    CUSTOM = "custom"
+
+
+@unique
+class CorrAxis(ModeEnum):
+    INTERACTIONS = "interactions"
+    CLUSTERS = "clusters"
+
+
+@unique
+class ComplexPolicy(ModeEnum):
+    MIN = "min"
+    ALL = "all"
+
+
+class Transform(ModeEnum):
+    SPECTRAL = "spectral"
+    COSINE = "cosine"
+    NONE = None  # type: ignore[assignment]
+
+
+@unique
+class CoordType(ModeEnum):
+    GRID = "grid"
+    GENERIC = "generic"
+
+
+@unique
+class Processing(ModeEnum):
+    SMOOTH = "smooth"
+    GRAY = "gray"
+
+
+@unique
+class SegmentationBackend(ModeEnum):
+    LOG = "log"
+    DOG = "dog"
+    DOH = "doh"
+    WATERSHED = "watershed"
+    CUSTOM = "custom"
+
+
+@unique
+class BlobModel(ModeEnum):
+    LOG = "log"
+    DOG = "dog"
+    DOH = "doh"
+
+
+@unique
+class Dataset(ModeEnum):
+    OB = "ob"
+    SVZ = "svz"
+
+
+@unique
+class Centrality(ModeEnum):
+    DEGREE = "degree_centrality"
+    CLUSTERING = "average_clustering"
+    CLOSENESS = "closeness_centrality"
+
+
+@unique
+class DendrogramAxis(ModeEnum):
+    INTERACTING_MOLS = "interacting_molecules"
+    INTERACTING_CLUSTERS = "interacting_clusters"
+    BOTH = "both"
+
+
+@unique
+class Symbol(ModeEnum):
+    DISC = "disc"
+    SQUARE = "square"
+
+
+@unique
+class SpatialAutocorr(ModeEnum):
+    MORAN = "moran"
+    GEARY = "geary"
+
+
+@unique
+class InferDimensions(ModeEnum):
+    DEFAULT = "default"
+    CHANNELS_LAST = "channels_last"
+    Z_LAST = "z_last"
+
+
+@unique
+class RipleyStat(ModeEnum):
+    F = "F"
+    G = "G"
+    L = "L"
+
+
+@unique
+class ScatterShape(ModeEnum):
+    CIRCLE = "circle"
+    SQUARE = "square"
+    HEX = "hex"
+
+
+@unique
+class TenxVersions(ModeEnum):
+    V1 = "1.1.0"
+    V2 = "1.2.0"
+    V3 = "1.3.0"
+
+
+@unique
+class NicheDefinitions(ModeEnum):
+    NEIGHBORHOOD = "neighborhood"
+    UTAG = "utag"
+    CELLCHARTER = "cellcharter"
+    SPATIALLEIDEN = "spatialleiden"
+    SPOT = "spot"
+    BANKSY = "banksy"

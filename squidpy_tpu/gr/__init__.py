@@ -1,0 +1,39 @@
+"""The graph module (spatial neighbor graphs + graph statistics)."""
+
+from __future__ import annotations
+
+from squidpy_tpu.gr import neighbors
+from squidpy_tpu.gr._build import (
+    SpatialNeighborsResult,
+    mask_graph,
+    spatial_neighbors,
+    spatial_neighbors_delaunay,
+    spatial_neighbors_from_builder,
+    spatial_neighbors_grid,
+    spatial_neighbors_knn,
+    spatial_neighbors_radius,
+)
+from squidpy_tpu.gr._nhood import (
+    NhoodEnrichmentResult,
+    centrality_scores,
+    interaction_matrix,
+    nhood_enrichment,
+)
+from squidpy_tpu.gr.neighbors import GraphMatrixT
+
+__all__ = [
+    "GraphMatrixT",
+    "SpatialNeighborsResult",
+    "NhoodEnrichmentResult",
+    "neighbors",
+    "mask_graph",
+    "spatial_neighbors",
+    "spatial_neighbors_from_builder",
+    "spatial_neighbors_knn",
+    "spatial_neighbors_radius",
+    "spatial_neighbors_delaunay",
+    "spatial_neighbors_grid",
+    "centrality_scores",
+    "interaction_matrix",
+    "nhood_enrichment",
+]

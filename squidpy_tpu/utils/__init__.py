@@ -1,0 +1,28 @@
+from squidpy_tpu.utils._logging import logg, verbosity
+from squidpy_tpu.utils._utils import (
+    NDArrayA,
+    _ensure_dim_order,
+    chunked_vmap,
+    deprecated_params,
+)
+from squidpy_tpu.utils._validators import (
+    assert_in_range,
+    assert_key_in_adata,
+    assert_non_negative,
+    assert_positive,
+    check_tuple_needles,
+)
+
+__all__ = [
+    "NDArrayA",
+    "logg",
+    "verbosity",
+    "chunked_vmap",
+    "deprecated_params",
+    "_ensure_dim_order",
+    "assert_positive",
+    "assert_non_negative",
+    "assert_in_range",
+    "assert_key_in_adata",
+    "check_tuple_needles",
+]

@@ -1,0 +1,57 @@
+"""Argument validators (reference: /root/reference/src/squidpy/_validators.py:15-120)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+import numpy as np
+
+__all__ = [
+    "assert_positive",
+    "assert_non_negative",
+    "assert_in_range",
+    "assert_key_in_adata",
+    "check_tuple_needles",
+]
+
+
+def assert_positive(value: float, *, name: str) -> None:
+    if value <= 0:
+        raise ValueError(f"Expected `{name}` to be positive, found `{value}`.")
+
+
+def assert_non_negative(value: float, *, name: str) -> None:
+    if value < 0:
+        raise ValueError(f"Expected `{name}` to be non-negative, found `{value}`.")
+
+
+def assert_in_range(value: float, minn: float, maxx: float, *, name: str) -> None:
+    if not (minn <= value <= maxx):
+        raise ValueError(f"Expected `{name}` to be in interval `[{minn}, {maxx}]`, found `{value}`.")
+
+
+def assert_key_in_adata(adata: Any, key: str | None, attr: str) -> None:
+    container = getattr(adata, attr)
+    haystack = container.columns if hasattr(container, "columns") else container
+    if key not in haystack:
+        raise KeyError(f"Key `{key}` not found in `adata.{attr}`.")
+
+
+def check_tuple_needles(
+    needles: Sequence[tuple[Any, Any]],
+    haystack: Sequence[Any],
+    msg: str,
+    reraise: bool = True,
+) -> Sequence[tuple[Any, Any]]:
+    filtered = []
+    for needle in needles:
+        if not isinstance(needle, Sequence) or len(needle) != 2:
+            raise ValueError(f"Expected a pair, found `{needle}`.")
+        a, b = needle
+        if a not in haystack or b not in haystack:
+            if reraise:
+                raise ValueError(msg.format(needle))
+            continue
+        filtered.append((a, b))
+    return filtered

@@ -1,0 +1,135 @@
+"""Core container tests: AnnData-lite, h5ad round-trip, SpatialGraph ELL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse as sp
+
+import squidpy_tpu as sq
+from squidpy_tpu._core.graph import SpatialGraph
+
+
+class TestAnnData:
+    def test_construction_and_shapes(self):
+        X = np.arange(12).reshape(4, 3).astype(float)
+        adata = sq.AnnData(X=X, obs={"grp": ["a", "b", "a", "b"]})
+        assert adata.shape == (4, 3)
+        assert adata.n_obs == 4 and adata.n_vars == 3
+        assert list(adata.obs["grp"]) == ["a", "b", "a", "b"]
+
+    def test_slicing_by_names_and_masks(self):
+        X = np.arange(12).reshape(4, 3).astype(float)
+        adata = sq.AnnData(X=X, var=pd.DataFrame(index=["g1", "g2", "g3"]))
+        adata.obsm["spatial"] = np.arange(8).reshape(4, 2)
+        adata.obsp["conn"] = sp.eye(4, format="csr")
+        sub = adata[:, ["g1", "g3"]]
+        assert sub.shape == (4, 2)
+        np.testing.assert_array_equal(sub.X, X[:, [0, 2]])
+        sub2 = adata[np.array([True, False, True, False])]
+        assert sub2.shape == (2, 3)
+        assert sub2.obsm["spatial"].shape == (2, 2)
+        assert sub2.obsp["conn"].shape == (2, 2)
+
+    def test_reads_reference_h5ad(self, adata_ref):
+        assert adata_ref.shape == (49, 1999)
+        assert "leiden" in adata_ref.obs
+        assert isinstance(adata_ref.obs["leiden"].dtype, pd.CategoricalDtype)
+        assert "spatial" in adata_ref.obsm
+        assert sp.issparse(adata_ref.X)
+        assert "highly_variable" in adata_ref.var
+
+    def test_h5ad_roundtrip(self, tmp_path, dummy_adata):
+        dummy_adata.obsp["spatial_connectivities"] = sp.random(200, 200, density=0.02, format="csr")
+        dummy_adata.uns["params"] = {"a": 1, "b": "text", "nested": {"c": 2.5}}
+        path = str(tmp_path / "roundtrip.h5ad")
+        dummy_adata.write_h5ad(path)
+        back = sq.read_h5ad(path)
+        assert back.shape == dummy_adata.shape
+        np.testing.assert_allclose(np.asarray(back.X), np.asarray(dummy_adata.X))
+        assert isinstance(back.obs["leiden"].dtype, pd.CategoricalDtype)
+        assert list(back.obs["leiden"]) == list(dummy_adata.obs["leiden"])
+        np.testing.assert_allclose(back.obsm["spatial"], dummy_adata.obsm["spatial"])
+        assert (back.obsp["spatial_connectivities"] != dummy_adata.obsp["spatial_connectivities"]).nnz == 0
+        assert back.uns["params"]["b"] == "text"
+        assert back.uns["params"]["nested"]["c"] == 2.5
+
+    def test_concat(self):
+        a = sq.AnnData(X=np.ones((2, 3)), var=pd.DataFrame(index=["x", "y", "z"]))
+        b = sq.AnnData(X=np.zeros((3, 3)), var=pd.DataFrame(index=["x", "y", "z"]))
+        out = sq.concat([a, b], label="batch", keys=["s0", "s1"])
+        assert out.shape == (5, 3)
+        assert list(out.obs["batch"].cat.categories) == ["s0", "s1"]
+
+
+class TestSpatialGraph:
+    def test_csr_ell_roundtrip(self):
+        rng = np.random.default_rng(0)
+        adj = sp.random(50, 50, density=0.1, format="csr", random_state=0)
+        adj.setdiag(0)
+        adj.eliminate_zeros()
+        g = SpatialGraph.from_csr(adj)
+        back, _ = g.to_csr()
+        assert (back != adj).nnz == 0
+
+    def test_spmv_matches_scipy(self):
+        adj = sp.random(64, 64, density=0.15, format="csr", random_state=1)
+        g = SpatialGraph.from_csr(adj)
+        x = np.random.default_rng(2).normal(size=(64, 7))
+        got = np.asarray(g.spmv(x.astype(np.float64)))
+        want = adj @ x
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+    def test_row_normalize(self):
+        adj = sp.random(32, 32, density=0.2, format="csr", random_state=3)
+        g = SpatialGraph.from_csr(adj).row_normalize()
+        sums = np.asarray(g.weights.sum(axis=1))
+        nz = np.asarray(adj.sum(axis=1)).ravel() > 0
+        np.testing.assert_allclose(sums[nz], 1.0, rtol=1e-6)
+
+    def test_distances_alignment(self):
+        n = 20
+        adj = sp.random(n, n, density=0.2, format="csr", random_state=4)
+        dst = adj.copy()
+        dst.data = dst.data * 3.0
+        g = SpatialGraph.from_csr(adj, dst)
+        _, dback = g.to_csr()
+        np.testing.assert_allclose(dback.toarray(), dst.toarray(), rtol=1e-6)
+
+
+class TestRng:
+    def test_spawn_keys_deterministic(self):
+        from squidpy_tpu._core.rng import spawn_keys
+
+        k1 = spawn_keys(42, 10)
+        k2 = spawn_keys(42, 10)
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+        k3 = spawn_keys(43, 10)
+        assert not np.array_equal(np.asarray(k1), np.asarray(k3))
+
+    def test_permutation_batch_is_permutation(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.rng import permutation_batch, spawn_keys
+
+        vals = jnp.arange(100)
+        perms = np.asarray(permutation_batch(spawn_keys(0, 5), vals))
+        for row in perms:
+            np.testing.assert_array_equal(np.sort(row), np.arange(100))
+        assert not np.array_equal(perms[0], perms[1])
+
+    def test_shuffle_group_batch_stays_within_groups(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.rng import shuffle_group_batch, spawn_keys
+
+        groups = np.repeat([0, 1, 2], [30, 40, 30])
+        vals = jnp.asarray(np.arange(100))
+        out = np.asarray(shuffle_group_batch(spawn_keys(1, 4), vals, groups))
+        for row in out:
+            # within-group multiset preserved
+            np.testing.assert_array_equal(np.sort(row[:30]), np.arange(0, 30))
+            np.testing.assert_array_equal(np.sort(row[30:70]), np.arange(30, 70))
+            np.testing.assert_array_equal(np.sort(row[70:]), np.arange(70, 100))
+        assert not np.array_equal(out[0], out[1])

@@ -1,0 +1,115 @@
+"""Neighborhood enrichment / interaction matrix tests, modeled on the
+reference's (/root/reference/tests/graph/test_nhood.py): exact counts against
+a naive numpy implementation, seed reproducibility, and the literal 5-node
+interaction-matrix ground truth from the reference's conftest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import squidpy_tpu as sq
+
+
+def naive_pair_counts(adj, labels, n_cls):
+    """Naive CSR walk — the semantics of the reference's numba ``_nenrich``."""
+    counts = np.zeros((n_cls, n_cls), dtype=np.int64)
+    indptr, indices = adj.indptr, adj.indices
+    for i in range(adj.shape[0]):
+        for j in indices[indptr[i] : indptr[i + 1]]:
+            counts[labels[i], labels[j]] += 1
+    return counts
+
+
+class TestNhoodEnrichment:
+    def test_observed_counts_exact(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        res = sq.gr.nhood_enrichment(dummy_adata, cluster_key="leiden", n_perms=10, seed=0, copy=True)
+        labels = dummy_adata.obs["leiden"].cat.codes.to_numpy()
+        want = naive_pair_counts(dummy_adata.obsp["spatial_connectivities"], labels, 5)
+        np.testing.assert_array_equal(res.counts, want)
+
+    def test_seed_reproducibility(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        r1 = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=50, seed=42, copy=True)
+        r2 = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=50, seed=42, copy=True)
+        np.testing.assert_array_equal(r1.zscore, r2.zscore)
+        r3 = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=50, seed=43, copy=True)
+        assert not np.allclose(r1.zscore, r3.zscore)
+        np.testing.assert_array_equal(r1.counts, r3.counts)
+
+    def test_writes_uns(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=20, seed=0)
+        out = dummy_adata.uns["leiden_nhood_enrichment"]
+        assert out["zscore"].shape == (5, 5)
+        assert out["count"].shape == (5, 5)
+
+    def test_library_key(self, dummy_adata):
+        dummy_adata.obs["library"] = pd.Categorical(["a"] * 100 + ["b"] * 100)
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6, library_key="library")
+        res = sq.gr.nhood_enrichment(
+            dummy_adata, "leiden", library_key="library", n_perms=50, seed=1, copy=True
+        )
+        assert np.isfinite(res.zscore).all()
+
+    def test_zscore_statistics_sane(self, dummy_adata):
+        # random labels: z-scores should be small in magnitude
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        res = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=200, seed=7, copy=True)
+        assert np.abs(res.zscore).max() < 6.0
+
+    def test_enriched_structure_detected(self):
+        # two spatial blobs with distinct labels -> strong diagonal enrichment
+        rng = np.random.default_rng(0)
+        c1 = rng.normal(0, 1, size=(100, 2))
+        c2 = rng.normal(10, 1, size=(100, 2))
+        adata = sq.AnnData(X=np.zeros((200, 1)))
+        adata.obsm["spatial"] = np.vstack([c1, c2])
+        adata.obs["cl"] = pd.Categorical(["a"] * 100 + ["b"] * 100)
+        sq.gr.spatial_neighbors_knn(adata, n_neighs=6)
+        res = sq.gr.nhood_enrichment(adata, "cl", n_perms=200, seed=0, copy=True)
+        assert res.zscore[0, 0] > 5
+        assert res.zscore[1, 1] > 5
+        assert res.zscore[0, 1] < -5
+
+
+class TestInteractionMatrix:
+    def test_literal_ground_truth(self, adata_intmat):
+        """Reference ground truth
+        (tests/graph/test_nhood.py::test_interaction_matrix_values)."""
+        got_w = sq.gr.interaction_matrix(adata_intmat, "cat", weights=True, copy=True)
+        got_u = sq.gr.interaction_matrix(adata_intmat, "cat", weights=False, copy=True)
+        np.testing.assert_array_equal(got_w, np.array([[5, 1], [2, 3]]))
+        np.testing.assert_array_equal(got_u, np.array([[4, 1], [2, 2]]))
+
+    def test_normalized(self, adata_intmat):
+        got = sq.gr.interaction_matrix(adata_intmat, "cat", normalized=True, copy=True)
+        np.testing.assert_allclose(got.sum(axis=1), 1.0)
+
+    def test_nan_category_dropped(self, adata_intmat):
+        """Reference: test_interaction_matrix_nan_values."""
+        adata_intmat.obs.loc["0", "cat"] = np.nan
+        got_w = sq.gr.interaction_matrix(adata_intmat, "cat", weights=True, copy=True)
+        got_u = sq.gr.interaction_matrix(adata_intmat, "cat", weights=False, copy=True)
+        np.testing.assert_array_equal(got_w, np.array([[2, 1], [2, 3]]))
+        np.testing.assert_array_equal(got_u, np.array([[1, 1], [2, 2]]))
+
+    def test_writes_uns(self, adata_intmat):
+        sq.gr.interaction_matrix(adata_intmat, "cat")
+        assert "cat_interactions" in adata_intmat.uns
+
+
+class TestCentralityScores:
+    def test_basic(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        df = sq.gr.centrality_scores(dummy_adata, "leiden", copy=True)
+        assert set(df.columns) == {"degree_centrality", "average_clustering", "closeness_centrality"}
+        assert len(df) == 5
+        assert np.isfinite(df.values).all()
+
+    def test_single_score(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        df = sq.gr.centrality_scores(dummy_adata, "leiden", score="degree_centrality", copy=True)
+        assert list(df.columns) == ["degree_centrality"]

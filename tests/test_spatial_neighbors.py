@@ -1,0 +1,173 @@
+"""Graph builder tests, modeled on the reference's test strategy
+(/root/reference/tests/graph/test_spatial_neighbors.py): literal ground-truth
+matrices, sklearn cross-checks, block-diagonal library structure."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import warnings
+from scipy import sparse as sp
+from sklearn.neighbors import NearestNeighbors
+
+import squidpy_tpu as sq
+from squidpy_tpu.ops.knn import brute_force_knn, radius_neighbors
+
+
+class TestBruteForceKNN:
+    @pytest.mark.parametrize("n,k", [(50, 4), (300, 6), (1000, 10)])
+    def test_matches_sklearn(self, n, k):
+        rng = np.random.default_rng(n)
+        coords = rng.uniform(0, 100, size=(n, 2))
+        d_got, i_got = brute_force_knn(coords, k)
+        tree = NearestNeighbors(n_neighbors=k).fit(coords)
+        d_want, i_want = tree.kneighbors()
+        np.testing.assert_allclose(np.sort(d_got, axis=1), np.sort(d_want, axis=1), rtol=1e-4, atol=1e-4)
+        # index sets identical (distance ties may reorder)
+        assert (np.sort(i_got, axis=1) == np.sort(i_want, axis=1)).mean() > 0.999
+
+    def test_3d(self):
+        rng = np.random.default_rng(7)
+        coords = rng.normal(size=(200, 3))
+        d_got, i_got = brute_force_knn(coords, 5)
+        tree = NearestNeighbors(n_neighbors=5).fit(coords)
+        d_want, _ = tree.kneighbors()
+        np.testing.assert_allclose(d_got, d_want, rtol=1e-4, atol=1e-5)
+
+
+class TestRadiusNeighbors:
+    def test_matches_sklearn(self):
+        rng = np.random.default_rng(3)
+        coords = rng.uniform(0, 50, size=(150, 2))
+        r = 6.0
+        indptr, indices, dists = radius_neighbors(coords, r)
+        tree = NearestNeighbors(radius=r).fit(coords)
+        d_want, i_want = tree.radius_neighbors()
+        for i in range(len(coords)):
+            got = set(indices[indptr[i] : indptr[i + 1]].tolist())
+            want = set(i_want[i].tolist())
+            assert got == want
+
+
+class TestSpatialNeighbors:
+    def test_knn_graph_structure(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=5)
+        adj = dummy_adata.obsp["spatial_connectivities"]
+        dst = dummy_adata.obsp["spatial_distances"]
+        assert adj.shape == (200, 200)
+        np.testing.assert_array_equal(np.diff(adj.indptr), 5)
+        assert dst.diagonal().sum() == 0
+        assert dummy_adata.uns["spatial_neighbors"]["params"]["n_neighbors"] == 5
+
+    def test_knn_matches_sklearn_graph(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        adj = dummy_adata.obsp["spatial_connectivities"]
+        coords = dummy_adata.obsm["spatial"]
+        tree = NearestNeighbors(n_neighbors=6).fit(coords)
+        _, idx = tree.kneighbors()
+        want = sp.csr_matrix(
+            (np.ones(idx.size), (np.repeat(np.arange(200), 6), idx.ravel())), shape=(200, 200)
+        )
+        assert (adj != want).nnz == 0
+
+    def test_radius_graph(self, dummy_adata):
+        sq.gr.spatial_neighbors_radius(dummy_adata, radius=10.0)
+        adj = dummy_adata.obsp["spatial_connectivities"]
+        dst = dummy_adata.obsp["spatial_distances"]
+        assert (adj != adj.T).nnz == 0  # symmetric
+        assert dst.data.max() <= 10.0 + 1e-5
+
+    def test_radius_interval(self, dummy_adata):
+        sq.gr.spatial_neighbors_radius(dummy_adata, radius=(5.0, 10.0))
+        dst = dummy_adata.obsp["spatial_distances"]
+        d = dst.data[dst.data > 0]
+        assert d.min() >= 5.0 - 1e-5 and d.max() <= 10.0 + 1e-5
+
+    def test_delaunay_small_ground_truth(self):
+        # a unit square + center point: center connects to all four corners
+        coords = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [0.5, 0.5]])
+        adata = sq.AnnData(X=np.zeros((5, 1)))
+        adata.obsm["spatial"] = coords
+        sq.gr.spatial_neighbors_delaunay(adata)
+        adj = adata.obsp["spatial_connectivities"].toarray()
+        assert (adj[4, :4] == 1).all()
+        dst = adata.obsp["spatial_distances"].toarray()
+        np.testing.assert_allclose(dst[4, :4], np.sqrt(0.5), rtol=1e-6)
+
+    def test_grid_square_lattice(self, adata_squaregrid):
+        sq.gr.spatial_neighbors_grid(adata_squaregrid, n_neighs=4)
+        adj = adata_squaregrid.obsp["spatial_connectivities"]
+        deg = np.asarray(adj.sum(axis=1)).ravel()
+        # interior nodes have 4 neighbors; corners 2; edges 3
+        assert deg.max() == 4
+        assert deg.min() == 2
+        assert (adj != adj.T).nnz == 0
+
+    def test_grid_n_rings(self, adata_squaregrid):
+        sq.gr.spatial_neighbors_grid(adata_squaregrid, n_neighs=4, n_rings=2)
+        dst = adata_squaregrid.obsp["spatial_distances"]
+        assert set(np.unique(dst.data)) == {1.0, 2.0}
+
+    def test_set_diag(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=4, set_diag=True)
+        adj = dummy_adata.obsp["spatial_connectivities"]
+        np.testing.assert_array_equal(adj.diagonal(), 1.0)
+
+    def test_percentile(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6, percentile=50.0)
+        sparse_adj = dummy_adata.obsp["spatial_connectivities"]
+        assert sparse_adj.nnz < 200 * 6
+
+    def test_transform_spectral(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6, transform="spectral")
+        adj = dummy_adata.obsp["spatial_connectivities"]
+        assert adj.data.max() <= 1.0 + 1e-6
+        assert dummy_adata.uns["spatial_neighbors"]["params"]["transform"] == "spectral"
+
+    def test_library_key_block_structure(self, dummy_adata):
+        dummy_adata.obs["library"] = pd.Categorical(["a"] * 100 + ["b"] * 100)
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=4, library_key="library")
+        adj = dummy_adata.obsp["spatial_connectivities"]
+        # no cross-library edges
+        assert adj[:100, 100:].nnz == 0
+        assert adj[100:, :100].nnz == 0
+
+    def test_library_key_interleaved(self, dummy_adata):
+        libs = np.array(["a", "b"] * 100)
+        dummy_adata.obs["library"] = pd.Categorical(libs)
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=4, library_key="library")
+        adj = dummy_adata.obsp["spatial_connectivities"].toarray()
+        ia = np.where(libs == "a")[0]
+        ib = np.where(libs == "b")[0]
+        assert adj[np.ix_(ia, ib)].sum() == 0
+        assert adj[np.ix_(ib, ia)].sum() == 0
+
+    def test_copy_returns_result(self, dummy_adata):
+        res = sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=4, copy=True)
+        assert isinstance(res, sq.gr.SpatialNeighborsResult)
+        assert res.connectivities.shape == (200, 200)
+        assert "spatial_connectivities" not in dummy_adata.obsp
+
+    def test_deprecated_facade(self, dummy_adata):
+        with pytest.warns(FutureWarning):
+            sq.gr.spatial_neighbors(dummy_adata, coord_type="generic", n_neighs=5)
+        assert "spatial_connectivities" in dummy_adata.obsp
+
+    def test_facade_grid_autodetect(self, adata_ref):
+        adata = adata_ref.copy()
+        with pytest.warns(FutureWarning):
+            sq.gr.spatial_neighbors(adata)  # uns['spatial'] present -> grid
+        assert adata.uns["spatial_neighbors"]["params"]["coord_type"] == "grid"
+
+
+class TestMaskGraph:
+    def test_mask_square(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=4)
+        square = np.array([[0, 0], [50, 0], [50, 50], [0, 50], [0, 0]], dtype=float)
+        adj, dst = sq.gr.mask_graph(dummy_adata, table_key=None, polygon_mask=square, copy=True)
+        coords = dummy_adata.obsm["spatial"]
+        coo = adj.tocoo()
+        inside = (coords[:, 0] < 50) & (coords[:, 1] < 50)
+        # every surviving edge has both endpoints inside the square
+        assert inside[coo.row].all() and inside[coo.col].all()
