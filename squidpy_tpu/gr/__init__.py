@@ -19,6 +19,7 @@ from squidpy_tpu.gr._nhood import (
     interaction_matrix,
     nhood_enrichment,
 )
+from squidpy_tpu.gr._ppatterns import co_occurrence, spatial_autocorr
 from squidpy_tpu.gr.neighbors import GraphMatrixT
 
 __all__ = [
@@ -36,4 +37,6 @@ __all__ = [
     "centrality_scores",
     "interaction_matrix",
     "nhood_enrichment",
+    "co_occurrence",
+    "spatial_autocorr",
 ]

@@ -1,0 +1,332 @@
+"""Point-pattern spatial statistics: spatial autocorrelation and co-occurrence.
+
+API/semantics parity with /root/reference/src/squidpy/gr/_ppatterns.py:56-559.
+Scores and permutations run on device (:mod:`squidpy_tpu.ops.autocorr`,
+:mod:`squidpy_tpu.ops.cooccur`); analytic moments/p-values are closed-form
+host numpy following the same Cliff & Ord formulas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any, Literal
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy import sparse as sp
+from scipy import stats
+
+from squidpy_tpu._constants._constants import SpatialAutocorr
+from squidpy_tpu._constants._pkg_constants import Key
+from squidpy_tpu._core.graph import SpatialGraph
+from squidpy_tpu._core.rng import permutation_batch, spawn_keys
+from squidpy_tpu.gr._utils import (
+    _assert_categorical_obs,
+    _assert_connectivity_key,
+    _assert_spatial_basis,
+    _save_data,
+    extract_adata_if_sdata,
+)
+from squidpy_tpu.ops.autocorr import (
+    geary_perm_scores,
+    geary_scores,
+    moran_perm_scores,
+    moran_scores,
+    spmv_genes,
+)
+from squidpy_tpu.ops.cooccur import co_occurrence_counts, co_occurrence_probs
+from squidpy_tpu.utils import NDArrayA, assert_positive, deprecated_params, logg
+from squidpy_tpu.utils._stats import multipletests
+from squidpy_tpu.utils._validators import assert_key_in_adata
+
+__all__ = ["spatial_autocorr", "co_occurrence"]
+
+
+def _to_dense_block(X: Any, col_slice: slice) -> np.ndarray:
+    import jax
+
+    block = X[:, col_slice]
+    if sp.issparse(block):
+        block = np.asarray(block.todense())
+    # float64 when x64 is enabled (CPU parity tests); float32 on TPU
+    dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+    return np.ascontiguousarray(np.asarray(block, dtype=dtype))
+
+
+def spatial_autocorr(
+    adata: Any,
+    connectivity_key: str = Key.obsp.spatial_conn(),
+    genes: str | int | Sequence[str] | Sequence[int] | None = None,
+    mode: SpatialAutocorr | Literal["moran", "geary"] = "moran",
+    transformation: bool = True,
+    n_perms: int | None = None,
+    two_tailed: bool = False,
+    corr_method: str | None = "fdr_bh",
+    attr: Literal["obs", "X", "obsm"] = "X",
+    layer: str | None = None,
+    seed: int | None = None,
+    use_raw: bool = False,
+    copy: bool = False,
+    n_jobs: int | None = None,
+    backend: str = "loky",
+    show_progress_bar: bool = True,
+    *,
+    table_key: str | None = None,
+    gene_block_size: int = 2048,
+) -> pd.DataFrame | None:
+    """Global spatial autocorrelation (Moran's I or Geary's C) per feature.
+
+    Scores are one batched ELL SpMV per gene block; the permutation null
+    reuses the precomputed ``W z`` so each permutation is an O(n) gather-dot
+    (see :mod:`squidpy_tpu.ops.autocorr`). Analytic normality p-values follow
+    Cliff & Ord (reference formulas at gr/_ppatterns.py:501-559, including the
+    corrected Geary variance from issue #1183).
+
+    Stores the result DataFrame under ``uns['moranI']`` / ``uns['gearyC']``.
+    """
+    adata = extract_adata_if_sdata(adata, table_key=table_key)
+    _assert_connectivity_key(adata, connectivity_key)
+
+    def extract_X(adata: Any, genes: Any) -> tuple[Any, Sequence[Any]]:
+        if genes is None:
+            if "highly_variable" in adata.var:
+                genes = adata.var_names.values[np.asarray(adata.var["highly_variable"], dtype=bool)]
+            else:
+                genes = adata.var_names.values
+        elif isinstance(genes, str):
+            genes = [genes]
+        genes = list(genes)
+        if not use_raw:
+            subset = adata[:, genes]
+            return (subset.X if layer is None else subset.layers[layer]), genes
+        if adata.raw is None:
+            raise AttributeError("No `.raw` attribute found. Try specifying `use_raw=False`.")
+        genes = [g for g in genes if g in set(adata.raw.var_names)]
+        return adata.raw[:, genes].X, genes
+
+    def extract_obs(adata: Any, cols: Any) -> tuple[Any, Sequence[Any]]:
+        if cols is None:
+            df = adata.obs.select_dtypes(include=np.number)
+            return df.to_numpy(), list(df.columns)
+        if isinstance(cols, str):
+            cols = [cols]
+        return adata.obs[list(cols)].to_numpy(), list(cols)
+
+    def extract_obsm(adata: Any, ixs: Any) -> tuple[Any, Sequence[Any]]:
+        assert_key_in_adata(adata, layer, attr="obsm")
+        if ixs is None:
+            ixs = list(np.arange(np.asarray(adata.obsm[layer]).shape[1]))
+        ixs = list(np.ravel([ixs]))
+        return np.asarray(adata.obsm[layer])[:, ixs], ixs
+
+    if attr == "X":
+        vals, index = extract_X(adata, genes)
+    elif attr == "obs":
+        vals, index = extract_obs(adata, genes)
+    elif attr == "obsm":
+        vals, index = extract_obsm(adata, genes)
+    else:
+        raise NotImplementedError(f"Extracting from `adata.{attr}` is not yet implemented.")
+
+    mode = SpatialAutocorr(mode)
+    params: dict[str, Any] = {"mode": mode.s, "transformation": transformation, "two_tailed": two_tailed}
+    if mode == SpatialAutocorr.MORAN:
+        params["stat"] = "I"
+        params["expected"] = -1.0 / (adata.shape[0] - 1)
+        params["ascending"] = False
+    else:
+        params["stat"] = "C"
+        params["expected"] = 1.0
+        params["ascending"] = True
+
+    g_csr = sp.csr_matrix(adata.obsp[connectivity_key], copy=True)
+    if transformation:  # l1 row-normalize
+        row_sums = np.asarray(g_csr.sum(axis=1)).ravel()
+        scale = np.divide(1.0, row_sums, out=np.zeros_like(row_sums, dtype=float), where=row_sums != 0)
+        g_csr = sp.diags(scale) @ g_csr
+        g_csr = sp.csr_matrix(g_csr)
+
+    graph = SpatialGraph.from_csr(g_csr)
+    s0 = float(g_csr.sum())
+    n_cells, n_feats = np.asarray(vals).shape if not sp.issparse(vals) else vals.shape
+
+    start = logg.info(f"Calculating {mode}'s statistic for `{n_perms}` permutations on device")
+
+    if n_perms is not None:
+        assert_positive(n_perms, name="n_perms")
+        keys = spawn_keys(seed, n_perms)
+        perms_idx = permutation_batch(keys, jnp.arange(n_cells))
+    else:
+        perms_idx = None
+
+    score_parts: list[np.ndarray] = []
+    sims_parts: list[np.ndarray] = []
+    row_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=1)).ravel())
+    for start_col in range(0, n_feats, gene_block_size):
+        block = _to_dense_block(vals, slice(start_col, start_col + gene_block_size))
+        xb = jnp.asarray(block)
+        if mode == SpatialAutocorr.MORAN:
+            score_parts.append(np.asarray(moran_scores(graph.indices, graph.weights, xb, s0)))
+        else:
+            score_parts.append(np.asarray(geary_scores(graph.indices, graph.weights, graph.mask, xb, s0)))
+        if perms_idx is not None:
+            zb = xb - jnp.mean(xb, axis=0, keepdims=True)
+            ub = spmv_genes(graph.indices, graph.weights, zb)
+            if mode == SpatialAutocorr.MORAN:
+                sims_parts.append(np.asarray(moran_perm_scores(zb, ub, perms_idx, s0)))
+            else:
+                vb = spmv_genes(graph.indices, graph.weights, zb * zb)
+                sims_parts.append(np.asarray(geary_perm_scores(zb, ub, vb, row_sums_dev, perms_idx, s0)))
+
+    score = np.concatenate(score_parts) if score_parts else np.empty(0)
+    sims = np.concatenate(sims_parts, axis=1) if sims_parts else None
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pval_results = _p_value_calc(score, sims, g_csr, params)
+
+    df = pd.DataFrame({str(params["stat"]): score, **pval_results}, index=index)
+
+    if corr_method is not None:
+        for pv in [c for c in df.columns if "pval" in c]:
+            _, pvals_adj, _, _ = multipletests(df[pv].values, alpha=0.05, method=corr_method)
+            df[f"{pv}_{corr_method}"] = pvals_adj
+
+    df.sort_values(by=params["stat"], ascending=params["ascending"], inplace=True)
+
+    if copy:
+        logg.info("Finish", time=start)
+        return df
+
+    _save_data(adata, attr="uns", key=str(params["mode"]) + str(params["stat"]), data=df, time=start)
+
+
+@deprecated_params({"n_splits": "1.10.0", "n_jobs": "1.10.0", "backend": "1.10.0", "show_progress_bar": "1.10.0"})
+def co_occurrence(
+    adata: Any,
+    cluster_key: str,
+    spatial_key: str = Key.obsm.spatial,
+    interval: int | NDArrayA = 50,
+    copy: bool = False,
+    *,
+    table_key: str | None = None,
+) -> tuple[NDArrayA, NDArrayA] | None:
+    """Co-occurrence probability of clusters across distance thresholds.
+
+    Device kernel: tiled pairwise-distance blocks on the MXU with per-threshold
+    one-hot class reductions (:mod:`squidpy_tpu.ops.cooccur`). Stores
+    ``uns['{cluster_key}_co_occurrence'] = {'occ', 'interval'}``.
+    """
+    adata = extract_adata_if_sdata(adata, table_key=table_key)
+    _assert_categorical_obs(adata, key=cluster_key)
+    _assert_spatial_basis(adata, key=spatial_key)
+
+    spatial = np.asarray(adata.obsm[spatial_key], dtype=np.float32)
+    original_clust = adata.obs[cluster_key]
+    labs = np.asarray(original_clust.cat.codes.to_numpy(), dtype=np.int32)
+    n_cls = len(original_clust.cat.categories)
+
+    if isinstance(interval, int):
+        thresh_min, thresh_max = _find_min_max(spatial)
+        interval = np.linspace(thresh_min, thresh_max, num=interval, dtype=np.float32)
+    else:
+        interval = np.asarray(sorted(interval), dtype=np.float32)
+    if len(interval) <= 1:
+        raise ValueError(f"Expected interval to be of length `>= 2`, found `{len(interval)}`.")
+
+    start = logg.info(f"Calculating co-occurrence probabilities for `{len(interval)}` intervals on device")
+    thresholds = (interval[1:].astype(np.float64) ** 2).astype(np.float32)
+    counts = co_occurrence_counts(spatial, labs, thresholds, n_cls)
+    out = co_occurrence_probs(counts)
+
+    if copy:
+        logg.info("Finish", time=start)
+        return out, interval
+
+    _save_data(
+        adata, attr="uns", key=Key.uns.co_occurrence(cluster_key),
+        data={"occ": out, "interval": interval}, time=start,
+    )
+
+
+def _find_min_max(spatial: NDArrayA) -> tuple[float, float]:
+    """Distance-threshold heuristics (reference: gr/_ppatterns.py:452-462)."""
+    coord_sum = np.sum(spatial, axis=1)
+    min_idx, min_idx2 = np.argpartition(coord_sum, 2)[:2]
+    max_idx = np.argmax(coord_sum)
+    thres_max = float(np.linalg.norm(spatial[min_idx] - spatial[max_idx])) / 2.0
+    thres_min = float(np.linalg.norm(spatial[min_idx] - spatial[min_idx2]))
+    return np.float32(thres_min), np.float32(thres_max)
+
+
+def _p_value_calc(
+    score: NDArrayA,
+    sims: NDArrayA | None,
+    weights: Any,
+    params: dict[str, Any],
+) -> dict[str, Any]:
+    """Analytic + permutation p-values (reference: gr/_ppatterns.py:443-500)."""
+    p_norm, var_norm = _analytic_pval(score, weights, params)
+    results: dict[str, Any] = {"pval_norm": p_norm, "var_norm": var_norm}
+    if sims is None:
+        return results
+
+    n_perms = sims.shape[0]
+    large_perm = (sims >= score).sum(axis=0)
+    flip = (n_perms - large_perm) < large_perm
+    large_perm[flip] = n_perms - large_perm[flip]
+    p_sim: NDArrayA = (large_perm + 1) / (n_perms + 1)
+
+    e_score_sim = sims.sum(axis=0) / n_perms
+    se_score_sim = sims.std(axis=0)
+    z_sim = (score - e_score_sim) / se_score_sim
+    p_z_sim = np.empty(z_sim.shape)
+    p_z_sim[z_sim > 0] = 1 - stats.norm.cdf(z_sim[z_sim > 0])
+    p_z_sim[z_sim <= 0] = stats.norm.cdf(z_sim[z_sim <= 0])
+
+    results["pval_z_sim"] = p_z_sim
+    results["pval_sim"] = p_sim
+    results["var_sim"] = np.var(sims, axis=0)
+    return results
+
+
+def _analytic_pval(score: NDArrayA, g: Any, params: dict[str, Any]) -> tuple[NDArrayA, float]:
+    """Cliff & Ord normality-assumption variance and p-value.
+
+    Geary's C uses its own sampling variance (reference fix for issue #1183,
+    gr/_ppatterns.py:518), not Moran's.
+    """
+    s0, s1, s2 = _g_moments(g)
+    n = g.shape[0]
+    s02 = s0 * s0
+
+    if params["mode"] == SpatialAutocorr.GEARY.s:
+        v_score_norm = ((2 * s1 + s2) * (n - 1) - 4 * s02) / (2 * (n + 1) * s02)
+    elif params["mode"] == SpatialAutocorr.MORAN.s:
+        n2 = n * n
+        v_num = n2 * s1 - n * s2 + 3 * s02
+        v_den = (n - 1) * (n + 1) * s02
+        v_score_norm = v_num / v_den - (1.0 / (n - 1)) ** 2
+    else:
+        raise AssertionError(f"Unexpected mode `{params['mode']}`.")
+
+    se_score_norm = v_score_norm ** 0.5
+    z_norm = (score - params["expected"]) / se_score_norm
+    p_norm = np.empty(score.shape)
+    p_norm[z_norm > 0] = 1 - stats.norm.cdf(z_norm[z_norm > 0])
+    p_norm[z_norm <= 0] = stats.norm.cdf(z_norm[z_norm <= 0])
+
+    if params["two_tailed"]:
+        p_norm *= 2.0
+    return p_norm, v_score_norm
+
+
+def _g_moments(w: Any) -> tuple[float, float, float]:
+    """S0, S1, S2 moments of the weight matrix (pysal convention)."""
+    s0 = w.sum()
+    t = w.transpose() + w
+    t2 = t.multiply(t) if sp.issparse(t) else t * t
+    s1 = t2.sum() / 2.0
+    s2array: NDArrayA = np.asarray(w.sum(1) + w.sum(0).transpose()) ** 2
+    s2 = s2array.sum()
+    return s0, s1, s2

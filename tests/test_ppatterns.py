@@ -1,0 +1,225 @@
+"""spatial_autocorr / co_occurrence parity tests against naive float64 numpy
+implementations of the published formulas (the reference delegates to scanpy's
+numba kernels computing exactly these)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse as sp
+
+import squidpy_tpu as sq
+
+
+def naive_moran(g: sp.csr_matrix, x: np.ndarray) -> float:
+    n = g.shape[0]
+    z = x - x.mean()
+    return n / g.sum() * float(z @ (g @ z)) / float(z @ z)
+
+
+def naive_geary(g: sp.csr_matrix, x: np.ndarray) -> float:
+    n = g.shape[0]
+    coo = g.tocoo()
+    num = float(np.sum(coo.data * (x[coo.row] - x[coo.col]) ** 2))
+    z = x - x.mean()
+    return (n - 1) / (2 * g.sum()) * num / float(z @ z)
+
+
+def row_normalize(g: sp.csr_matrix) -> sp.csr_matrix:
+    rs = np.asarray(g.sum(axis=1)).ravel()
+    scale = np.divide(1.0, rs, out=np.zeros_like(rs), where=rs != 0)
+    return sp.csr_matrix(sp.diags(scale) @ g)
+
+
+@pytest.fixture()
+def graph_adata(dummy_adata):
+    sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+    return dummy_adata
+
+
+class TestSpatialAutocorr:
+    def test_moran_matches_naive(self, graph_adata):
+        df = sq.gr.spatial_autocorr(graph_adata, mode="moran", copy=True, transformation=True)
+        g = row_normalize(sp.csr_matrix(graph_adata.obsp["spatial_connectivities"], dtype=float))
+        X = np.asarray(graph_adata.X, dtype=float)
+        for gene in ["gene_0", "gene_7", "gene_29"]:
+            j = list(graph_adata.var_names).index(gene)
+            want = naive_moran(g, X[:, j])
+            np.testing.assert_allclose(df.loc[gene, "I"], want, rtol=1e-10)
+
+    def test_geary_matches_naive(self, graph_adata):
+        df = sq.gr.spatial_autocorr(graph_adata, mode="geary", copy=True, transformation=False)
+        g = sp.csr_matrix(graph_adata.obsp["spatial_connectivities"], dtype=float)
+        X = np.asarray(graph_adata.X, dtype=float)
+        for gene in ["gene_0", "gene_15"]:
+            j = list(graph_adata.var_names).index(gene)
+            want = naive_geary(g, X[:, j])
+            np.testing.assert_allclose(df.loc[gene, "C"], want, rtol=1e-10)
+
+    def test_moran_perm_identity(self, graph_adata):
+        """Permutation scores must equal naive scoring of the row-permuted W."""
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.graph import SpatialGraph
+        from squidpy_tpu.ops.autocorr import moran_perm_scores, spmv_genes
+
+        g = row_normalize(sp.csr_matrix(graph_adata.obsp["spatial_connectivities"], dtype=float))
+        X = np.asarray(graph_adata.X, dtype=float)[:, :5]
+        graph = SpatialGraph.from_csr(g)
+        z = X - X.mean(axis=0, keepdims=True)
+        u = spmv_genes(graph.indices, graph.weights, jnp.asarray(z))
+        rng = np.random.default_rng(0)
+        perms = np.stack([rng.permutation(X.shape[0]) for _ in range(4)])
+        got = np.asarray(moran_perm_scores(jnp.asarray(z), u, jnp.asarray(perms), g.sum()))
+        for p in range(4):
+            gp = g[perms[p], :]
+            for j in range(5):
+                want = naive_moran(sp.csr_matrix(gp), X[:, j])
+                np.testing.assert_allclose(got[p, j], want, rtol=1e-9)
+
+    def test_geary_perm_identity(self, graph_adata):
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.graph import SpatialGraph
+        from squidpy_tpu.ops.autocorr import geary_perm_scores, spmv_genes
+
+        g = row_normalize(sp.csr_matrix(graph_adata.obsp["spatial_connectivities"], dtype=float))
+        X = np.asarray(graph_adata.X, dtype=float)[:, :3]
+        graph = SpatialGraph.from_csr(g)
+        z = X - X.mean(axis=0, keepdims=True)
+        zj = jnp.asarray(z)
+        u = spmv_genes(graph.indices, graph.weights, zj)
+        v = spmv_genes(graph.indices, graph.weights, zj * zj)
+        r = jnp.asarray(np.asarray(g.sum(axis=1)).ravel())
+        rng = np.random.default_rng(1)
+        perms = np.stack([rng.permutation(X.shape[0]) for _ in range(3)])
+        got = np.asarray(geary_perm_scores(zj, u, v, r, jnp.asarray(perms), g.sum()))
+        for p in range(3):
+            gp = sp.csr_matrix(g[perms[p], :])
+            for j in range(3):
+                want = naive_geary(gp, X[:, j])
+                np.testing.assert_allclose(got[p, j], want, rtol=1e-9)
+
+    def test_full_run_with_perms_columns(self, graph_adata):
+        df = sq.gr.spatial_autocorr(graph_adata, mode="moran", n_perms=50, seed=0, copy=True)
+        for col in ["I", "pval_norm", "var_norm", "pval_z_sim", "pval_sim", "var_sim",
+                    "pval_norm_fdr_bh", "pval_z_sim_fdr_bh", "pval_sim_fdr_bh"]:
+            assert col in df.columns, col
+        assert df["I"].is_monotonic_decreasing
+        assert ((df["pval_sim"] > 0) & (df["pval_sim"] <= 1)).all()
+
+    def test_writes_uns_key(self, graph_adata):
+        sq.gr.spatial_autocorr(graph_adata, mode="moran")
+        assert "moranI" in graph_adata.uns
+        sq.gr.spatial_autocorr(graph_adata, mode="geary")
+        assert "gearyC" in graph_adata.uns
+
+    def test_attr_obs(self, graph_adata):
+        graph_adata.obs["signal"] = np.asarray(graph_adata.X, dtype=float)[:, 0]
+        df = sq.gr.spatial_autocorr(graph_adata, attr="obs", genes="signal", copy=True)
+        assert list(df.index) == ["signal"]
+
+    def test_attr_obsm(self, graph_adata):
+        graph_adata.obsm["X_pca"] = np.asarray(graph_adata.X, dtype=float)[:, :4]
+        df = sq.gr.spatial_autocorr(graph_adata, attr="obsm", layer="X_pca", genes=[0, 2], copy=True)
+        assert len(df) == 2
+
+    def test_highly_variable_default(self, graph_adata):
+        graph_adata.var["highly_variable"] = np.array([True] * 10 + [False] * 20)
+        df = sq.gr.spatial_autocorr(graph_adata, copy=True)
+        assert len(df) == 10
+
+    def test_spatially_structured_signal_detected(self, graph_adata):
+        coords = graph_adata.obsm["spatial"]
+        graph_adata.obs["structured"] = np.sin(coords[:, 0] / 15.0)
+        df = sq.gr.spatial_autocorr(graph_adata, attr="obs", genes="structured", copy=True)
+        assert df.loc["structured", "I"] > 0.3
+        assert df.loc["structured", "pval_norm"] < 1e-6
+
+    def test_analytic_pval_moran_formula(self, graph_adata):
+        """var_norm must equal the Cliff&Ord moran variance computed by hand."""
+        df = sq.gr.spatial_autocorr(graph_adata, mode="moran", copy=True)
+        g = row_normalize(sp.csr_matrix(graph_adata.obsp["spatial_connectivities"], dtype=float))
+        n = g.shape[0]
+        s0 = g.sum()
+        t = g.T + g
+        s1 = (t.multiply(t)).sum() / 2
+        s2 = (np.asarray(g.sum(1)) + np.asarray(g.sum(0)).T).ravel() ** 2
+        s2 = s2.sum()
+        v = (n * n * s1 - n * s2 + 3 * s0 * s0) / ((n - 1) * (n + 1) * s0 * s0) - (1 / (n - 1)) ** 2
+        np.testing.assert_allclose(df["var_norm"].iloc[0], v, rtol=1e-12)
+
+    def test_sparse_X(self, graph_adata):
+        graph_adata.X = sp.csr_matrix(np.abs(np.asarray(graph_adata.X)))
+        df = sq.gr.spatial_autocorr(graph_adata, mode="moran", copy=True)
+        assert np.isfinite(df["I"]).all()
+
+    def test_gene_blocking_invariance(self, graph_adata):
+        df1 = sq.gr.spatial_autocorr(graph_adata, copy=True, gene_block_size=7)
+        df2 = sq.gr.spatial_autocorr(graph_adata, copy=True, gene_block_size=2048)
+        np.testing.assert_allclose(df1["I"].values, df2["I"].values, rtol=1e-12)
+
+
+def naive_cooccur_counts(coords, labs, thresholds_sq, k):
+    n = len(coords)
+    L = len(thresholds_sq)
+    counts = np.zeros((k, k, L), dtype=np.int64)
+    for i in range(n):
+        d2 = np.sum((coords - coords[i]) ** 2, axis=1)
+        d2[i] = np.inf
+        for r, t in enumerate(thresholds_sq):
+            close = d2 <= t
+            np.add.at(counts[labs[i]], (labs[close], np.full(close.sum(), r)), 1)
+    return counts
+
+
+class TestCoOccurrence:
+    def test_counts_match_naive(self):
+        rng = np.random.default_rng(5)
+        coords = rng.uniform(0, 20, size=(80, 2)).astype(np.float32)
+        labs = rng.integers(0, 3, size=80).astype(np.int32)
+        thresholds = np.array([3.0, 6.0, 12.0], dtype=np.float32) ** 2
+        from squidpy_tpu.ops.cooccur import co_occurrence_counts
+
+        got = co_occurrence_counts(coords, labs, thresholds, 3)
+        want = naive_cooccur_counts(coords.astype(np.float64), labs, thresholds.astype(np.float64), 3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_full_run(self, dummy_adata):
+        occ, interval = sq.gr.co_occurrence(dummy_adata, cluster_key="leiden", interval=20, copy=True)
+        assert occ.shape == (5, 5, 19)
+        assert len(interval) == 20
+        assert np.isfinite(occ).all()
+        # at the largest radius nearly all cells co-occur -> ratio ~ 1
+        np.testing.assert_allclose(occ[:, :, -1][occ[:, :, -1] > 0], 1.0, atol=0.35)
+
+    def test_custom_interval(self, dummy_adata):
+        occ, interval = sq.gr.co_occurrence(dummy_adata, cluster_key="leiden", interval=np.array([10.0, 30.0, 60.0]), copy=True)
+        assert occ.shape == (5, 5, 2)
+        np.testing.assert_allclose(interval, [10.0, 30.0, 60.0])
+
+    def test_writes_uns(self, dummy_adata):
+        sq.gr.co_occurrence(dummy_adata, cluster_key="leiden", interval=10)
+        out = dummy_adata.uns["leiden_co_occurrence"]
+        assert out["occ"].shape[2] == 9
+
+    def test_interval_too_short(self, dummy_adata):
+        with pytest.raises(ValueError, match="interval"):
+            sq.gr.co_occurrence(dummy_adata, cluster_key="leiden", interval=np.array([5.0]))
+
+
+class TestMultipletests:
+    def test_fdr_bh_known_values(self):
+        from squidpy_tpu.utils._stats import multipletests
+
+        pvals = np.array([0.01, 0.04, 0.03, 0.005])
+        _, adj, _, _ = multipletests(pvals, method="fdr_bh")
+        # hand-computed BH: sorted [.005,.01,.03,.04] -> [.02,.02,.04,.04]
+        np.testing.assert_allclose(adj, [0.02, 0.04, 0.04, 0.02])
+
+    def test_bonferroni(self):
+        from squidpy_tpu.utils._stats import multipletests
+
+        _, adj, _, _ = multipletests(np.array([0.01, 0.2, 0.5]), method="bonferroni")
+        np.testing.assert_allclose(adj, [0.03, 0.6, 1.0])
