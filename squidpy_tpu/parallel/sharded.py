@@ -1,0 +1,125 @@
+"""Sharded variants of the core statistics for multi-chip meshes.
+
+Sharding layout (SURVEY.md §2.2, §7): the **cell axis** of the padded ELL
+graph is sharded across the mesh; the label vector is replicated (4 bytes/cell
+— a few MB even at 10M cells), so neighbor gathers stay shard-local without
+halo exchange, and per-shard cluster-pair counts reduce with one ``psum`` over
+ICI. The **gene axis** of the expression matrix shards embarrassingly for
+autocorrelation (the graph is replicated; ~100 MB at 1M cells × k=6).
+
+Results are bitwise independent of the device count for the count kernels
+(integer accumulation) — the sharding-invariance contract mirroring the
+reference's n_jobs-invariance tests (tests/graph/test_nhood.py:62-71).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from squidpy_tpu.ops.autocorr import moran_scores
+from squidpy_tpu.utils import chunked_vmap
+
+__all__ = ["sharded_pair_counts", "sharded_permuted_pair_counts", "sharded_moran_scores"]
+
+
+def _pair_counts_local(indices, mask, row_labels, full_labels, n_cls):
+    """Per-shard cluster-pair counts; identical math to
+    :func:`squidpy_tpu.ops.nhood.cluster_pair_counts` but with the source-row
+    labels taken from the shard and neighbor labels from the replicated table."""
+    nbr_labels = full_labels[indices]
+    w = mask.astype(jnp.float32)
+    nbr_onehot = jax.nn.one_hot(nbr_labels, n_cls, dtype=jnp.float32)
+    R = jnp.einsum("nk,nkc->nc", w, nbr_onehot)
+    src_onehot = jax.nn.one_hot(row_labels, n_cls, dtype=jnp.float32)
+    return jnp.dot(src_onehot.T, R, preferred_element_type=jnp.float32)
+
+
+def sharded_pair_counts(
+    mesh: Mesh,
+    indices: jax.Array,
+    mask: jax.Array,
+    labels: jax.Array,
+    n_cls: int,
+) -> jax.Array:
+    """Cluster-pair counts with the cell axis sharded over ``mesh``.
+
+    ``indices``/``mask`` rows are sharded; ``labels`` is replicated. One psum
+    over the cell axis produces the replicated (n_cls, n_cls) result.
+    """
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P()),
+        out_specs=P(),
+    )
+    def f(idx_s, mask_s, row_labels_s, full_labels):
+        part = _pair_counts_local(idx_s, mask_s, row_labels_s, full_labels, n_cls)
+        return jax.lax.psum(part, axis)
+
+    return f(indices, mask, labels, labels)
+
+
+def sharded_permuted_pair_counts(
+    mesh: Mesh,
+    indices: jax.Array,
+    mask: jax.Array,
+    shuffled_labels: jax.Array,
+    n_cls: int,
+    *,
+    chunk_size: int | None = None,
+) -> jax.Array:
+    """Batched permutation counts with cells sharded and the permutation batch
+    replicated: each device counts its row shard for every permutation, then
+    one psum merges shards. Bitwise equal to the single-device result."""
+    axis = mesh.axis_names[0]
+    n, k = indices.shape
+    if chunk_size is None:
+        n_dev = mesh.size
+        bytes_per_perm = 4 * (n // max(n_dev, 1)) * (k * n_cls + n_cls + k)
+        chunk_size = max(1, min(shuffled_labels.shape[0], int(2e9 // max(bytes_per_perm, 1))))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(None, axis), P(None, None)),
+        out_specs=P(),
+    )
+    def f(idx_s, mask_s, row_lab_s, full_lab):
+        # row_lab_s: (n_perms, n/shard) — the shard's slice of each shuffle
+        def one(row_labels, full_labels):
+            return _pair_counts_local(idx_s, mask_s, row_labels, full_labels, n_cls)
+
+        parts = chunked_vmap(one, (row_lab_s, full_lab), chunk_size=chunk_size)
+        return jax.lax.psum(parts, axis)
+
+    return f(indices, mask, shuffled_labels, shuffled_labels)
+
+
+def sharded_moran_scores(
+    mesh: Mesh,
+    indices: jax.Array,
+    weights: jax.Array,
+    x: jax.Array,
+    s0: float,
+    *,
+    gene_axis: str | None = None,
+) -> jax.Array:
+    """Moran's I with the gene axis sharded over the mesh (graph replicated)."""
+    axis = gene_axis or mesh.axis_names[0]
+    x_sharding = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+    x = jax.device_put(x, x_sharding)
+    indices = jax.device_put(indices, rep)
+    weights = jax.device_put(weights, rep)
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P(axis)))
+    def f(idx, w, xx):
+        return moran_scores(idx, w, xx, jnp.asarray(s0, xx.dtype))
+
+    return f(indices, weights, x)

@@ -1,0 +1,64 @@
+"""Sharding-invariance tests on the virtual 8-device CPU mesh — the TPU
+analogue of the reference's n_jobs-invariance contract
+(/root/reference/tests/graph/test_nhood.py:62-71): identical bits regardless
+of device count."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import sparse as sp
+
+from squidpy_tpu._core.graph import SpatialGraph
+from squidpy_tpu._core.rng import permutation_batch, spawn_keys
+from squidpy_tpu.ops.autocorr import moran_scores
+from squidpy_tpu.ops.nhood import cluster_pair_counts, permuted_pair_counts
+from squidpy_tpu.parallel import (
+    cell_mesh,
+    sharded_moran_scores,
+    sharded_pair_counts,
+    sharded_permuted_pair_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def graph_and_labels():
+    rng = np.random.default_rng(0)
+    n = 512  # divisible by 8
+    adj = sp.random(n, n, density=0.02, format="csr", random_state=0)
+    adj.data[:] = 1.0
+    g = SpatialGraph.from_csr(adj)
+    labels = jnp.asarray(rng.integers(0, 6, n).astype(np.int32))
+    return g, labels
+
+
+class TestShardedCounts:
+    @pytest.mark.parametrize("n_dev", [1, 2, 8])
+    def test_pair_counts_invariant(self, graph_and_labels, n_dev):
+        g, labels = graph_and_labels
+        mesh = cell_mesh(n_dev)
+        got = np.asarray(sharded_pair_counts(mesh, g.indices, g.mask, labels, 6))
+        want = np.asarray(cluster_pair_counts(g.indices, g.mask, labels, 6))
+        np.testing.assert_array_equal(got, want)
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_permuted_counts_invariant(self, graph_and_labels, n_dev):
+        g, labels = graph_and_labels
+        mesh = cell_mesh(n_dev)
+        shuffled = permutation_batch(spawn_keys(3, 16), labels)
+        got = np.asarray(sharded_permuted_pair_counts(mesh, g.indices, g.mask, shuffled, 6))
+        want = np.asarray(permuted_pair_counts(g.indices, g.mask, shuffled, 6))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestShardedMoran:
+    def test_moran_matches_single_device(self, graph_and_labels):
+        g, _ = graph_and_labels
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(512, 16)))
+        mesh = cell_mesh(8)
+        s0 = float(np.asarray(g.weights).sum())
+        got = np.asarray(sharded_moran_scores(mesh, g.indices, g.weights, x, s0))
+        want = np.asarray(moran_scores(g.indices, g.weights, x, jnp.asarray(s0)))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
