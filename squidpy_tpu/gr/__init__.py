@@ -19,7 +19,10 @@ from squidpy_tpu.gr._nhood import (
     interaction_matrix,
     nhood_enrichment,
 )
+from squidpy_tpu.gr._ligrec import PermutationTest, PermutationTestABC, ligrec
 from squidpy_tpu.gr._ppatterns import co_occurrence, spatial_autocorr
+from squidpy_tpu.gr._ripley import ripley
+from squidpy_tpu.gr._sepal import sepal
 from squidpy_tpu.gr.neighbors import GraphMatrixT
 
 __all__ = [
@@ -39,4 +42,9 @@ __all__ = [
     "nhood_enrichment",
     "co_occurrence",
     "spatial_autocorr",
+    "ligrec",
+    "PermutationTest",
+    "PermutationTestABC",
+    "ripley",
+    "sepal",
 ]

@@ -1,0 +1,451 @@
+"""Receptor-ligand analysis (CellPhoneDB-style permutation test).
+
+API/semantics parity with /root/reference/src/squidpy/gr/_ligrec.py:149-879:
+``PermutationTestABC.prepare`` (complex policies min/all, uppercase/dedup,
+gene filtering), ``test`` (threshold mask, NaN semantics, sparse result
+frames, FDR along clusters/interactions) and the ``ligrec`` functional
+façade. The permutation hot loop runs on device
+(:mod:`squidpy_tpu.ops.ligrec`). Omnipath fetching stays a host op and is
+gated on the optional ``omnipath`` package.
+"""
+
+from __future__ import annotations
+
+from abc import ABC
+from collections.abc import Iterable, Mapping, Sequence
+from itertools import product
+from types import MappingProxyType
+from typing import Any, Literal
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy.sparse import csc_matrix, issparse
+
+from squidpy_tpu._constants._constants import ComplexPolicy, CorrAxis
+from squidpy_tpu._constants._pkg_constants import Key
+from squidpy_tpu._core.rng import permutation_batch, spawn_keys
+from squidpy_tpu.gr._utils import (
+    _assert_categorical_obs,
+    _genesymbols,
+    _save_data,
+    extract_adata_if_sdata,
+)
+from squidpy_tpu.ops.ligrec import cluster_means, ligrec_perm_counts
+from squidpy_tpu.utils import assert_positive, check_tuple_needles, logg
+from squidpy_tpu.utils._stats import multipletests
+
+__all__ = ["ligrec", "PermutationTest", "PermutationTestABC"]
+
+SOURCE = "source"
+TARGET = "target"
+
+
+def _fdr_correct(
+    pvals: pd.DataFrame,
+    corr_method: str,
+    corr_axis: Literal["interactions", "clusters"] | CorrAxis,
+    alpha: float = 0.05,
+) -> pd.DataFrame:
+    """FDR-correct p-values along the requested axis."""
+
+    def fdr(pvals_col: pd.Series) -> pd.arrays.SparseArray:
+        _, qvals, _, _ = multipletests(
+            np.nan_to_num(pvals_col.values.astype(float), copy=True, nan=1.0),
+            method=corr_method,
+            alpha=alpha,
+        )
+        qvals[np.isnan(pvals_col.values.astype(float))] = np.nan
+        return pd.arrays.SparseArray(qvals, dtype=qvals.dtype, fill_value=np.nan)
+
+    corr_axis = CorrAxis(corr_axis)
+    if corr_axis == CorrAxis.CLUSTERS:
+        return pvals.apply(fdr)
+    if corr_axis == CorrAxis.INTERACTIONS:
+        return pvals.T.apply(fdr).T
+    raise NotImplementedError(f"FDR correction for `{corr_axis}` is not implemented.")
+
+
+class PermutationTestABC(ABC):
+    """Receptor-ligand interaction testing.
+
+    Workflow::
+
+        pt = PermutationTest(adata).prepare(interactions)
+        res = pt.test("clusters")
+    """
+
+    def __init__(self, adata: Any, use_raw: bool = True):
+        if not hasattr(adata, "obs") or not hasattr(adata, "var_names"):
+            raise TypeError(f"Expected `adata` to be an AnnData, found `{type(adata).__name__}`.")
+        if not adata.n_obs:
+            raise ValueError("No cells are in `adata.obs_names`.")
+        if not adata.n_vars:
+            raise ValueError("No genes are in `adata.var_names`.")
+
+        self._adata = adata
+        if use_raw:
+            if adata.raw is None:
+                raise AttributeError("No `.raw` attribute found. Try specifying `use_raw=False`.")
+            if adata.raw.shape[0] != adata.n_obs:
+                raise ValueError(
+                    f"Expected `{adata.n_obs}` cells in `.raw` object, found `{adata.raw.shape[0]}`."
+                )
+            data_obj = adata.raw
+        else:
+            data_obj = adata
+
+        X = data_obj.X
+        X = np.asarray(csc_matrix(X).todense()) if issparse(X) else np.asarray(X)
+        self._data = pd.DataFrame(X, index=adata.obs_names, columns=data_obj.var_names).fillna(0.0)
+
+        self._interactions: pd.DataFrame | None = None
+        self._filtered_data: pd.DataFrame | None = None
+
+    def prepare(
+        self,
+        interactions: Any,
+        complex_policy: Literal["min", "all"] | ComplexPolicy = ComplexPolicy.MIN.v,
+    ) -> PermutationTestABC:
+        """Validate and filter interactions; resolve protein complexes."""
+        complex_policy = ComplexPolicy(complex_policy)
+
+        if isinstance(interactions, Mapping):
+            interactions = pd.DataFrame(interactions)
+        if isinstance(interactions, pd.DataFrame):
+            if SOURCE not in interactions.columns:
+                raise KeyError(f"Column `{SOURCE!r}` is not in `interactions`.")
+            if TARGET not in interactions.columns:
+                raise KeyError(f"Column `{TARGET!r}` is not in `interactions`.")
+            self._interactions = interactions.copy()
+        elif isinstance(interactions, Iterable):
+            interactions = tuple(interactions)
+            if not len(interactions):
+                raise ValueError("No interactions were specified.")
+            if isinstance(interactions[0], str):
+                interactions = list(product(interactions, repeat=2))
+            elif len(interactions) == 2:
+                interactions = tuple(zip(*interactions))
+            if not all(len(i) == 2 for i in interactions):
+                raise ValueError("Not all interactions are of length `2`.")
+            self._interactions = pd.DataFrame(interactions, columns=[SOURCE, TARGET])
+        else:
+            raise TypeError(
+                f"Expected either a `pandas.DataFrame`, `dict` or `iterable`, found `{type(interactions).__name__}`"
+            )
+
+        if self.interactions.empty:
+            raise ValueError("The interactions are empty")
+
+        # uppercase first, then drop duplicates
+        self._data.columns = self._data.columns.str.upper()
+        self.interactions[SOURCE] = self.interactions[SOURCE].str.upper()
+        self.interactions[TARGET] = self.interactions[TARGET].str.upper()
+
+        self.interactions.dropna(subset=(SOURCE, TARGET), inplace=True, how="any")
+        self.interactions.drop_duplicates(subset=(SOURCE, TARGET), inplace=True, keep="first")
+
+        n_genes_prior = self._data.shape[1]
+        self._data = self._data.loc[:, ~self._data.columns.duplicated()]
+        if self._data.shape[1] != n_genes_prior:
+            logg.warning(f"Removed `{n_genes_prior - self._data.shape[1]}` duplicate gene(s)")
+
+        self._filter_interactions_complexes(complex_policy)
+        self._filter_interactions_by_genes()
+        self._trim_data()
+        self.interactions.drop_duplicates(subset=(SOURCE, TARGET), inplace=True, keep="first")
+        return self
+
+    def test(
+        self,
+        cluster_key: str,
+        clusters: Any = None,
+        n_perms: int = 1000,
+        threshold: float = 0.01,
+        seed: int | None = None,
+        corr_method: str | None = None,
+        corr_axis: Literal["interactions", "clusters"] | CorrAxis = CorrAxis.INTERACTIONS.v,
+        alpha: float = 0.05,
+        copy: bool = False,
+        key_added: str | None = None,
+        numba_parallel: bool | None = None,
+        **kwargs: Any,
+    ) -> Mapping[str, pd.DataFrame] | None:
+        """Run the CellPhoneDB permutation test on device."""
+        assert_positive(n_perms, name="n_perms")
+        _assert_categorical_obs(self._adata, key=cluster_key)
+
+        if corr_method is not None:
+            corr_axis = CorrAxis(corr_axis)
+        if len(self._adata.obs[cluster_key].cat.categories) <= 1:
+            raise ValueError(
+                f"Expected at least `2` clusters, found `{len(self._adata.obs[cluster_key].cat.categories)}`."
+            )
+
+        interactions = self.interactions[[SOURCE, TARGET]]
+        filtered = self._filtered_data.copy()
+        filtered["clusters"] = (
+            self._adata.obs[cluster_key].astype("string").astype("category").values
+        )
+
+        if clusters is None:
+            clusters = list(map(str, self._adata.obs[cluster_key].cat.categories))
+        if all(isinstance(c, str) for c in clusters):
+            clusters = list(product(clusters, repeat=2))
+        clusters = sorted(
+            check_tuple_needles(
+                clusters,
+                filtered["clusters"].cat.categories,
+                msg="Invalid cluster `{0!r}`.",
+                reraise=True,
+            )
+        )
+        clusters_flat = list({c for cs in clusters for c in cs})
+
+        data = filtered.loc[np.isin(filtered["clusters"], clusters_flat), :].copy()
+        data["clusters"] = data["clusters"].cat.remove_unused_categories()
+        cat = data["clusters"].cat
+
+        cluster_mapper = dict(zip(cat.categories, range(len(cat.categories))))
+        gene_mapper = dict(zip(data.columns[:-1], range(len(data.columns) - 1)))
+        gene_cols = [c for c in data.columns if c != "clusters"]
+        clusters_ = np.array([[cluster_mapper[c1], cluster_mapper[c2]] for c1, c2 in clusters], dtype=np.int32)
+        interactions_ = np.vectorize(lambda g: gene_mapper[g])(interactions.values).astype(np.int32)
+
+        start = logg.info(
+            f"Running `{n_perms}` permutations on `{len(interactions)}` interactions "
+            f"and `{len(clusters)}` cluster combinations on device"
+        )
+
+        res_means, res_pvalues = _analysis(
+            data[gene_cols].to_numpy(dtype=np.float64),
+            np.asarray(cat.codes.to_numpy(), dtype=np.int32),
+            len(cat.categories),
+            interactions_,
+            clusters_,
+            threshold=threshold,
+            n_perms=n_perms,
+            seed=seed,
+        )
+
+        index = pd.MultiIndex.from_frame(interactions, names=[SOURCE, TARGET])
+        columns = pd.MultiIndex.from_tuples(clusters, names=["cluster_1", "cluster_2"])
+        means_df = pd.DataFrame(
+            {c: pd.arrays.SparseArray(res_means[:, i], fill_value=0) for i, c in enumerate(columns)},
+            index=index,
+        )
+        means_df.columns = columns
+        pvalues_df = pd.DataFrame(
+            {c: pd.arrays.SparseArray(res_pvalues[:, i], fill_value=np.nan) for i, c in enumerate(columns)},
+            index=index,
+        )
+        pvalues_df.columns = columns
+        res = {
+            "means": means_df,
+            "pvalues": pvalues_df,
+            "metadata": self.interactions[self.interactions.columns.difference([SOURCE, TARGET])].copy(),
+        }
+        res["metadata"].index = res["means"].index.copy()
+
+        if corr_method is not None:
+            logg.info(
+                f"Performing FDR correction across the `{CorrAxis(corr_axis).v}` "
+                f"using method `{corr_method}` at level `{alpha}`"
+            )
+            res["pvalues"] = _fdr_correct(res["pvalues"], corr_method, corr_axis, alpha=alpha)
+
+        if copy:
+            logg.info("Finish", time=start)
+            return res
+
+        _save_data(self._adata, attr="uns", key=Key.uns.ligrec(cluster_key, key_added), data=res, time=start)
+
+    def _trim_data(self) -> None:
+        self._filtered_data = self._data.loc[
+            :, list(set(self.interactions[SOURCE]) | set(self.interactions[TARGET]))
+        ]
+
+    def _filter_interactions_by_genes(self) -> None:
+        self._interactions = self.interactions[
+            self.interactions[SOURCE].isin(self._data.columns)
+            & self.interactions[TARGET].isin(self._data.columns)
+        ]
+        if self.interactions.empty:
+            raise ValueError("After filtering by genes, no interactions remain.")
+
+    def _filter_interactions_complexes(self, complex_policy: ComplexPolicy) -> None:
+        """Resolve ``A_B_C`` complexes: 'min' picks the member with minimum mean
+        expression (CellPhoneDB), 'all' expands all member combinations."""
+
+        def find_min_gene_in_complex(_complex: str | None) -> str | None:
+            if _complex is None:
+                return None
+            if "_" not in _complex:
+                return _complex
+            complexes = [c for c in _complex.split("_") if c in self._data.columns]
+            if not len(complexes):
+                return None
+            if len(complexes) == 1:
+                return complexes[0]
+            df = self._data[complexes].mean()
+            return str(df.index[df.argmin()])
+
+        if complex_policy == ComplexPolicy.MIN:
+            self.interactions[SOURCE] = self.interactions[SOURCE].apply(find_min_gene_in_complex)
+            self.interactions[TARGET] = self.interactions[TARGET].apply(find_min_gene_in_complex)
+        elif complex_policy == ComplexPolicy.ALL:
+            src = self.interactions.pop(SOURCE).apply(lambda s: str(s).split("_")).explode()
+            src.name = SOURCE
+            tgt = self.interactions.pop(TARGET).apply(lambda s: str(s).split("_")).explode()
+            tgt.name = TARGET
+            self._interactions = pd.merge(self.interactions, src, how="left", left_index=True, right_index=True)
+            self._interactions = pd.merge(self.interactions, tgt, how="left", left_index=True, right_index=True)
+        else:
+            raise NotImplementedError(f"Complex policy {complex_policy!r} is not implemented.")
+
+    @property
+    def interactions(self) -> pd.DataFrame | None:
+        """The interactions."""
+        return self._interactions
+
+    def __repr__(self) -> str:
+        return (
+            f"<{self.__class__.__name__}"
+            f"[n_interaction={len(self.interactions) if self.interactions is not None else None}]>"
+        )
+
+    __str__ = __repr__
+
+
+class PermutationTest(PermutationTestABC):
+    """Permutation test with optional omnipath interaction fetching."""
+
+    def prepare(
+        self,
+        interactions: Any = None,
+        complex_policy: Literal["min", "all"] = ComplexPolicy.MIN.v,
+        interactions_params: Mapping[str, Any] = MappingProxyType({}),
+        transmitter_params: Mapping[str, Any] = MappingProxyType({"categories": "ligand"}),
+        receiver_params: Mapping[str, Any] = MappingProxyType({"categories": "receptor"}),
+        **_: Any,
+    ) -> PermutationTest:
+        if interactions is None:
+            try:
+                from omnipath.interactions import import_intercell_network
+            except ImportError as e:
+                raise ImportError(
+                    "`interactions=None` requires the optional `omnipath` package to fetch the "
+                    "intercell network. Install omnipath or pass interactions explicitly "
+                    "(a DataFrame with 'source'/'target' columns)."
+                ) from e
+            start = logg.info("Fetching interactions from `omnipath`")
+            interactions = import_intercell_network(
+                interactions_params=interactions_params,
+                transmitter_params=transmitter_params,
+                receiver_params=receiver_params,
+            )
+            logg.info(f"Fetched `{len(interactions)}` interactions", time=start)
+            if SOURCE in interactions.columns:
+                interactions.pop(SOURCE)
+            if TARGET in interactions.columns:
+                interactions.pop(TARGET)
+            interactions.rename(
+                columns={"genesymbol_intercell_source": SOURCE, "genesymbol_intercell_target": TARGET},
+                inplace=True,
+            )
+            interactions[SOURCE] = interactions[SOURCE].str.replace("^COMPLEX:", "", regex=True)
+            interactions[TARGET] = interactions[TARGET].str.replace("^COMPLEX:", "", regex=True)
+
+        super().prepare(interactions, complex_policy=complex_policy)
+        return self
+
+
+def ligrec(
+    adata: Any,
+    cluster_key: str,
+    interactions: Any = None,
+    complex_policy: Literal["min", "all"] = ComplexPolicy.MIN.v,
+    threshold: float = 0.01,
+    corr_method: str | None = None,
+    corr_axis: Literal["interactions", "clusters"] = CorrAxis.CLUSTERS.v,
+    use_raw: bool = True,
+    copy: bool = False,
+    key_added: str | None = None,
+    gene_symbols: str | None = None,
+    *,
+    table_key: str | None = None,
+    **kwargs: Any,
+) -> Mapping[str, pd.DataFrame] | None:
+    """Receptor-ligand permutation test (CellPhoneDB), all permutations batched
+    on device. Stores ``uns['{cluster_key}_ligrec'] = {'means', 'pvalues',
+    'metadata'}``."""
+    adata = extract_adata_if_sdata(adata, table_key=table_key)
+    with _genesymbols(adata, key=gene_symbols, use_raw=use_raw, make_unique=False):
+        return (
+            PermutationTest(adata, use_raw=use_raw)
+            .prepare(interactions, complex_policy=complex_policy, **kwargs)
+            .test(
+                cluster_key=cluster_key,
+                threshold=threshold,
+                corr_method=corr_method,
+                corr_axis=corr_axis,
+                copy=copy,
+                key_added=key_added,
+                **kwargs,
+            )
+        )
+
+
+def _analysis(
+    data: np.ndarray,          # (n_cells, n_genes) float64
+    clustering: np.ndarray,    # (n_cells,) int32 codes
+    n_cls: int,
+    interactions: np.ndarray,  # (I, 2) [receptor, ligand] gene columns
+    interaction_clusters: np.ndarray,  # (J, 2) cluster pairs
+    threshold: float,
+    n_perms: int,
+    seed: int | None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Observed means/mask on host (float64 parity), permutation loop on device."""
+    # observed per-cluster means and expression-fraction mask
+    onehot = np.zeros((len(clustering), n_cls))
+    onehot[np.arange(len(clustering)), clustering] = 1.0
+    counts = onehot.sum(axis=0)
+    mean = (data.T @ onehot) / np.where(counts == 0, 1.0, counts)          # (G, C)
+    frac = ((data > 0).astype(np.float64).T @ onehot) / np.where(counts == 0, 1.0, counts)
+    mask = frac >= threshold                                               # (G, C)
+
+    rec, lig = interactions[:, 0], interactions[:, 1]
+    c1, c2 = interaction_clusters[:, 0], interaction_clusters[:, 1]
+    m1 = mean[rec[:, None], c1[None, :]]  # (I, J)
+    m2 = mean[lig[:, None], c2[None, :]]
+    both_positive = (m1 > 0) & (m2 > 0)
+    mask_ok = mask[rec[:, None], c1[None, :]] & mask[lig[:, None], c2[None, :]]
+
+    # device permutation pass: float64 only when x64 is enabled (CPU parity
+    # tests); float32 on TPU
+    import jax
+
+    dev_dtype = jnp.float64 if jax.config.jax_enable_x64 and data.size <= 5e7 else jnp.float32
+    x_dev = jnp.asarray(data, dtype=dev_dtype)
+    keys = spawn_keys(seed, n_perms)
+    shuffled = permutation_batch(keys, jnp.asarray(clustering))
+    exceed = np.asarray(
+        ligrec_perm_counts(
+            x_dev,
+            shuffled,
+            jnp.asarray(counts, x_dev.dtype),
+            jnp.asarray(rec),
+            jnp.asarray(lig),
+            jnp.asarray(c1),
+            jnp.asarray(c2),
+            jnp.asarray(m1 + m2, x_dev.dtype),
+            n_cls,
+        ),
+        dtype=np.float64,
+    )
+
+    pvalues = exceed / n_perms
+    pvalues[~(both_positive & mask_ok)] = np.nan
+    res_means = np.where(both_positive, (m1 + m2) / 2.0, 0.0)
+    return res_means, pvalues

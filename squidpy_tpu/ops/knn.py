@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["brute_force_knn", "pairwise_sq_dists", "radius_neighbors"]
+__all__ = ["brute_force_knn", "cross_knn", "pairwise_sq_dists", "radius_neighbors"]
 
 
 def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -102,6 +102,40 @@ def brute_force_knn(
     row_tile = min(row_tile, max(8, n))
     col_tile = min(col_tile, max(128, n))
     d, i = _knn_device(jnp.asarray(coords), k, row_tile, col_tile, exclude_self)
+    d = np.asarray(d)
+    i = np.asarray(i)
+    order = np.argsort(d, axis=1, kind="stable")
+    return np.take_along_axis(d, order, axis=1), np.take_along_axis(i, order, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k", "row_tile"))
+def _cross_knn_device(queries: jax.Array, data: jax.Array, k: int, row_tile: int) -> tuple[jax.Array, jax.Array]:
+    m = queries.shape[0]
+    n_tiles = (m + row_tile - 1) // row_tile
+    q_pad = jnp.pad(queries, ((0, n_tiles * row_tile - m), (0, 0)))
+
+    def block(t: jax.Array) -> tuple[jax.Array, jax.Array]:
+        rows = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile)
+        d2 = pairwise_sq_dists(rows, data)
+        neg_top, idx = jax.lax.top_k(-d2, k)
+        return -neg_top, idx
+
+    d2, idx = jax.lax.map(block, jnp.arange(n_tiles))
+    d2 = d2.reshape(-1, k)[:m]
+    idx = idx.reshape(-1, k)[:m]
+    nb = data[idx]
+    diff = nb - queries[:, None, :]
+    exact = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    return exact, idx
+
+
+def cross_knn(queries: np.ndarray, data: np.ndarray, k: int, *, row_tile: int = 2048) -> tuple[np.ndarray, np.ndarray]:
+    """k nearest points of ``data`` for each query point (self-matches allowed),
+    sorted ascending — the ``tree.kneighbors(queries)`` contract."""
+    queries = np.ascontiguousarray(queries, dtype=np.float32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    k = min(k, data.shape[0])
+    d, i = _cross_knn_device(jnp.asarray(queries), jnp.asarray(data), k, min(row_tile, max(8, queries.shape[0])))
     d = np.asarray(d)
     i = np.asarray(i)
     order = np.argsort(d, axis=1, kind="stable")

@@ -1,0 +1,91 @@
+"""Ripley-statistic kernels: pair counting and Poisson point-process sampling.
+
+Replaces the reference's sklearn KDTree ``two_point_correlation`` pass
+(/root/reference/src/squidpy/gr/_ripley.py:206-227) with a tiled MXU
+pairwise-distance sweep, and its scalar rejection sampler (``_ppp``, :230-271)
+with batched vectorized rejection against the hull triangulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import ConvexHull, Delaunay
+
+from squidpy_tpu.ops.knn import pairwise_sq_dists
+
+__all__ = ["pair_counts_cumulative", "ppp_sample"]
+
+
+@partial(jax.jit, static_argnames=("row_tile",))
+def _pair_counts_device(points: jax.Array, support_sq: jax.Array, row_tile: int) -> jax.Array:
+    """Ordered pair counts (incl. self-pairs) with ``d² ≤ support_sq[r]``."""
+    m = points.shape[0]
+    n_tiles = (m + row_tile - 1) // row_tile
+    p_pad = jnp.pad(points, ((0, n_tiles * row_tile - m), (0, 0)))
+
+    def block(t: jax.Array) -> jax.Array:
+        rows = jax.lax.dynamic_slice_in_dim(p_pad, t * row_tile, row_tile)
+        row_ids = t * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
+        d2 = pairwise_sq_dists(rows, points)
+        # mask self-pairs by index (not by d==0: MXU f32 matmul noise can make
+        # the expanded self-distance slightly nonzero) and padded rows
+        col_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
+        valid = (row_ids[:, None] < m) & (col_ids != row_ids[:, None])
+
+        def per_thresh(thr: jax.Array) -> jax.Array:
+            return jnp.sum(jnp.where(valid & (d2 <= thr), 1, 0))
+
+        return jax.lax.map(per_thresh, support_sq)
+
+    return jnp.sum(jax.lax.map(block, jnp.arange(n_tiles)), axis=0)
+
+
+def pair_counts_cumulative(points: np.ndarray, support: np.ndarray, *, row_tile: int = 1024) -> np.ndarray:
+    """#ordered pairs (i, j), i≠j, with ``d_ij ≤ support[r]`` — the KDTree
+    ``two_point_correlation(...) - n`` quantity of the reference's L function."""
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    m = points.shape[0]
+    out = _pair_counts_device(
+        jnp.asarray(points),
+        jnp.asarray((np.asarray(support, dtype=np.float64) ** 2).astype(np.float32)),
+        min(row_tile, max(8, m)),
+    )
+    return np.asarray(out, dtype=np.float64)
+
+
+def ppp_sample(
+    hull: ConvexHull,
+    n_simulations: int,
+    n_observations: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Simulate a Poisson point process on a convex hull.
+
+    Batched rejection sampling: draw uniform points in the bounding box, keep
+    those inside the hull triangulation (vectorized ``find_simplex``), repeat
+    until filled. Same distribution as the reference's one-at-a-time sampler.
+    """
+    vxs = hull.points[hull.vertices]
+    deln = Delaunay(vxs)
+    lo = vxs.min(0)
+    hi = vxs.max(0)
+    # acceptance probability = hull area / bbox area
+    bbox_area = np.prod(hi - lo)
+    accept = max(hull.volume / bbox_area, 1e-3)
+
+    result = np.empty((n_simulations, n_observations, 2))
+    for s in range(n_simulations):
+        filled = 0
+        while filled < n_observations:
+            need = n_observations - filled
+            batch = int(need / accept * 1.2) + 16
+            pts = rng.uniform(lo, hi, size=(batch, 2))
+            inside = deln.find_simplex(pts) >= 0
+            good = pts[inside][:need]
+            result[s, filled : filled + len(good)] = good
+            filled += len(good)
+    return result.squeeze()

@@ -1,0 +1,181 @@
+"""ligrec tests, modeled on the reference's tests/graph/test_ligrec.py,
+including the golden-pickle parity on the RNG-independent outputs (means and
+the NaN mask of pvalues), and naive-numpy parity for the permutation kernel
+with externally supplied shuffles."""
+
+from __future__ import annotations
+
+import pickle
+from itertools import product
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import squidpy_tpu as sq
+from squidpy_tpu._core.anndata import Raw
+from squidpy_tpu.gr._ligrec import PermutationTest
+
+_CK = "leiden"
+
+
+@pytest.fixture()
+def adata_raw(adata_ref):
+    adata = adata_ref.copy()
+    adata.raw = Raw(adata)
+    return adata
+
+
+@pytest.fixture()
+def interactions(adata_raw):
+    return tuple(product(adata_raw.raw.var_names[:5], adata_raw.raw.var_names[:5]))
+
+
+@pytest.fixture(scope="session")
+def ligrec_no_numba():
+    with open("/root/reference/tests/_data/ligrec_no_numba.pickle", "rb") as fin:
+        means, pvalues, metadata = pickle.load(fin)
+    return {"means": means, "pvalues": pvalues, "metadata": metadata}
+
+
+class TestValidation:
+    def test_invalid_type(self):
+        with pytest.raises(TypeError):
+            PermutationTest(object())
+
+    def test_missing_raw(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.raw = None
+        with pytest.raises(AttributeError, match="raw"):
+            PermutationTest(adata, use_raw=True)
+
+    def test_empty_interactions(self, adata_raw):
+        with pytest.raises(ValueError, match="No interactions"):
+            PermutationTest(adata_raw).prepare([])
+
+    def test_missing_source_column(self, adata_raw):
+        with pytest.raises(KeyError, match="source"):
+            PermutationTest(adata_raw).prepare(pd.DataFrame({"a": [1]}))
+
+    def test_too_few_clusters(self, adata_raw, interactions):
+        adata_raw.obs["single"] = pd.Categorical(["x"] * adata_raw.n_obs)
+        with pytest.raises(ValueError, match="at least"):
+            sq.gr.ligrec(adata_raw, "single", interactions=interactions, copy=True, n_perms=2)
+
+    def test_interactions_sequence_forms(self, adata_raw):
+        genes = list(adata_raw.raw.var_names[:3])
+        pt = PermutationTest(adata_raw).prepare(genes)  # product of all
+        assert len(pt.interactions) == 9
+        pt2 = PermutationTest(adata_raw).prepare([(genes[0], genes[1])])
+        assert len(pt2.interactions) == 1
+
+
+class TestLigrec:
+    def test_result_structure(self, adata_raw, interactions):
+        res = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=5, seed=0, copy=True)
+        assert set(res.keys()) == {"means", "pvalues", "metadata"}
+        assert res["means"].shape == (25, 25)
+        assert res["pvalues"].shape == (25, 25)
+        assert isinstance(res["means"].index, pd.MultiIndex)
+        assert res["means"].columns.names == ["cluster_1", "cluster_2"]
+
+    def test_golden_means_and_nan_mask(self, adata_raw, interactions, ligrec_no_numba):
+        """means and the NaN pattern are RNG-independent -> must match the
+        reference's committed no-numba golden pickle exactly."""
+        res = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=5, seed=42, copy=True)
+        np.testing.assert_array_equal(res["means"].index, ligrec_no_numba["means"].index)
+        np.testing.assert_array_equal(res["means"].columns, ligrec_no_numba["means"].columns)
+        got_means = np.asarray(res["means"].astype(float))
+        want_means = np.asarray(ligrec_no_numba["means"].astype(float))
+        np.testing.assert_allclose(got_means, want_means, rtol=1e-10, atol=1e-12)
+        got_p = np.asarray(res["pvalues"].astype(float))
+        want_p = np.asarray(ligrec_no_numba["pvalues"].astype(float))
+        np.testing.assert_array_equal(np.isnan(got_p), np.isnan(want_p))
+
+    def test_kernel_matches_naive_with_same_shuffles(self, adata_raw, interactions):
+        """Feed identical shuffles to the device kernel and a naive numpy
+        implementation of the reference's numba template."""
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.ligrec import ligrec_perm_counts
+
+        pt = PermutationTest(adata_raw).prepare(interactions)
+        data = pt._filtered_data.copy()
+        labels = adata_raw.obs[_CK].cat.codes.to_numpy().astype(np.int32)
+        n_cls = len(adata_raw.obs[_CK].cat.categories)
+        X = data.to_numpy(dtype=np.float64)
+        gene_pos = {g: i for i, g in enumerate(data.columns)}
+        inter = np.array(
+            [[gene_pos[s], gene_pos[t]] for s, t in zip(pt.interactions["source"], pt.interactions["target"])],
+            dtype=np.int32,
+        )
+        pairs = np.array(list(product(range(n_cls), repeat=2)), dtype=np.int32)
+
+        onehot = np.eye(n_cls)[labels]
+        counts = onehot.sum(0)
+        mean = (X.T @ onehot) / counts
+        m1 = mean[inter[:, 0][:, None], pairs[:, 0][None, :]]
+        m2 = mean[inter[:, 1][:, None], pairs[:, 1][None, :]]
+
+        rng = np.random.default_rng(0)
+        shuffles = np.stack([rng.permutation(labels) for _ in range(7)])
+
+        got = np.asarray(
+            ligrec_perm_counts(
+                jnp.asarray(X), jnp.asarray(shuffles), jnp.asarray(counts),
+                jnp.asarray(inter[:, 0]), jnp.asarray(inter[:, 1]),
+                jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1]),
+                jnp.asarray(m1 + m2), n_cls,
+            )
+        )
+        want = np.zeros_like(m1)
+        for s in shuffles:
+            oh = np.eye(n_cls)[s]
+            groups = (oh.T @ X) / counts[:, None]
+            g1 = groups[pairs[:, 0][None, :], inter[:, 0][:, None]]
+            g2 = groups[pairs[:, 1][None, :], inter[:, 1][:, None]]
+            want += ((g1 + g2) > (m1 + m2)).astype(float)
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_complex_policy_min(self, adata_raw):
+        g = list(adata_raw.raw.var_names)
+        pt = PermutationTest(adata_raw).prepare(
+            pd.DataFrame({"source": [f"{g[0]}_{g[1]}"], "target": [g[2]]}), complex_policy="min"
+        )
+        # min policy resolves the complex to the member with lower mean expression
+        chosen = pt.interactions["source"].iloc[0]
+        assert chosen in {g[0].upper(), g[1].upper()}
+
+    def test_complex_policy_all(self, adata_raw):
+        g = list(adata_raw.raw.var_names)
+        pt = PermutationTest(adata_raw).prepare(
+            pd.DataFrame({"source": [f"{g[0]}_{g[1]}"], "target": [g[2]]}), complex_policy="all"
+        )
+        assert len(pt.interactions) == 2
+
+    def test_fdr_correction(self, adata_raw, interactions):
+        res = sq.gr.ligrec(
+            adata_raw, _CK, interactions=interactions, n_perms=5, seed=0,
+            corr_method="fdr_bh", corr_axis="clusters", copy=True,
+        )
+        p = np.asarray(res["pvalues"].astype(float))
+        assert np.nanmax(p) <= 1.0 + 1e-12
+
+    def test_writes_uns(self, adata_raw, interactions):
+        sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=5, seed=0)
+        assert f"{_CK}_ligrec" in adata_raw.uns
+
+    def test_key_added(self, adata_raw, interactions):
+        sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=5, seed=0, key_added="custom")
+        assert "custom" in adata_raw.uns
+
+    def test_seed_reproducibility(self, adata_raw, interactions):
+        r1 = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=25, seed=1, copy=True)
+        r2 = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=25, seed=1, copy=True)
+        np.testing.assert_array_equal(
+            np.asarray(r1["pvalues"].astype(float)), np.asarray(r2["pvalues"].astype(float))
+        )
+
+    def test_omnipath_gated(self, adata_raw):
+        with pytest.raises(ImportError, match="omnipath"):
+            sq.gr.ligrec(adata_raw, _CK, interactions=None, copy=True)
