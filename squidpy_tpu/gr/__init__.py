@@ -20,6 +20,7 @@ from squidpy_tpu.gr._nhood import (
     nhood_enrichment,
 )
 from squidpy_tpu.gr._ligrec import PermutationTest, PermutationTestABC, ligrec
+from squidpy_tpu.gr._niche import calculate_niche
 from squidpy_tpu.gr._ppatterns import co_occurrence, spatial_autocorr
 from squidpy_tpu.gr._ripley import ripley
 from squidpy_tpu.gr._sepal import sepal
@@ -47,4 +48,5 @@ __all__ = [
     "PermutationTestABC",
     "ripley",
     "sepal",
+    "calculate_niche",
 ]

@@ -1,0 +1,90 @@
+"""Clustering / embedding backends used by niche detection.
+
+The reference delegates to scanpy (``pp.neighbors`` + ``tl.leiden`` via
+leidenalg, ``tl.pca``, ``pp.scale``) and sklearn's GaussianMixture
+(/root/reference/src/squidpy/gr/_niche.py:399-721). scanpy/leidenalg are not
+available here, so:
+
+- graph clustering uses networkx's Louvain community detection (the same
+  modularity-optimization family as Leiden; labels are sorted by community
+  size for determinism) over an exact kNN graph built by the device
+  brute-force search;
+- PCA and GMM come from sklearn;
+- z-scoring is plain numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import networkx as nx
+from scipy import sparse as sp
+from sklearn.decomposition import PCA
+from sklearn.mixture import GaussianMixture
+
+from squidpy_tpu.ops.knn import brute_force_knn
+
+__all__ = ["knn_graph", "graph_cluster", "gmm_cluster", "pca_embed", "zscore"]
+
+
+def knn_graph(X: np.ndarray, n_neighbors: int) -> sp.csr_matrix:
+    """Symmetrized exact kNN adjacency of the rows of ``X`` (device search)."""
+    n = X.shape[0]
+    k = min(n_neighbors, n - 1)
+    _, idx = brute_force_knn(np.asarray(X, dtype=np.float32), k)
+    rows = np.repeat(np.arange(n), k)
+    adj = sp.csr_matrix((np.ones(n * k), (rows, idx.ravel())), shape=(n, n))
+    adj = adj.maximum(adj.T)
+    return adj
+
+
+def graph_cluster(
+    X: np.ndarray,
+    n_neighbors: int,
+    resolution: float = 1.0,
+    random_state: int = 0,
+) -> np.ndarray:
+    """Community labels ('0', '1', …) for rows of ``X`` via Louvain on the kNN
+    graph — squidpy_tpu's stand-in for scanpy's leiden. Communities are
+    numbered largest-first, matching scanpy's label convention."""
+    adj = knn_graph(X, n_neighbors)
+    g = nx.from_scipy_sparse_array(adj)
+    communities = nx.community.louvain_communities(
+        g, resolution=resolution, seed=int(random_state)
+    )
+    communities = sorted(communities, key=len, reverse=True)
+    labels = np.empty(X.shape[0], dtype=object)
+    for i, comm in enumerate(communities):
+        for node in comm:
+            labels[node] = str(i)
+    return labels.astype(str)
+
+
+def gmm_cluster(X: np.ndarray, n_components: int, random_state: int = 42) -> np.ndarray:
+    """Gaussian-mixture cluster labels (reference: ``_get_GMM_clusters``,
+    gr/_niche.py:708-721)."""
+    gmm = GaussianMixture(
+        n_components=n_components,
+        random_state=random_state,
+        init_params="random_from_data",
+    )
+    gmm.fit(X)
+    return gmm.predict(X)
+
+
+def pca_embed(X: np.ndarray, n_comps: int | None = None, random_state: int = 0) -> np.ndarray:
+    """PCA embedding (scanpy ``tl.pca`` default: min(50, min(shape)-1) comps)."""
+    if n_comps is None:
+        n_comps = min(50, min(X.shape) - 1)
+    n_comps = max(1, min(n_comps, min(X.shape) - 1))
+    return PCA(n_components=n_comps, svd_solver="auto", random_state=random_state).fit_transform(
+        np.asarray(X, dtype=np.float64)
+    )
+
+
+def zscore(X: np.ndarray) -> np.ndarray:
+    """Column z-score with zero-variance guard (scanpy ``pp.scale``)."""
+    X = np.asarray(X, dtype=np.float64)
+    mu = X.mean(axis=0)
+    sd = X.std(axis=0)
+    sd[sd == 0] = 1.0
+    return (X - mu) / sd
