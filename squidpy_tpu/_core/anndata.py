@@ -116,6 +116,13 @@ def _is_full_slice(idx: Any) -> bool:
     return isinstance(idx, slice) and idx == slice(None)
 
 
+def _take_rows(v: Any, pos: np.ndarray) -> Any:
+    """Positional row-subset that works for arrays and DataFrames alike."""
+    if isinstance(v, pd.DataFrame):
+        return v.iloc[pos]
+    return v[pos]
+
+
 def _unpack_index(index: Any) -> tuple[Any, Any]:
     if isinstance(index, tuple):
         if len(index) == 1:
@@ -296,8 +303,8 @@ class AnnData:
             uns=self.uns,
             shape=(len(obs_pos), len(var_pos)) if X is None else None,
         )
-        out.obsm = {k: v[obs_pos] for k, v in self.obsm.items()}
-        out.varm = {k: v[var_pos] for k, v in self.varm.items()}
+        out.obsm = {k: _take_rows(v, obs_pos) for k, v in self.obsm.items()}
+        out.varm = {k: _take_rows(v, var_pos) for k, v in self.varm.items()}
         out.obsp = {k: v[obs_pos][:, obs_pos] for k, v in self.obsp.items()}
         out.varp = {k: v[var_pos][:, var_pos] for k, v in self.varp.items()}
         out.layers = {k: v[obs_pos][:, var_pos] for k, v in self.layers.items()}

@@ -1,0 +1,295 @@
+"""Image layer tests: container geometry, processing, segmentation, features —
+modeled on the reference's tests/image/ suite, with naive-numpy parity for the
+GLCM and regionprops kernels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import squidpy_tpu as sq
+from squidpy_tpu.im import ImageContainer
+
+
+@pytest.fixture()
+def cont() -> ImageContainer:
+    rng = np.random.default_rng(42)
+    return ImageContainer(rng.integers(0, 255, size=(100, 120, 3), dtype=np.uint8).astype(np.uint8), layer="image")
+
+
+@pytest.fixture()
+def blob_cont() -> ImageContainer:
+    """Synthetic blobs on black background (deterministic)."""
+    img = np.zeros((120, 120), dtype=np.float32)
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(15, 105, size=(12, 2))
+    yy, xx = np.mgrid[0:120, 0:120]
+    for cy, cx in centers:
+        img += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0)
+    img = (img / img.max() * 255).astype(np.uint8)
+    return ImageContainer(img, layer="image")
+
+
+class TestContainer:
+    def test_2d_becomes_yxzc(self):
+        c = ImageContainer(np.zeros((10, 20)))
+        assert c["image"].shape == (10, 20, 1, 1)
+        assert c.shape == (10, 20)
+
+    def test_3d_channels_last(self):
+        c = ImageContainer(np.zeros((10, 20, 3)))
+        assert c["image"].shape == (10, 20, 1, 3)
+
+    def test_explicit_dims(self):
+        c = ImageContainer(np.zeros((3, 10, 20)), dims=("channels", "y", "x"))
+        assert c["image"].shape == (10, 20, 1, 3)
+
+    def test_add_mismatched_shape_raises(self, cont):
+        with pytest.raises(ValueError, match="shape"):
+            cont.add_img(np.zeros((5, 5)), layer="other")
+
+    def test_library_ids(self):
+        c = ImageContainer(np.zeros((10, 10, 2, 3)), library_id=["a", "b"])
+        assert c.library_ids == ["a", "b"]
+        c.library_ids = {"a": "x"}
+        assert c.library_ids == ["x", "b"]
+
+    def test_concat_z(self):
+        a = ImageContainer(np.zeros((10, 10)), library_id="l1")
+        b = ImageContainer(np.ones((10, 10)), library_id="l2")
+        c = ImageContainer.concat([a, b])
+        assert c["image"].shape == (10, 10, 2, 1)
+        assert c.library_ids == ["l1", "l2"]
+
+    def test_save_load_roundtrip(self, tmp_path, cont):
+        path = str(tmp_path / "cont.h5")
+        cont.save(path)
+        back = ImageContainer.load(path)
+        np.testing.assert_array_equal(back["image"], cont["image"])
+        assert back.library_ids == cont.library_ids
+
+    def test_repr(self, cont):
+        assert "ImageContainer" in repr(cont)
+
+
+class TestCrops:
+    def test_crop_corner_inside(self, cont):
+        crop = cont.crop_corner(10, 20, size=(30, 40))
+        assert crop.shape == (30, 40)
+        np.testing.assert_array_equal(crop["image"][..., 0, :], cont["image"][10:40, 20:60, 0, :])
+
+    def test_crop_corner_padding(self, cont):
+        # python-int cval cannot be safely cast to uint8 -> falls back to 0
+        # (reference contract, im/_container.py:552-560)
+        crop = cont.crop_corner(-10, -10, size=(30, 30), cval=5)
+        assert crop.shape == (30, 30)
+        assert (crop["image"][:10, :10] == 0).all()
+        crop2 = cont.crop_corner(-10, -10, size=(30, 30), cval=5, preserve_dtypes=False)
+        assert (crop2["image"][:10, :10] == 5).all()
+
+    def test_crop_center_shape(self, cont):
+        crop = cont.crop_center(50, 50, radius=10)
+        assert crop.shape == (21, 21)
+
+    def test_crop_scale(self, cont):
+        crop = cont.crop_corner(0, 0, size=(40, 40), scale=0.5)
+        assert crop.shape == (20, 20)
+        assert crop.attrs["scale"] == 0.5
+
+    def test_mask_circle(self, cont):
+        crop = cont.crop_corner(0, 0, size=(40, 40), mask_circle=True, cval=0)
+        arr = crop["image"][..., 0, 0]
+        assert arr[0, 0] == 0  # corner outside circle
+        assert crop.attrs["mask_circle"]
+
+    def test_mask_circle_non_square_raises(self, cont):
+        with pytest.raises(ValueError, match="square"):
+            cont.crop_corner(0, 0, size=(30, 40), mask_circle=True)
+
+    def test_crop_empty_raises(self, cont):
+        with pytest.raises(ValueError):
+            cont.crop_corner(200, 200, size=(10, 10))
+
+    def test_generate_equal_crops_cover(self, cont):
+        crops = list(cont.generate_equal_crops(size=(50, 60)))
+        assert len(crops) == 4  # 100/50 x 120/60
+
+    def test_uncrop_roundtrip(self, cont):
+        crops = list(cont.generate_equal_crops(size=(50, 60)))
+        merged = ImageContainer.uncrop(crops, shape=cont.shape)
+        np.testing.assert_array_equal(merged["image"], cont["image"])
+
+    def test_generate_spot_crops(self, cont):
+        adata = sq.AnnData(X=np.zeros((3, 1)))
+        adata.obsm["spatial"] = np.array([[30, 30], [60, 50], [90, 70]], dtype=float)
+        adata.uns["spatial"] = {"lib": {"scalefactors": {"spot_diameter_fullres": 20}}}
+        crops = list(cont.generate_spot_crops(adata))
+        assert len(crops) == 3
+        for c in crops:
+            assert c.shape == (21, 21)
+
+    def test_subset(self, cont):
+        adata = sq.AnnData(X=np.zeros((3, 1)))
+        adata.obsm["spatial"] = np.array([[30, 30], [200, 50], [90, 70]], dtype=float)
+        crop = cont.crop_corner(0, 0, size=(100, 100))
+        sub = crop.subset(adata)
+        assert sub.n_obs == 2
+
+
+class TestProcess:
+    def test_smooth(self, cont):
+        sq.im.process(cont, method="smooth")
+        assert "image_smooth" in cont
+        assert cont["image_smooth"].shape == cont["image"].shape
+
+    def test_gray(self, cont):
+        sq.im.process(cont, method="gray")
+        assert "image_gray" in cont
+        assert cont["image_gray"].shape[-1] == 1
+
+    def test_smooth_matches_scipy(self):
+        from scipy.ndimage import gaussian_filter
+
+        from squidpy_tpu.ops.filters import gaussian_blur
+
+        rng = np.random.default_rng(0)
+        img = rng.normal(size=(64, 64)).astype(np.float32)
+        got = gaussian_blur(img, sigma=2.0)
+        want = gaussian_filter(img, sigma=2.0, mode="reflect")
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_custom_callable(self, cont):
+        sq.im.process(cont, method=lambda arr: arr * 2)
+        key = [k for k in cont if "lambda" in k or "custom" in k]
+        assert len(key) == 1
+
+
+class TestSegment:
+    def test_watershed_finds_blobs(self, blob_cont):
+        sq.im.segment(blob_cont, method="watershed", thresh=60)
+        seg = blob_cont["segmented_watershed"]
+        assert seg.dtype == np.uint32
+        n_labels = len(np.unique(seg)) - 1
+        assert 8 <= n_labels <= 16  # ~12 blobs
+
+    def test_custom_segmentation(self, blob_cont):
+        def threshold_seg(arr):
+            from scipy import ndimage as ndi
+
+            lab, _ = ndi.label(np.asarray(arr).squeeze() > 60)
+            return lab.astype(np.uint32)
+
+        sq.im.segment(blob_cont, method=threshold_seg)
+        assert "segmented_custom" in blob_cont
+
+    def test_tiled_matches_untiled_count(self, blob_cont):
+        sq.im.segment(blob_cont, layer="image", method="watershed", thresh=60, layer_added="whole")
+        sq.im.segment(blob_cont, layer="image", method="watershed", thresh=60, chunks=60, layer_added="tiled")
+        n_whole = len(np.unique(blob_cont["whole"])) - 1
+        n_tiled = len(np.unique(blob_cont["tiled"])) - 1
+        assert n_whole == n_tiled
+
+    def test_native_watershed_separates_basins(self):
+        from squidpy_tpu.native import watershed
+
+        img = np.zeros((30, 30), np.float32)
+        img[:, 15] = 10
+        markers = np.zeros((30, 30), np.int32)
+        markers[15, 5] = 1
+        markers[15, 25] = 2
+        out = watershed(img, markers)
+        assert (out[:, :15] == 1).all()
+        assert (out[:, 16:] == 2).all()
+
+
+def naive_glcm(img, row, col, levels=256):
+    h, w = img.shape
+    P = np.zeros((levels, levels))
+    for r in range(h):
+        for c in range(w):
+            rr, cc = r + row, c + col
+            if 0 <= rr < h and 0 <= cc < w:
+                P[img[r, c], img[rr, cc]] += 1
+    return P
+
+
+class TestFeatures:
+    def test_summary_matches_numpy(self, cont):
+        res = cont.features_summary("image", quantiles=(0.5,))
+        arr = cont["image"][..., 0, 0]
+        np.testing.assert_allclose(res["summary_ch-0_mean"], arr.mean(), rtol=1e-5)
+        np.testing.assert_allclose(res["summary_ch-0_std"], arr.std(), rtol=1e-4)
+        np.testing.assert_allclose(res["summary_ch-0_quantile-0.5"], np.quantile(arr, 0.5), atol=1.0)
+
+    def test_histogram_matches_numpy(self, cont):
+        res = cont.features_histogram("image", bins=8)
+        arr = cont["image"]
+        v_range = (arr.min(), arr.max())
+        want, _ = np.histogram(cont["image"][..., 0, 1], bins=8, range=v_range)
+        got = [res[f"histogram_ch-1_bin-{i}"] for i in range(8)]
+        np.testing.assert_array_equal(got, want)
+
+    def test_glcm_matches_naive(self):
+        from squidpy_tpu.ops.features import graycomatrix
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 8, size=(24, 24)).astype(np.uint8)
+        P = graycomatrix(img, distances=[1], angles=[0.0, np.pi / 2], levels=8)
+        np.testing.assert_array_equal(P[:, :, 0, 0], naive_glcm(img, 0, 1, 8))
+        np.testing.assert_array_equal(P[:, :, 0, 1], naive_glcm(img, 1, 0, 8))
+
+    def test_texture_keys(self, cont):
+        res = cont.features_texture("image", channels=0, distances=(1,), angles=(0.0,))
+        assert "texture_ch-0_contrast_dist-1_angle-0.00" in res
+
+    def test_regionprops_matches_naive(self):
+        from squidpy_tpu.ops.features import regionprops
+
+        lab = np.zeros((30, 30), dtype=np.int32)
+        lab[5:10, 5:15] = 1   # 5x10 rectangle
+        lab[20:25, 20:25] = 4  # 5x5 square (non-consecutive label)
+        intensity = np.arange(900, dtype=np.float32).reshape(30, 30)
+        res = regionprops(lab, ["label", "area", "centroid", "mean_intensity", "bbox_area", "extent"], intensity)
+        np.testing.assert_array_equal(res["label"], [1, 4])
+        np.testing.assert_array_equal(res["area"], [50, 25])
+        np.testing.assert_allclose(res["centroid-0"], [7.0, 22.0])
+        np.testing.assert_allclose(res["centroid-1"], [9.5, 22.0])
+        np.testing.assert_allclose(res["mean_intensity"][0], intensity[5:10, 5:15].mean())
+        np.testing.assert_array_equal(res["bbox_area"], [50, 25])
+        np.testing.assert_allclose(res["extent"], [1.0, 1.0])
+
+    def test_segmentation_features(self, blob_cont):
+        sq.im.segment(blob_cont, method="watershed", thresh=60)
+        res = blob_cont.features_segmentation(
+            "segmented_watershed", intensity_layer="image",
+            props=["label", "area", "mean_intensity"],
+        )
+        assert res["segmentation_label"] > 0
+        assert np.isfinite(res["segmentation_area_mean"])
+        assert "segmentation_ch-0_mean_intensity_mean" in res
+
+    def test_custom_feature(self, cont):
+        res = cont.features_custom(lambda arr: arr.sum(), layer="image")
+        assert len(res) == 1
+
+
+class TestCalculateImageFeatures:
+    def test_end_to_end(self, cont):
+        adata = sq.AnnData(X=np.zeros((4, 1)), obs=pd.DataFrame(index=[f"s{i}" for i in range(4)]))
+        adata.obsm["spatial"] = np.array([[30, 30], [60, 50], [90, 70], [50, 20]], dtype=float)
+        adata.uns["spatial"] = {"lib": {"scalefactors": {"spot_diameter_fullres": 20}}}
+        sq.im.calculate_image_features(adata, cont, features=["summary", "histogram"])
+        df = adata.obsm["img_features"]
+        assert df.shape[0] == 4
+        assert list(df.index) == ["s0", "s1", "s2", "s3"]
+        assert any("summary" in c for c in df.columns)
+        assert any("histogram" in c for c in df.columns)
+
+    def test_copy(self, cont):
+        adata = sq.AnnData(X=np.zeros((2, 1)))
+        adata.obsm["spatial"] = np.array([[30, 30], [60, 50]], dtype=float)
+        adata.uns["spatial"] = {"lib": {"scalefactors": {"spot_diameter_fullres": 10}}}
+        df = sq.im.calculate_image_features(adata, cont, features="summary", copy=True)
+        assert df is not None
+        assert "img_features" not in adata.obsm
