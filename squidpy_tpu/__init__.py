@@ -9,9 +9,20 @@ same AnnData-facing API and key conventions as the reference.
 
 from __future__ import annotations
 
-from squidpy_tpu import gr, im
+from squidpy_tpu import datasets, gr, im, read, tl
 from squidpy_tpu._core import AnnData, SpatialGraph, concat, read_h5ad
 
-__all__ = ["gr", "im", "AnnData", "SpatialGraph", "concat", "read_h5ad", "__version__"]
+__all__ = [
+    "gr",
+    "im",
+    "tl",
+    "read",
+    "datasets",
+    "AnnData",
+    "SpatialGraph",
+    "concat",
+    "read_h5ad",
+    "__version__",
+]
 
 __version__ = "0.1.0"

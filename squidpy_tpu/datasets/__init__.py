@@ -1,0 +1,78 @@
+"""Dataset loaders (reference: /root/reference/src/squidpy/datasets)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+from squidpy_tpu.datasets._registry import (
+    DatasetDownloader,
+    DatasetRegistry,
+    download,
+    get_downloader,
+    get_registry,
+)
+
+
+def _make_loader(dataset_name: str):  # noqa: ANN202
+    entry = get_registry().get(dataset_name)
+    if entry is None:
+        raise ValueError(f"Unknown dataset: {dataset_name}")
+
+    def loader(path: Any = None, **kwargs: Any) -> Any:
+        return get_downloader().download(dataset_name, path, **kwargs)
+
+    loader.__doc__ = f"{entry.doc_header}\n\nShape: ``{entry.shape}``."
+    loader.__name__ = dataset_name
+    return loader
+
+
+# AnnData datasets
+four_i = _make_loader("four_i")
+imc = _make_loader("imc")
+seqfish = _make_loader("seqfish")
+visium_hne_adata = _make_loader("visium_hne_adata")
+visium_fluo_adata = _make_loader("visium_fluo_adata")
+visium_hne_adata_crop = _make_loader("visium_hne_adata_crop")
+visium_fluo_adata_crop = _make_loader("visium_fluo_adata_crop")
+sc_mouse_cortex = _make_loader("sc_mouse_cortex")
+mibitof = _make_loader("mibitof")
+merfish = _make_loader("merfish")
+slideseqv2 = _make_loader("slideseqv2")
+
+# Image datasets
+visium_fluo_image_crop = _make_loader("visium_fluo_image_crop")
+visium_hne_image_crop = _make_loader("visium_hne_image_crop")
+visium_hne_image = _make_loader("visium_hne_image")
+
+# SpatialData datasets
+visium_hne_sdata = _make_loader("visium_hne_sdata")
+cells = _make_loader("cells")
+
+
+def visium(sample_id: str, *, path: Any = None, include_hires_tiff: bool = False, **kwargs: Any) -> Any:
+    """Download a 10x Genomics Visium sample by name (e.g. ``V1_Human_Heart``)."""
+    return get_downloader().download(sample_id, path, include_hires_tiff=include_hires_tiff, **kwargs)
+
+
+__all__ = [
+    "DatasetRegistry",
+    "DatasetDownloader",
+    "download",
+    "four_i",
+    "imc",
+    "seqfish",
+    "visium_hne_adata",
+    "visium_hne_adata_crop",
+    "visium_fluo_adata",
+    "visium_fluo_adata_crop",
+    "sc_mouse_cortex",
+    "mibitof",
+    "merfish",
+    "slideseqv2",
+    "visium",
+    "visium_fluo_image_crop",
+    "visium_hne_image_crop",
+    "visium_hne_image",
+    "visium_hne_sdata",
+    "cells",
+]

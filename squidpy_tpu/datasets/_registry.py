@@ -1,0 +1,189 @@
+"""Dataset registry + downloader.
+
+Mirrors the reference's registry/downloader split
+(/root/reference/src/squidpy/datasets/_registry.py:88-140,
+_downloader.py:36-111) with urllib + hashlib in place of pooch: per-file
+sha256 verification, on-disk caching, and type-dispatched loading
+(h5ad → AnnData, tiff → ImageContainer, visium_10x → three files fed to
+:func:`squidpy_tpu.read.visium`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tarfile
+import urllib.request
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+from squidpy_tpu.utils import logg
+
+__all__ = ["DatasetRegistry", "DatasetDownloader", "get_registry", "get_downloader", "download"]
+
+_HERE = Path(__file__).parent
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    name: str
+    s3_key: str
+    sha256: str | None = None
+
+
+@dataclass
+class DatasetEntry:
+    name: str
+    type: str
+    files: list[FileEntry]
+    shape: tuple[int, ...] | None = None
+    doc_header: str | None = None
+    library_id: str | None = None
+
+
+@dataclass
+class DatasetRegistry:
+    """Central registry of all datasets, parsed from :file:`registry.yaml`."""
+
+    s3_base_url: str = ""
+    datasets: dict[str, DatasetEntry] = field(default_factory=dict)
+
+    @classmethod
+    def from_yaml(cls, config_path: os.PathLike | str | None = None) -> DatasetRegistry:
+        path = Path(config_path) if config_path is not None else _HERE / "registry.yaml"
+        with open(path) as f:
+            config = yaml.safe_load(f)
+        registry = cls(s3_base_url=config.get("s3_base_url", ""))
+        for name, data in config.get("datasets", {}).items():
+            files = [
+                FileEntry(name=fd["name"], s3_key=fd["s3_key"], sha256=fd.get("sha256"))
+                for fd in data.get("files", [])
+            ]
+            shape = tuple(data["shape"]) if isinstance(data.get("shape"), list) else data.get("shape")
+            registry.datasets[name] = DatasetEntry(
+                name=name,
+                type=data["type"],
+                files=files,
+                shape=shape,
+                doc_header=data.get("doc_header"),
+                library_id=data.get("library_id"),
+            )
+        return registry
+
+    def get(self, name: str) -> DatasetEntry | None:
+        return self.datasets.get(name)
+
+    def names(self, dataset_type: str | None = None) -> list[str]:
+        return [n for n, e in self.datasets.items() if dataset_type is None or e.type == dataset_type]
+
+
+def _default_cache_dir() -> Path:
+    return Path(os.environ.get("SQUIDPY_TPU_DATA", Path.home() / ".cache" / "squidpy_tpu" / "data"))
+
+
+def _sha256(path: Path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+class DatasetDownloader:
+    """Download, verify and load datasets from the registry."""
+
+    def __init__(self, registry: DatasetRegistry | None = None):
+        self._registry = registry or get_registry()
+
+    def _fetch_file(self, entry: DatasetEntry, file: FileEntry, base_dir: Path) -> Path:
+        target = base_dir / entry.name / file.name
+        target.parent.mkdir(parents=True, exist_ok=True)
+        if target.exists():
+            if file.sha256 is None or _sha256(target) == file.sha256:
+                return target
+            logg.warning(f"Checksum mismatch for cached `{target}`, re-downloading")
+            target.unlink()
+        url = self._registry.s3_base_url + file.s3_key
+        logg.info(f"Downloading `{url}`")
+        try:
+            urllib.request.urlretrieve(url, str(target))
+        except Exception as e:
+            raise RuntimeError(
+                f"Unable to download `{url}` (no network access?). "
+                f"Place the file manually at `{target}` to use this dataset offline."
+            ) from e
+        if file.sha256 is not None and _sha256(target) != file.sha256:
+            target.unlink(missing_ok=True)
+            raise RuntimeError(f"Checksum mismatch for downloaded `{url}`.")
+        return target
+
+    def download(self, name: str, path: Path | str | None = None, **kwargs: Any) -> Any:
+        entry = self._registry.get(name)
+        if entry is None:
+            raise ValueError(f"Unknown dataset: `{name}`. Available: `{sorted(self._registry.datasets)}`.")
+        base_dir = Path(path) if path is not None else _default_cache_dir()
+
+        if entry.type == "anndata":
+            from squidpy_tpu._core.io_h5ad import read_h5ad
+
+            return read_h5ad(str(self._fetch_file(entry, entry.files[0], base_dir)))
+        if entry.type == "image":
+            from squidpy_tpu.im import ImageContainer
+
+            fpath = self._fetch_file(entry, entry.files[0], base_dir)
+            return ImageContainer(str(fpath), layer="image", **kwargs)
+        if entry.type == "visium_10x":
+            from squidpy_tpu.read import visium as read_visium
+
+            files = {f.name: self._fetch_file(entry, f, base_dir) for f in entry.files}
+            sample_dir = files["filtered_feature_bc_matrix.h5"].parent
+            spatial_dir = sample_dir / "spatial"
+            if not spatial_dir.exists() and "spatial.tar.gz" in files:
+                with tarfile.open(files["spatial.tar.gz"]) as tar:
+                    tar.extractall(sample_dir)
+            adata = read_visium(sample_dir, library_id=entry.name, **kwargs)
+            if kwargs.get("include_hires_tiff", False):
+                adata.uns["spatial"][entry.name]["metadata"]["source_image_path"] = str(files.get("image.tif"))
+            return adata
+        if entry.type == "spatialdata":
+            try:
+                import spatialdata as sd
+            except ImportError as e:
+                raise ImportError(
+                    f"Dataset `{name}` requires the optional `spatialdata` package."
+                ) from e
+            import zipfile
+
+            fpath = self._fetch_file(entry, entry.files[0], base_dir)
+            out_dir = fpath.parent / fpath.stem
+            if not out_dir.exists():
+                with zipfile.ZipFile(fpath) as zf:
+                    zf.extractall(fpath.parent)
+            return sd.read_zarr(out_dir)
+        raise NotImplementedError(f"Dataset type `{entry.type}` is not supported.")
+
+
+_REGISTRY: DatasetRegistry | None = None
+_DOWNLOADER: DatasetDownloader | None = None
+
+
+def get_registry() -> DatasetRegistry:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = DatasetRegistry.from_yaml()
+    return _REGISTRY
+
+
+def get_downloader() -> DatasetDownloader:
+    global _DOWNLOADER
+    if _DOWNLOADER is None:
+        _DOWNLOADER = DatasetDownloader()
+    return _DOWNLOADER
+
+
+def download(name: str, path: Path | str | None = None, **kwargs: Any) -> Any:
+    """Download (and cache) a dataset by name."""
+    return get_downloader().download(name, path, **kwargs)

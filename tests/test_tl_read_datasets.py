@@ -1,0 +1,172 @@
+"""tl / read / datasets tests, modeled on the reference's tests/tools and
+tests/read suites (using the reference's committed 10x h5 fixture)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import squidpy_tpu as sq
+
+
+class TestSlidingWindow:
+    @pytest.fixture()
+    def grid_adata(self) -> sq.AnnData:
+        xx, yy = np.meshgrid(np.arange(20), np.arange(20))
+        coords = np.c_[xx.ravel(), yy.ravel()].astype(float)
+        adata = sq.AnnData(X=np.zeros((400, 1)))
+        adata.obsm["spatial"] = coords
+        return adata
+
+    def test_non_overlapping(self, grid_adata):
+        sq.tl.sliding_window(grid_adata, window_size=10)
+        col = grid_adata.obs["sliding_window_assignment"]
+        assert isinstance(col.dtype, pd.CategoricalDtype)
+        assert col.notna().all()
+        # 2x2 windows of 10x10 on a 0..19 grid -> 4 windows
+        assert col.nunique() == 4
+
+    def test_overlapping_boolean_columns(self, grid_adata):
+        df = sq.tl.sliding_window(grid_adata, window_size=10, overlap=5, copy=True)
+        win_cols = [c for c in df.columns if c.startswith("sliding_window_assignment_")]
+        assert len(win_cols) > 4
+        assert all(df[c].dtype == bool for c in win_cols)
+        # every obs belongs to at least one window
+        assert df[win_cols].any(axis=1).all()
+
+    def test_library_key(self, grid_adata):
+        grid_adata.obs["lib"] = pd.Categorical(["a"] * 200 + ["b"] * 200)
+        df = sq.tl.sliding_window(grid_adata, window_size=10, library_key="lib", copy=True)
+        labels = df["sliding_window_assignment"].astype(str)
+        assert labels.str.startswith(("a_", "b_")).all()
+
+    def test_invalid_overlap(self, grid_adata):
+        with pytest.raises(ValueError, match="non-negative"):
+            sq.tl.sliding_window(grid_adata, window_size=10, overlap=-1)
+
+    def test_window_size_inferred(self, grid_adata):
+        sq.tl.sliding_window(grid_adata)
+        assert "sliding_window_assignment" in grid_adata.obs
+
+
+class TestVarByDistance:
+    @pytest.fixture()
+    def anchor_adata(self) -> sq.AnnData:
+        rng = np.random.default_rng(0)
+        n = 100
+        adata = sq.AnnData(X=rng.normal(size=(n, 5)))
+        adata.obsm["spatial"] = rng.uniform(0, 100, (n, 2))
+        labels = ["anchor"] * 10 + ["other"] * (n - 10)
+        adata.obs["ct"] = pd.Categorical(labels)
+        return adata
+
+    def test_basic(self, anchor_adata):
+        sq.tl.var_by_distance(anchor_adata, groups="anchor", cluster_key="ct")
+        df = anchor_adata.obsm["design_matrix"]
+        assert "anchor" in df.columns and "anchor_raw" in df.columns
+        # anchor cells have raw distance 0 and NaN normalized distance
+        anchors = anchor_adata.obs["ct"] == "anchor"
+        assert (df.loc[np.asarray(anchors), "anchor_raw"] == 0).all()
+        assert df.loc[np.asarray(anchors), "anchor"].isna().all()
+        valid = df["anchor"].dropna()
+        assert valid.min() == 0.0 and valid.max() == 1.0
+
+    def test_raw_distance_correct(self, anchor_adata):
+        df = sq.tl.var_by_distance(anchor_adata, groups="anchor", cluster_key="ct", copy=True)
+        coords = anchor_adata.obsm["spatial"]
+        anchors = coords[:10]
+        j = 50  # a non-anchor cell
+        want = np.min(np.linalg.norm(anchors - coords[j], axis=1))
+        np.testing.assert_allclose(df["anchor_raw"].iloc[j], want, rtol=1e-6)
+
+    def test_custom_coordinate_anchor(self, anchor_adata):
+        df = sq.tl.var_by_distance(anchor_adata, groups=np.array([50.0, 50.0]), copy=True)
+        assert "custom_anchor" in df.columns
+
+    def test_covariates(self, anchor_adata):
+        anchor_adata.obs["cov"] = np.arange(100)
+        df = sq.tl.var_by_distance(
+            anchor_adata, groups="anchor", cluster_key="ct", covariates="cov", copy=True
+        )
+        assert "cov" in df.columns
+
+    def test_library_key(self, anchor_adata):
+        anchor_adata.obs["lib"] = pd.Categorical(["s1"] * 50 + ["s2"] * 50)
+        anchor_adata.obs["ct"] = pd.Categorical(["anchor"] * 5 + ["other"] * 45 + ["anchor"] * 5 + ["other"] * 45)
+        df = sq.tl.var_by_distance(
+            anchor_adata, groups="anchor", cluster_key="ct", library_key="lib", copy=True
+        )
+        for lib in ("s1", "s2"):
+            sub = df[np.asarray(anchor_adata.obs["lib"] == lib)]["anchor"].dropna()
+            assert sub.max() == 1.0
+
+
+class TestRead10x:
+    def test_read_10x_h5(self):
+        adata = sq.read.read_10x_h5("/root/reference/tests/_data/filtered_feature_bc_matrix.h5")
+        assert adata.shape == (100, 100)
+        assert "gene_ids" in adata.var.columns
+        from scipy import sparse as sp
+
+        assert sp.issparse(adata.X)
+        assert adata.X.nnz == 656
+
+    def test_visium_reader(self, tmp_path):
+        # assemble a minimal SpaceRanger directory from committed fixtures
+        import json
+        import shutil
+
+        import h5py
+        from PIL import Image
+
+        root = tmp_path / "visium"
+        (root / "spatial").mkdir(parents=True)
+        shutil.copy("/root/reference/tests/_data/filtered_feature_bc_matrix.h5", root)
+        with h5py.File(root / "filtered_feature_bc_matrix.h5", "r") as f:
+            barcodes = [b.decode() for b in f["matrix"]["barcodes"][...]]
+        rng = np.random.default_rng(0)
+        for res in ("hires", "lowres"):
+            Image.fromarray(rng.integers(0, 255, (50, 50, 3), dtype=np.uint8).astype(np.uint8)).save(
+                root / "spatial" / f"tissue_{res}_image.png"
+            )
+        (root / "spatial" / "scalefactors_json.json").write_text(
+            json.dumps({"spot_diameter_fullres": 80.0, "tissue_hires_scalef": 0.1, "tissue_lowres_scalef": 0.05})
+        )
+        rows = [
+            f"{bc},1,{i // 10},{i % 10},{(i % 10) * 100},{(i // 10) * 100}"
+            for i, bc in enumerate(barcodes)
+        ]
+        (root / "spatial" / "tissue_positions_list.csv").write_text("\n".join(rows))
+
+        adata = sq.read.visium(root)
+        assert adata.shape == (100, 100)
+        assert adata.obsm["spatial"].shape == (100, 2)
+        lid = list(adata.uns["spatial"])[0]
+        assert "hires" in adata.uns["spatial"][lid]["images"]
+        assert adata.uns["spatial"][lid]["scalefactors"]["spot_diameter_fullres"] == 80.0
+        assert "in_tissue" in adata.obs
+
+
+class TestDatasets:
+    def test_registry_parses(self):
+        reg = sq.datasets.get_registry() if hasattr(sq.datasets, "get_registry") else None
+        from squidpy_tpu.datasets._registry import get_registry
+
+        reg = get_registry()
+        assert "imc" in reg.datasets
+        assert reg.get("imc").shape == (4668, 34)
+        assert reg.get("visium_hne_image").type == "image"
+        assert len(reg.names("visium_10x")) >= 5
+
+    def test_loaders_exist(self):
+        for name in ["imc", "seqfish", "mibitof", "visium_hne_adata", "four_i", "merfish", "slideseqv2"]:
+            assert callable(getattr(sq.datasets, name))
+
+    def test_unknown_dataset_raises(self):
+        with pytest.raises(ValueError, match="Unknown dataset"):
+            sq.datasets.download("not_a_dataset")
+
+    def test_download_offline_message(self, tmp_path):
+        with pytest.raises(RuntimeError, match="network|download"):
+            sq.datasets.download("imc", path=tmp_path)
