@@ -9,12 +9,13 @@ same AnnData-facing API and key conventions as the reference.
 
 from __future__ import annotations
 
-from squidpy_tpu import datasets, gr, im, read, tl
+from squidpy_tpu import datasets, gr, im, pl, read, tl
 from squidpy_tpu._core import AnnData, SpatialGraph, concat, read_h5ad
 
 __all__ = [
     "gr",
     "im",
+    "pl",
     "tl",
     "read",
     "datasets",

@@ -91,7 +91,10 @@ def nhood_enrichment(
         shuffled = permutation_batch(keys, labels_dev)
 
     perms = np.asarray(permuted_pair_counts(graph.indices, graph.mask, shuffled, n_cls), dtype=np.float64)
-    zscore = (count - perms.mean(axis=0)) / perms.std(axis=0)
+    # zero-variance pairs (e.g. singleton clusters) yield NaN, matching the
+    # reference; suppress only the warning
+    with np.errstate(invalid="ignore", divide="ignore"):
+        zscore = (count - perms.mean(axis=0)) / perms.std(axis=0)
 
     if copy:
         logg.info("Finish", time=start)

@@ -1,0 +1,145 @@
+"""Plotting smoke tests (Agg backend): every public pl function produces a
+figure and saves to disk without error, fed by real upstream results."""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from itertools import product
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import pytest
+
+import squidpy_tpu as sq
+from squidpy_tpu._core.anndata import Raw
+
+
+@pytest.fixture()
+def analyzed_adata(adata_ref):
+    adata = adata_ref.copy()
+    sq.gr.spatial_neighbors_knn(adata, n_neighs=6)
+    sq.gr.nhood_enrichment(adata, "leiden", n_perms=20, seed=0)
+    sq.gr.interaction_matrix(adata, "leiden")
+    sq.gr.centrality_scores(adata, "leiden")
+    sq.gr.co_occurrence(adata, "leiden", interval=10)
+    sq.gr.ripley(adata, "leiden", mode="G", n_simulations=3, n_observations=50, n_steps=10, seed=0)
+    return adata
+
+
+@pytest.fixture(autouse=True)
+def _close_figs():
+    yield
+    plt.close("all")
+
+
+class TestGraphPlots:
+    def test_nhood_enrichment(self, analyzed_adata, tmp_path):
+        sq.pl.nhood_enrichment(analyzed_adata, "leiden", save=str(tmp_path / "nhood.png"))
+        assert (tmp_path / "nhood.png").exists()
+
+    def test_nhood_enrichment_dendrogram(self, analyzed_adata):
+        sq.pl.nhood_enrichment(analyzed_adata, "leiden", method="ward", annotate=True)
+
+    def test_interaction_matrix(self, analyzed_adata, tmp_path):
+        sq.pl.interaction_matrix(analyzed_adata, "leiden", save=str(tmp_path / "im.png"))
+        assert (tmp_path / "im.png").exists()
+
+    def test_centrality_scores(self, analyzed_adata, tmp_path):
+        sq.pl.centrality_scores(analyzed_adata, "leiden", save=str(tmp_path / "cs.png"))
+        assert (tmp_path / "cs.png").exists()
+
+    def test_ripley(self, analyzed_adata, tmp_path):
+        sq.pl.ripley(analyzed_adata, "leiden", mode="G", save=str(tmp_path / "rip.png"))
+        assert (tmp_path / "rip.png").exists()
+
+    def test_co_occurrence(self, analyzed_adata, tmp_path):
+        sq.pl.co_occurrence(analyzed_adata, "leiden", clusters="0", save=str(tmp_path / "co.png"))
+        assert (tmp_path / "co.png").exists()
+
+    def test_missing_uns_raises(self, adata_ref):
+        adata = adata_ref.copy()
+        with pytest.raises(KeyError, match="nhood_enrichment"):
+            sq.pl.nhood_enrichment(adata, "leiden")
+
+
+class TestLigrecPlot:
+    def test_dotplot(self, adata_ref, tmp_path):
+        adata = adata_ref.copy()
+        adata.raw = Raw(adata)
+        inter = tuple(product(adata.raw.var_names[:4], adata.raw.var_names[:4]))
+        res = sq.gr.ligrec(adata, "leiden", interactions=inter, n_perms=10, seed=0, copy=True)
+        sq.pl.ligrec(res, save=str(tmp_path / "lig.png"))
+        assert (tmp_path / "lig.png").exists()
+
+    def test_from_uns(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.raw = Raw(adata)
+        inter = tuple(product(adata.raw.var_names[:3], adata.raw.var_names[:3]))
+        sq.gr.ligrec(adata, "leiden", interactions=inter, n_perms=5, seed=0)
+        sq.pl.ligrec(adata, cluster_key="leiden", pvalue_threshold=1.0)
+
+    def test_missing_cluster_key(self, adata_ref):
+        with pytest.raises(ValueError, match="cluster_key"):
+            sq.pl.ligrec(adata_ref.copy())
+
+
+class TestSpatialPlots:
+    def test_scatter_categorical(self, adata_ref, tmp_path):
+        sq.pl.spatial_scatter(adata_ref.copy(), color="leiden", img=False, save=str(tmp_path / "sc.png"))
+        assert (tmp_path / "sc.png").exists()
+
+    def test_scatter_gene(self, adata_ref):
+        adata = adata_ref.copy()
+        gene = adata.var_names[0]
+        sq.pl.spatial_scatter(adata, color=gene, img=False)
+
+    def test_scatter_with_image(self, adata_ref):
+        adata = adata_ref.copy()
+        lid = list(adata.uns["spatial"])[0]
+        adata.uns["spatial"][lid]["images"] = {"hires": np.zeros((80, 80, 3), dtype=np.uint8)}
+        adata.uns["spatial"][lid].setdefault("scalefactors", {})["tissue_hires_scalef"] = 0.01
+        sq.pl.spatial_scatter(adata, color="leiden", img=True)
+
+    def test_segment(self, adata_ref):
+        adata = adata_ref.copy()
+        lid = list(adata.uns["spatial"])[0]
+        seg = np.zeros((60, 60), dtype=np.int32)
+        for i in range(adata.n_obs):
+            y, x = divmod(i, 8)
+            seg[y * 7 : y * 7 + 5, x * 7 : x * 7 + 5] = i + 1
+        adata.uns["spatial"][lid]["images"] = {"segmentation": seg}
+        adata.obs["cell_id"] = np.arange(1, adata.n_obs + 1)
+        sq.pl.spatial_segment(adata, color="leiden", seg_cell_id="cell_id")
+
+    def test_unknown_color_raises(self, adata_ref):
+        with pytest.raises(KeyError, match="NOT_THERE"):
+            sq.pl.spatial_scatter(adata_ref.copy(), color="NOT_THERE", img=False)
+
+
+class TestExtract:
+    def test_extract_dataframe(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.obsm["feats"] = pd.DataFrame(
+            {"f1": np.arange(adata.n_obs), "f2": np.ones(adata.n_obs)}, index=adata.obs.index
+        )
+        out = sq.pl.extract(adata, "feats")
+        assert "f1" in out.obs and "f2" in out.obs
+        assert "f1" not in adata.obs  # original untouched
+
+    def test_extract_array_with_prefix(self, adata_ref):
+        adata = adata_ref.copy()
+        out = sq.pl.extract(adata, "X_pca", prefix="pca")
+        assert "pca_0" in out.obs
+
+
+class TestVarByDistancePlot:
+    def test_plot(self, adata_ref, tmp_path):
+        adata = adata_ref.copy()
+        sq.tl.var_by_distance(adata, groups="0", cluster_key="leiden")
+        gene = adata.var_names[0]
+        sq.pl.var_by_distance(adata, var=gene, anchor_key="0", save=str(tmp_path / "vbd.png"))
+        assert (tmp_path / "vbd.png").exists()
