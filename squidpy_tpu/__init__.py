@@ -9,7 +9,7 @@ same AnnData-facing API and key conventions as the reference.
 
 from __future__ import annotations
 
-from squidpy_tpu import datasets, gr, im, pl, read, tl
+from squidpy_tpu import datasets, experimental, gr, im, pl, read, tl
 from squidpy_tpu._core import AnnData, SpatialGraph, concat, read_h5ad
 
 __all__ = [
@@ -19,6 +19,7 @@ __all__ = [
     "tl",
     "read",
     "datasets",
+    "experimental",
     "AnnData",
     "SpatialGraph",
     "concat",

@@ -1,0 +1,49 @@
+"""Experimental image pipeline (tiled WSI processing)."""
+
+from squidpy_tpu.experimental.im._calculate_image_features import calculate_image_features
+from squidpy_tpu.experimental.im._detect_tissue import detect_tissue
+from squidpy_tpu.experimental.im._make_tiles import make_tiles, make_tiles_from_spots
+from squidpy_tpu.experimental.im._qc import QCMetric, qc_image
+from squidpy_tpu.experimental.im._stain import (
+    StainReference,
+    decompose_stains,
+    estimate_white_point,
+    fit_stain_reference,
+    normalize_stains,
+    reinhard_normalize,
+)
+from squidpy_tpu.experimental.im._stitched_labels import make_stitched_labels
+from squidpy_tpu.experimental.im._tiling import (
+    CellInfo,
+    TileSpec,
+    build_tile_specs,
+    compute_cell_info,
+    compute_cell_info_tiled,
+    extract_labels_tile,
+    extract_tile,
+    run_tiled,
+)
+
+__all__ = [
+    "calculate_image_features",
+    "detect_tissue",
+    "qc_image",
+    "QCMetric",
+    "make_tiles",
+    "make_tiles_from_spots",
+    "make_stitched_labels",
+    "normalize_stains",
+    "decompose_stains",
+    "fit_stain_reference",
+    "estimate_white_point",
+    "reinhard_normalize",
+    "StainReference",
+    "CellInfo",
+    "TileSpec",
+    "build_tile_specs",
+    "compute_cell_info",
+    "compute_cell_info_tiled",
+    "extract_tile",
+    "extract_labels_tile",
+    "run_tiled",
+]

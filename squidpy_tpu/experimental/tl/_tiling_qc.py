@@ -1,0 +1,149 @@
+"""Tile-boundary segmentation QC: detect cells cut by tiled segmentation.
+
+Functional counterpart of /root/reference/src/squidpy/experimental/tl/_tiling_qc.py:115-600:
+cells cut at tile borders exhibit artificially straight axis-aligned edges;
+per cell we measure the longest contiguous straight boundary run in each
+direction (the "collinear scan"), normalize by the cell's extent, and flag
+outliers by the MAD rule. Runs over the cell-aware tile grid so only one
+tile's labels are resident at a time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+import numpy as np
+import pandas as pd
+
+from squidpy_tpu._core.anndata import AnnData
+from squidpy_tpu.experimental.im._tiling import (
+    TileSpec,
+    build_tile_specs,
+    compute_cell_info_tiled,
+    extract_labels_tile,
+    run_tiled,
+)
+from squidpy_tpu.utils import logg
+
+__all__ = ["calculate_tiling_qc"]
+
+
+def _longest_run(mask_1d: np.ndarray) -> int:
+    """Longest run of consecutive True values."""
+    if not mask_1d.any():
+        return 0
+    padded = np.concatenate([[0], mask_1d.astype(np.int8), [0]])
+    edges = np.diff(padded)
+    starts = np.nonzero(edges == 1)[0]
+    ends = np.nonzero(edges == -1)[0]
+    return int((ends - starts).max())
+
+
+def _cell_straightness(mask: np.ndarray) -> tuple[float, float, int]:
+    """(vertical, horizontal) straight-edge scores in [0, 1] + the longest
+    absolute run length in pixels.
+
+    A straight vertical cut shows up as one column whose boundary pixels form
+    a contiguous run spanning (most of) the cell's height — the score is that
+    run length over the bbox height (resp. width for horizontal).
+    """
+    ys, xs = np.nonzero(mask)
+    if not len(ys):
+        return 0.0, 0.0, 0
+    h = ys.max() - ys.min() + 1
+    w = xs.max() - xs.min() + 1
+    # boundary = pixels adjacent to background (4-connectivity)
+    pad = np.pad(mask, 1)
+    interior = pad[:-2, 1:-1] & pad[2:, 1:-1] & pad[1:-1, :-2] & pad[1:-1, 2:]
+    boundary = mask & ~interior
+
+    vert = 0
+    col_counts = boundary.sum(axis=0)
+    for c in np.nonzero(col_counts >= max(3, 0.5 * col_counts.max()))[0]:
+        vert = max(vert, _longest_run(boundary[:, c]))
+    horiz = 0
+    row_counts = boundary.sum(axis=1)
+    for r in np.nonzero(row_counts >= max(3, 0.5 * row_counts.max()))[0]:
+        horiz = max(horiz, _longest_run(boundary[r, :]))
+    return vert / h, horiz / w, max(vert, horiz)
+
+
+def _qc_tile(spec: TileSpec, labels: Any) -> pd.DataFrame:
+    tile = extract_labels_tile(labels, spec)
+    if tile.max() == 0:
+        return pd.DataFrame()
+    cy0, cx0 = spec.crop[0], spec.crop[1]
+    rows = []
+    for lid in sorted(spec.owned_ids):
+        mask = tile == lid
+        if not mask.any():
+            continue
+        v, h, run_px = _cell_straightness(mask)
+        ys, xs = np.nonzero(mask)
+        rows.append(
+            {
+                "label": lid,
+                "centroid_y": float(ys.mean()) + cy0,
+                "centroid_x": float(xs.mean()) + cx0,
+                "area": int(mask.sum()),
+                "straight_v": v,
+                "straight_h": h,
+                "straight_run_px": run_px,
+                "cut_score": max(v, h),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _mad_outliers(values: np.ndarray, nmads: float) -> np.ndarray:
+    med = np.median(values)
+    mad = np.median(np.abs(values - med)) or 1e-9
+    return values > med + nmads * mad
+
+
+def calculate_tiling_qc(
+    labels: Any,
+    *,
+    tile_size: int = 2048,
+    overlap_margin: int | Literal["auto"] = "auto",
+    nmads_cut: float = 1.5,
+    min_run_px: int = 8,
+    n_jobs: int = 1,
+    sdata: Any = None,
+    labels_key: str = "labels",
+    table_key_added: str | None = None,
+) -> AnnData:
+    """Score every cell for tile-boundary artifacts.
+
+    Returns an AnnData with one obs per cell: straightness scores,
+    ``cut_score`` and a ``tile_cut`` outlier flag (MAD rule at ``nmads_cut``).
+    Attached to ``sdata.tables['{labels_key}_qc']`` when given.
+    """
+    start = logg.info("Computing cell centroids for tiling QC")
+    cell_info = compute_cell_info_tiled(labels)
+    if not cell_info:
+        raise ValueError("No cells found in the label image.")
+    specs = build_tile_specs(labels.shape[-2:], cell_info, tile_size=tile_size, overlap_margin=overlap_margin)
+
+    frames = run_tiled(specs, _qc_tile, n_jobs=n_jobs, scatter=(labels,), desc="QC tiles")
+    df = pd.concat([f for f in frames if len(f)], ignore_index=True).sort_values("label").reset_index(drop=True)
+
+    # tiny cells trivially reach straightness 1.0, so the flag also requires
+    # an absolute straight run of at least `min_run_px` pixels
+    df["tile_cut"] = (
+        _mad_outliers(df["cut_score"].to_numpy(), nmads_cut)
+        & (df["cut_score"] > 0.5)
+        & (df["straight_run_px"] >= min_run_px)
+    )
+
+    obs = df.drop(columns=["centroid_y", "centroid_x"]).copy()
+    obs.index = pd.Index([f"cell_{int(v)}" for v in df["label"]])
+    adata = AnnData(X=df[["straight_v", "straight_h", "cut_score"]].to_numpy(), obs=obs,
+                    var=pd.DataFrame(index=["straight_v", "straight_h", "cut_score"]))
+    adata.obsm["spatial"] = df[["centroid_x", "centroid_y"]].to_numpy()
+    adata.uns["tiling_qc"] = {"tile_size": tile_size, "nmads_cut": nmads_cut}
+    logg.info(f"Flagged `{int(df['tile_cut'].sum())}` of `{len(df)}` cells as tile-cut", time=start)
+
+    if sdata is not None and hasattr(sdata, "tables"):
+        sdata.tables[table_key_added or f"{labels_key}_qc"] = adata
+    return adata

@@ -135,10 +135,11 @@ def histogram_features(arr: np.ndarray, bins: int, v_range: tuple[float, float])
 @partial(jax.jit, static_argnames=("num_labels",))
 def _segment_stats(labels: jax.Array, num_labels: int) -> dict[str, jax.Array]:
     h, w = labels.shape
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     flat = labels.ravel().astype(jnp.int32)
-    ones = jnp.ones_like(flat, dtype=jnp.float32)
-    yy = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
-    xx = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
+    ones = jnp.ones_like(flat, dtype=ftype)
+    yy = jnp.repeat(jnp.arange(h, dtype=ftype), w)
+    xx = jnp.tile(jnp.arange(w, dtype=ftype), h)
 
     area = jax.ops.segment_sum(ones, flat, num_segments=num_labels)
     sy = jax.ops.segment_sum(yy, flat, num_segments=num_labels)
@@ -158,8 +159,9 @@ def _segment_stats(labels: jax.Array, num_labels: int) -> dict[str, jax.Array]:
 
 @partial(jax.jit, static_argnames=("num_labels",))
 def _segment_intensity(labels: jax.Array, intensity: jax.Array, num_labels: int) -> dict[str, jax.Array]:
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     flat = labels.ravel().astype(jnp.int32)
-    v = intensity.ravel().astype(jnp.float32)
+    v = intensity.ravel().astype(ftype)
     s = jax.ops.segment_sum(v, flat, num_segments=num_labels)
     n = jax.ops.segment_sum(jnp.ones_like(v), flat, num_segments=num_labels)
     return {

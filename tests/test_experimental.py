@@ -1,0 +1,314 @@
+"""Experimental subpackage tests: tiling ownership, per-cell featurization,
+stain normalization, QC, tissue detection, tiling QC + stitching — with
+synthetic ellipsoid cells on a jittered grid and known ground truth, modeled
+on the reference's tests/experimental fixtures."""
+
+from __future__ import annotations
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import squidpy_tpu as sq
+from squidpy_tpu.experimental import im as exp_im
+from squidpy_tpu.experimental import tl as exp_tl
+
+
+def _synthetic_cells(n_side: int = 6, spacing: int = 40, radius: int = 9, size: int = 260, seed: int = 0):
+    """Elliptical cells on a jittered grid; returns (labels, image)."""
+    rng = np.random.default_rng(seed)
+    labels = np.zeros((size, size), dtype=np.int32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    lid = 1
+    for i in range(n_side):
+        for j in range(n_side):
+            cy = 30 + i * spacing + rng.integers(-4, 5)
+            cx = 30 + j * spacing + rng.integers(-4, 5)
+            ry, rx = radius, int(radius * 0.7)
+            mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1
+            labels[mask] = lid
+            lid += 1
+    image = (labels > 0).astype(np.float32) * 150 + rng.normal(0, 5, labels.shape).astype(np.float32)
+    return labels, image
+
+
+class TestTiling:
+    def test_cell_info_matches_regionprops(self):
+        labels, _ = _synthetic_cells()
+        info = exp_im.compute_cell_info(labels)
+        from squidpy_tpu.ops.features import regionprops
+
+        res = regionprops(labels, ["label", "area", "centroid"])
+        assert set(info.keys()) == set(res["label"].tolist())
+        for k, lab in enumerate(res["label"]):
+            np.testing.assert_allclose(info[int(lab)].centroid_y, res["centroid-0"][k], rtol=1e-9)
+            np.testing.assert_allclose(info[int(lab)].centroid_x, res["centroid-1"][k], rtol=1e-9)
+
+    def test_tiled_cell_info_matches_whole(self):
+        labels, _ = _synthetic_cells()
+        whole = exp_im.compute_cell_info(labels)
+        tiled = exp_im.compute_cell_info_tiled(labels, chunk_size=64)  # cells span chunks
+        assert set(whole) == set(tiled)
+        for lid in whole:
+            np.testing.assert_allclose(tiled[lid].centroid_y, whole[lid].centroid_y, rtol=1e-9)
+            np.testing.assert_allclose(tiled[lid].centroid_x, whole[lid].centroid_x, rtol=1e-9)
+            assert tiled[lid].bbox_h == whole[lid].bbox_h
+
+    def test_every_cell_owned_exactly_once(self):
+        labels, _ = _synthetic_cells()
+        info = exp_im.compute_cell_info(labels)
+        specs = exp_im.build_tile_specs(labels.shape, info, tile_size=100)
+        owned = [lid for s in specs for lid in s.owned_ids]
+        assert sorted(owned) == sorted(info.keys())  # exactly once
+
+    def test_ownership_masking(self):
+        labels, _ = _synthetic_cells()
+        info = exp_im.compute_cell_info(labels)
+        specs = exp_im.build_tile_specs(labels.shape, info, tile_size=100)
+        seen: set[int] = set()
+        total_area = 0
+        for spec in specs:
+            tile = exp_im.extract_labels_tile(labels, spec)
+            present = set(np.unique(tile).tolist()) - {0}
+            assert present <= set(spec.owned_ids)
+            assert not (present & seen)
+            seen |= present
+            total_area += int((tile > 0).sum())
+        # with auto margin every owned cell is fully contained -> areas add up
+        assert total_area == int((labels > 0).sum())
+
+
+class TestExperimentalFeatures:
+    def test_per_cell_features(self):
+        labels, image = _synthetic_cells()
+        adata = exp_im.calculate_image_features(image, labels, tile_size=100)
+        n_cells = len(np.unique(labels)) - 1
+        assert adata.n_obs == n_cells
+        assert "area" in adata.var_names and "ch0_mean_intensity" in adata.var_names
+        areas = adata.obs_vector("area")
+        from squidpy_tpu.ops.features import regionprops
+
+        want = regionprops(labels, ["label", "area"])
+        np.testing.assert_array_equal(np.sort(areas), np.sort(want["area"]))
+        # cells are bright (150) inside
+        means = adata.obs_vector("ch0_mean_intensity")
+        assert (means > 100).all()
+
+    def test_tiling_invariance(self):
+        labels, image = _synthetic_cells()
+        a1 = exp_im.calculate_image_features(image, labels, tile_size=80)
+        a2 = exp_im.calculate_image_features(image, labels, tile_size=260)
+        np.testing.assert_allclose(np.asarray(a1.X), np.asarray(a2.X), rtol=1e-6)
+
+
+class TestStain:
+    @pytest.fixture()
+    def he_image(self):
+        """Synthetic H&E-like image: purple nuclei on pink background."""
+        rng = np.random.default_rng(0)
+        img = np.full((120, 120, 3), [230.0, 180.0, 200.0])  # pinkish bg
+        yy, xx = np.mgrid[0:120, 0:120]
+        for _ in range(25):
+            cy, cx = rng.integers(10, 110, 2)
+            mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= 36
+            img[mask] = [90.0, 60.0, 140.0]  # purple nuclei
+        img += rng.normal(0, 4, img.shape)
+        return np.clip(img, 0, 255)
+
+    def test_fit_macenko(self, he_image):
+        ref = exp_im.fit_stain_reference(he_image, method="macenko")
+        assert ref.stain_matrix.shape == (3, 3)
+        np.testing.assert_allclose(np.linalg.norm(ref.stain_matrix[:, :2], axis=0), 1.0, rtol=1e-6)
+        assert (ref.max_concentrations > 0).all()
+
+    def test_fit_vahadane(self, he_image):
+        ref = exp_im.fit_stain_reference(he_image, method="vahadane")
+        assert ref.stain_matrix.shape == (3, 3)
+
+    def test_decompose_shapes(self, he_image):
+        conc = exp_im.decompose_stains(he_image)
+        assert conc.shape == he_image.shape
+        assert np.isfinite(conc).all()
+
+    def test_normalize_to_reference(self, he_image):
+        rng = np.random.default_rng(1)
+        shifted = np.clip(he_image * [0.8, 1.1, 0.9] + rng.normal(0, 2, he_image.shape), 1, 255)
+        ref = exp_im.fit_stain_reference(he_image, method="macenko")
+        out = exp_im.normalize_stains(shifted, ref)
+        assert out.dtype == np.uint8
+        assert out.shape == he_image.shape
+        # normalization moves the color distribution toward the reference
+        d_before = np.abs(shifted.mean((0, 1)) - he_image.mean((0, 1))).sum()
+        d_after = np.abs(out.astype(float).mean((0, 1)) - he_image.mean((0, 1))).sum()
+        assert d_after < d_before
+
+    def test_reinhard(self, he_image):
+        shifted = np.clip(he_image * 0.7 + 20, 0, 255)
+        out = exp_im.reinhard_normalize(shifted, reference_image=he_image)
+        d_before = np.abs(shifted.mean((0, 1)) - he_image.mean((0, 1))).sum()
+        d_after = np.abs(out.astype(float).mean((0, 1)) - he_image.mean((0, 1))).sum()
+        assert d_after < d_before
+
+    def test_white_point(self, he_image):
+        wp = exp_im.estimate_white_point(he_image)
+        assert wp.shape == (3,)
+        assert (wp > 150).all()  # bright pink background
+
+
+class TestQCImage:
+    def test_basic_grid(self):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (300, 400), dtype=np.int64).astype(np.uint8)
+        qc = exp_im.qc_image(img, tile_size=100)
+        assert qc.n_obs == 3 * 4
+        assert "tenengrad" in qc.var_names
+        assert "tile_row" in qc.obs
+        assert np.isfinite(np.asarray(qc.X)).all()
+
+    def test_blur_detected(self):
+        """A blurred half must score lower on sharpness metrics."""
+        rng = np.random.default_rng(1)
+        sharp = rng.integers(0, 255, (128, 256)).astype(np.float32)
+        from squidpy_tpu.ops.filters import gaussian_blur
+
+        img = sharp.copy()
+        img[:, 128:] = gaussian_blur(sharp[:, 128:], 4.0)
+        qc = exp_im.qc_image(img, tile_size=128, metrics=["tenengrad", "var_of_laplacian"])
+        t = qc.obs_vector("tenengrad")
+        assert t[0] > 5 * t[1]
+
+    def test_hne_metrics_require_rgb(self):
+        img = np.zeros((64, 64))
+        with pytest.raises(ValueError, match="RGB"):
+            exp_im.qc_image(img, tile_size=32, metrics=["hematoxylin_mean"])
+
+    def test_hne_metrics_on_rgb(self):
+        rng = np.random.default_rng(2)
+        img = rng.integers(50, 255, (64, 64, 3)).astype(np.uint8)
+        qc = exp_im.qc_image(img, tile_size=32, metrics=["hematoxylin_mean", "eosin_mean", "he_ratio"])
+        assert qc.shape == (4, 3)
+
+    def test_plot(self, tmp_path):
+        img = np.random.default_rng(0).integers(0, 255, (128, 128)).astype(np.uint8)
+        qc = exp_im.qc_image(img, tile_size=32)
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        exp_pl.qc_image(qc, metrics=["tenengrad"], save=str(tmp_path / "qc.png"))
+        assert (tmp_path / "qc.png").exists()
+
+
+class TestDetectTissue:
+    def test_detects_dark_blob(self):
+        rng = np.random.default_rng(0)
+        img = np.full((200, 200), 240.0) + rng.normal(0, 3, (200, 200))
+        yy, xx = np.mgrid[0:200, 0:200]
+        blob = (yy - 100) ** 2 + (xx - 100) ** 2 <= 50**2
+        img[blob] = 120 + rng.normal(0, 10, blob.sum())
+        mask = exp_im.detect_tissue(img, downscale_to=128)
+        inter = (mask & blob).sum()
+        union = (mask | blob).sum()
+        assert inter / union > 0.8
+
+    def test_kmeans_method(self):
+        rng = np.random.default_rng(0)
+        img = np.full((150, 150), 230.0)
+        img[40:110, 40:110] = 100.0
+        img += rng.normal(0, 2, img.shape)
+        mask = exp_im.detect_tissue(img, method="kmeans", downscale_to=150)
+        assert mask[70, 70] and not mask[10, 10]
+
+    def test_invalid_method(self):
+        with pytest.raises(ValueError, match="method"):
+            exp_im.detect_tissue(np.zeros((50, 50)), method="banana")
+
+
+class TestMakeTiles:
+    def test_classification(self):
+        mask = np.zeros((200, 200), dtype=bool)
+        mask[:100, :100] = True  # tissue quadrant
+        tiles = exp_im.make_tiles(np.zeros((200, 200)), tissue_mask=mask, tile_size=(100, 100))
+        assert len(tiles) == 4
+        cls = tiles.set_index(["tile_row", "tile_col"])["tile_classification"]
+        assert cls.loc[(0, 0)] == "tissue"
+        assert cls.loc[(1, 1)] == "background"
+
+    def test_from_spots(self):
+        spots = np.array([[50.0, 50.0], [50.0, 90.0], [90.0, 50.0], [90.0, 90.0]])
+        tiles = exp_im.make_tiles_from_spots(spots)
+        assert len(tiles) == 4
+        # inferred tile size equals vertical spacing (40)
+        assert (tiles["pixel_y1"] - tiles["pixel_y0"] == 40).all()
+
+
+class TestTilingQCStitch:
+    @pytest.fixture()
+    def cut_labels(self):
+        """Cells cut along a vertical tile border at x=100 (grid spacing
+        chosen so one column of cells straddles the border)."""
+        labels, _ = _synthetic_cells(size=200, n_side=4, spacing=35)
+        cut = labels.copy()
+        # simulate a tiled segmentation artifact: relabel right-halves of
+        # cells crossing x=100 with new ids
+        next_id = labels.max() + 1
+        crossing = [
+            lid for lid in np.unique(labels) if lid and (labels[:, :100] == lid).any() and (labels[:, 100:] == lid).any()
+        ]
+        for lid in crossing:
+            right = (cut == lid)
+            right[:, :100] = False
+            cut[right] = next_id
+            next_id += 1
+        return cut, crossing
+
+    def test_cut_cells_flagged(self, cut_labels):
+        cut, crossing = cut_labels
+        assert len(crossing) >= 2  # fixture sanity
+        qc = exp_tl.calculate_tiling_qc(cut, tile_size=100)
+        flagged = set(qc.obs.loc[np.asarray(qc.obs["tile_cut"], dtype=bool), "label"].tolist())
+        # every artificial cut produced two flagged pieces
+        assert len(flagged) >= len(crossing)
+        intact = [lid for lid in np.unique(cut) if lid and lid not in flagged]
+        assert len(intact) > 0  # not everything is flagged
+
+    def test_stitch_groups_rejoin_pieces(self, cut_labels):
+        cut, crossing = cut_labels
+        qc = exp_tl.calculate_tiling_qc(cut, tile_size=100)
+        obs = exp_tl.assign_stitch_groups(cut, qc, tile_size=100, min_confidence=0.3)
+        groups = obs.groupby("stitch_group_id").size()
+        assert (groups > 1).sum() >= len(crossing) // 2
+
+        res = exp_im.make_stitched_labels(cut, qc)
+        stitched = res["labels"]
+        # stitched image has fewer distinct labels than the cut one
+        assert len(np.unique(stitched)) < len(np.unique(cut))
+        assert res["table"] is not None
+
+    def test_plot(self, cut_labels, tmp_path):
+        cut, _ = cut_labels
+        qc = exp_tl.calculate_tiling_qc(cut, tile_size=100)
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        exp_pl.tiling_qc(qc, labels=cut, save=str(tmp_path / "tq.png"))
+        assert (tmp_path / "tq.png").exists()
+
+
+class TestUtils:
+    def test_derive_mpp(self):
+        from squidpy_tpu.experimental.utils import derive_mpp_from_shapes
+
+        radii = np.full(10, 27.5)  # 55 px diameter -> 1 um/px
+        assert derive_mpp_from_shapes(radii) == pytest.approx(1.0)
+
+    def test_iter_chunked_regionprops(self):
+        from squidpy_tpu.experimental.utils import iter_chunked_regionprops
+
+        labels, image = _synthetic_cells()
+        chunks = list(iter_chunked_regionprops(labels, chunk_size=130, intensity_image=image,
+                                               properties=["label", "area", "centroid", "mean_intensity"]))
+        assert len(chunks) >= 4
+        total_area = sum(c["area"].sum() for c in chunks)
+        assert total_area == (labels > 0).sum()
