@@ -73,7 +73,7 @@ def spatial_autocorr(
     show_progress_bar: bool = True,
     *,
     table_key: str | None = None,
-    gene_block_size: int = 2048,
+    gene_block_size: int | None = None,
 ) -> pd.DataFrame | None:
     """Global spatial autocorrelation (Moran's I or Geary's C) per feature.
 
@@ -150,6 +150,10 @@ def spatial_autocorr(
     graph = SpatialGraph.from_csr(g_csr)
     s0 = float(g_csr.sum())
     n_cells, n_feats = np.asarray(vals).shape if not sp.issparse(vals) else vals.shape
+    if gene_block_size is None:
+        # keep the (n_cells, block) expression buffer + SpMV accumulator
+        # within ~2.5 GB of HBM; large blocks amortize the per-dispatch cost
+        gene_block_size = int(np.clip(2.5e9 // max(4 * n_cells, 1), 64, 2048))
 
     start = logg.info(f"Calculating {mode}'s statistic for `{n_perms}` permutations on device")
 
