@@ -30,7 +30,7 @@ from squidpy_tpu.gr._utils import (
     extract_adata_if_sdata,
 )
 from squidpy_tpu.ops.nhood import cluster_pair_counts, permuted_pair_counts
-from squidpy_tpu.utils import NDArrayA, assert_positive, logg
+from squidpy_tpu.utils import NDArrayA, assert_positive, logg, to_host
 
 __all__ = ["nhood_enrichment", "centrality_scores", "interaction_matrix", "NhoodEnrichmentResult"]
 
@@ -90,7 +90,7 @@ def nhood_enrichment(
     else:
         shuffled = permutation_batch(keys, labels_dev)
 
-    perms = np.asarray(permuted_pair_counts(graph.indices, graph.mask, shuffled, n_cls), dtype=np.float64)
+    perms = to_host(permuted_pair_counts(graph.indices, graph.mask, shuffled, n_cls), dtype=np.float64)
     # zero-variance pairs (e.g. singleton clusters) yield NaN, matching the
     # reference; suppress only the warning
     with np.errstate(invalid="ignore", divide="ignore"):

@@ -28,7 +28,7 @@ from scipy.spatial import Delaunay
 from sklearn.metrics.pairwise import cosine_similarity
 
 from squidpy_tpu._constants._constants import CoordType, Transform
-from squidpy_tpu.ops.knn import brute_force_knn, radius_neighbors
+from squidpy_tpu.ops.knn import auto_knn, radius_neighbors
 from squidpy_tpu.utils import NDArrayA, assert_positive
 
 __all__ = [
@@ -166,7 +166,7 @@ class KNNBuilder(GraphBuilderCSR):
 
     def build_graph(self, coords: NDArrayA) -> tuple[csr_matrix, csr_matrix]:
         n = coords.shape[0]
-        dists, col_indices = brute_force_knn(coords, self.n_neighs)
+        dists, col_indices = auto_knn(coords, self.n_neighs)
         return _knn_to_csr(dists, col_indices, n, set_diag=self.set_diag)
 
 
@@ -309,7 +309,7 @@ class GridBuilder(GraphBuilderCSR):
             indptr, indices = tri.vertex_neighbor_vertices
             adj = csr_matrix((np.ones_like(indices, dtype=np.float32), indices, indptr), shape=(n, n))
         else:
-            dists, col_indices = brute_force_knn(coords, self.n_neighs)
+            dists, col_indices = auto_knn(coords, self.n_neighs)
             dists_f, cols_f = dists.reshape(-1), col_indices.reshape(-1)
             rows_f = np.repeat(np.arange(n), self.n_neighs)
             # keep only lattice-adjacent candidates: grid spacing is near the

@@ -76,8 +76,10 @@ def co_occurrence_counts(
         n_cls,
         min(row_tile, max(8, n)),
     )
+    from squidpy_tpu.utils import to_host
+
     # (L, C, C) -> (C, C, L)
-    return np.transpose(np.asarray(out, dtype=np.float64), (1, 2, 0))
+    return np.transpose(to_host(out, dtype=np.float64), (1, 2, 0))
 
 
 def co_occurrence_probs(counts: np.ndarray) -> np.ndarray:

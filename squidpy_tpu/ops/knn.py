@@ -18,7 +18,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["brute_force_knn", "cross_knn", "pairwise_sq_dists", "radius_neighbors"]
+__all__ = ["auto_knn", "brute_force_knn", "cross_knn", "pairwise_sq_dists", "radius_neighbors"]
+
+# above this size the O(n²) device sweep loses to a host tree (C, O(n log n));
+# both are exact, so the dispatch is purely a performance decision
+_BRUTE_FORCE_MAX_N = 50_000
+
+
+def auto_knn(coords: "np.ndarray", k: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Exact kNN with automatic engine dispatch: device MXU brute force for
+    small/medium n, multi-threaded host KDTree beyond the O(n²) crossover."""
+    coords = np.ascontiguousarray(coords)
+    if coords.shape[0] <= _BRUTE_FORCE_MAX_N:
+        return brute_force_knn(coords, k)
+    from sklearn.neighbors import NearestNeighbors
+
+    if k >= coords.shape[0]:
+        raise ValueError(f"Expected `n_neighs` < number of observations ({coords.shape[0]}), found `{k}`.")
+    tree = NearestNeighbors(n_neighbors=k, n_jobs=-1).fit(coords)
+    d, i = tree.kneighbors()
+    return d, i.astype(np.int32)
 
 
 def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:

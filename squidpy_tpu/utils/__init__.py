@@ -4,6 +4,7 @@ from squidpy_tpu.utils._utils import (
     _ensure_dim_order,
     chunked_vmap,
     deprecated_params,
+    to_host,
 )
 from squidpy_tpu.utils._validators import (
     assert_in_range,
@@ -19,6 +20,7 @@ __all__ = [
     "verbosity",
     "chunked_vmap",
     "deprecated_params",
+    "to_host",
     "_ensure_dim_order",
     "assert_positive",
     "assert_non_negative",

@@ -21,7 +21,22 @@ import numpy as np
 
 NDArrayA = np.ndarray
 
-__all__ = ["NDArrayA", "chunked_vmap", "deprecated_params", "_ensure_dim_order"]
+__all__ = ["NDArrayA", "chunked_vmap", "deprecated_params", "to_host", "_ensure_dim_order"]
+
+
+def to_host(x: "jax.Array", dtype: Any = None) -> np.ndarray:
+    """Device→host transfer that flattens ≥3D arrays to 2D first.
+
+    The TPU runtime relayouts ≥3D arrays with non-tile-aligned inner
+    dimensions slice by slice on transfer (observed: a (1000, 12, 12) float32
+    took 267s where the same bytes as (1000, 144) took 0.05s). Reshaping on
+    device is free and sidesteps it.
+    """
+    shape = x.shape
+    if x.ndim > 2:
+        x = x.reshape(shape[0], -1)
+    out = np.asarray(x).reshape(shape)
+    return out.astype(dtype) if dtype is not None else out
 
 T = TypeVar("T")
 
