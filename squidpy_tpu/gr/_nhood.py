@@ -90,7 +90,9 @@ def nhood_enrichment(
     else:
         shuffled = permutation_batch(keys, labels_dev)
 
-    perms = to_host(permuted_pair_counts(graph.indices, graph.mask, shuffled, n_cls), dtype=np.float64)
+    from squidpy_tpu.parallel.sharded import auto_permuted_pair_counts
+
+    perms = to_host(auto_permuted_pair_counts(graph.indices, graph.mask, shuffled, n_cls), dtype=np.float64)
     # zero-variance pairs (e.g. singleton clusters) yield NaN, matching the
     # reference; suppress only the warning
     with np.errstate(invalid="ignore", divide="ignore"):

@@ -214,11 +214,16 @@ def co_occurrence(
     copy: bool = False,
     *,
     table_key: str | None = None,
+    use_pallas: bool = False,
 ) -> tuple[NDArrayA, NDArrayA] | None:
     """Co-occurrence probability of clusters across distance thresholds.
 
     Device kernel: tiled pairwise-distance blocks on the MXU with per-threshold
-    one-hot class reductions (:mod:`squidpy_tpu.ops.cooccur`). Stores
+    one-hot class reductions (:mod:`squidpy_tpu.ops.cooccur`). With
+    ``use_pallas=True`` the fused Pallas kernel
+    (:mod:`squidpy_tpu.ops.pallas_pairs`) keeps the O(n²) distance block in
+    VMEM — identical counts, but the first call pays a long Mosaic compile on
+    this environment's remote-compile path. Stores
     ``uns['{cluster_key}_co_occurrence'] = {'occ', 'interval'}``.
     """
     adata = extract_adata_if_sdata(adata, table_key=table_key)
@@ -240,7 +245,12 @@ def co_occurrence(
 
     start = logg.info(f"Calculating co-occurrence probabilities for `{len(interval)}` intervals on device")
     thresholds = (interval[1:].astype(np.float64) ** 2).astype(np.float32)
-    counts = co_occurrence_counts(spatial, labs, thresholds, n_cls)
+    if use_pallas:
+        from squidpy_tpu.ops.pallas_pairs import cooccur_counts_pallas
+
+        counts = cooccur_counts_pallas(spatial, labs, thresholds, n_cls)
+    else:
+        counts = co_occurrence_counts(spatial, labs, thresholds, n_cls)
     out = co_occurrence_probs(counts)
 
     if copy:

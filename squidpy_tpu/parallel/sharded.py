@@ -23,7 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from squidpy_tpu.ops.autocorr import moran_scores
 from squidpy_tpu.utils import chunked_vmap
 
-__all__ = ["sharded_pair_counts", "sharded_permuted_pair_counts", "sharded_moran_scores"]
+__all__ = [
+    "sharded_pair_counts",
+    "sharded_permuted_pair_counts",
+    "sharded_moran_scores",
+    "auto_permuted_pair_counts",
+]
 
 
 def _pair_counts_local(indices, mask, row_labels, full_labels, n_cls):
@@ -99,6 +104,32 @@ def sharded_permuted_pair_counts(
         return jax.lax.psum(parts, axis)
 
     return f(indices, mask, shuffled_labels, shuffled_labels)
+
+
+def auto_permuted_pair_counts(
+    indices: jax.Array,
+    mask: jax.Array,
+    shuffled_labels: jax.Array,
+    n_cls: int,
+) -> jax.Array:
+    """Batched permutation counts, sharded over all local devices when more
+    than one is available (cell axis padded to the mesh size; padded rows are
+    mask-false and contribute nothing). Bitwise equal to the single-device
+    kernel — the sharding-invariance contract."""
+    from squidpy_tpu.ops.nhood import permuted_pair_counts
+    from squidpy_tpu.parallel.mesh import cell_mesh
+
+    n_dev = jax.device_count()
+    if n_dev <= 1:
+        return permuted_pair_counts(indices, mask, shuffled_labels, n_cls)
+
+    n = indices.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        indices = jnp.pad(indices, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        shuffled_labels = jnp.pad(shuffled_labels, ((0, 0), (0, pad)))
+    return sharded_permuted_pair_counts(cell_mesh(), indices, mask, shuffled_labels, n_cls)
 
 
 def sharded_moran_scores(
