@@ -580,6 +580,19 @@ class ImageContainer(FeatureMixin):
         self._layers[new] = self._layers.pop(old)
         return self
 
+    def interactive(self, adata: Any, **kwargs: Any) -> Any:
+        """Launch the napari-based interactive viewer (requires ``napari``)."""
+        try:
+            import napari  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "Interactive viewing requires the optional `napari` package: `pip install napari`."
+            ) from e
+        viewer = napari.Viewer()
+        for name, arr in self._layers.items():
+            viewer.add_image(arr[:, :, 0, :].squeeze(), name=name)
+        return viewer
+
     def compute(self, layer: str | None = None) -> ImageContainer:
         """No-op (arrays are eager in this build); kept for API parity."""
         return self

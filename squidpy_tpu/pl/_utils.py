@@ -19,7 +19,33 @@ import pandas as pd
 from squidpy_tpu._constants._pkg_constants import Key
 from squidpy_tpu.utils import NDArrayA, logg
 
-__all__ = ["save_fig", "extract", "_get_palette", "_heatmap"]
+__all__ = ["save_fig", "extract", "_get_palette", "_heatmap", "_points_inside_triangles"]
+
+
+def _points_inside_triangles(points: NDArrayA, triangles: NDArrayA) -> NDArrayA:
+    """Vectorized point-in-triangle tests for interactive selection.
+
+    ``points``: (n, 2); ``triangles``: (m, 3, 2). Returns a boolean (n,) mask
+    of points inside ANY triangle (reference: pl/_utils.py:179-205, numba
+    prange loop — here one broadcasted barycentric-sign test).
+    """
+    points = np.asarray(points, dtype=float)
+    triangles = np.asarray(triangles, dtype=float)
+    a, b, c = triangles[:, 0], triangles[:, 1], triangles[:, 2]  # (m, 2) each
+
+    def sign(p1: NDArrayA, p2: NDArrayA, p3: NDArrayA) -> NDArrayA:
+        # (n, m) cross-product z for each (point, triangle-edge)
+        return (p1[:, None, 0] - p3[None, :, 0]) * (p2[None, :, 1] - p3[None, :, 1]) - (
+            p2[None, :, 0] - p3[None, :, 0]
+        ) * (p1[:, None, 1] - p3[None, :, 1])
+
+    d1 = sign(points, a, b)
+    d2 = sign(points, b, c)
+    d3 = sign(points, c, a)
+    has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    inside = ~(has_neg & has_pos)  # (n, m)
+    return inside.any(axis=1)
 
 
 def save_fig(fig: mpl.figure.Figure, path: str | Path, make_dir: bool = True, ext: str = "png", **kwargs: Any) -> None:

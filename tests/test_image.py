@@ -293,3 +293,43 @@ class TestCalculateImageFeatures:
         df = sq.im.calculate_image_features(adata, cont, features="summary", copy=True)
         assert df is not None
         assert "img_features" not in adata.obsm
+
+
+class TestImageIO:
+    def test_infer_shape_dtype(self):
+        from squidpy_tpu.im._io import _infer_shape_dtype
+
+        shape, dtype = _infer_shape_dtype("/root/reference/tests/_data/test_img.jpg")
+        assert shape == (1717, 950, 3)
+        assert dtype == np.uint8
+
+    def test_lazy_load(self):
+        from squidpy_tpu.im._io import _lazy_load_image
+
+        lazy = _lazy_load_image("/root/reference/tests/_data/test_img.jpg")
+        assert lazy.shape == (1717, 950, 3)
+        assert lazy._data is None  # nothing read yet
+        crop = lazy[10:20, 10:20]
+        assert crop.shape == (10, 10, 3)
+
+    def test_infer_dimensions(self):
+        from squidpy_tpu.im._io import _infer_dimensions
+
+        assert _infer_dimensions((100, 200)) == (0, 1, -1, -1)
+        assert _infer_dimensions((100, 200, 3)) == (0, 1, -1, 2)
+        assert _infer_dimensions((3, 100, 200)) == (1, 2, -1, 0)
+        assert _infer_dimensions((100, 200, 3), "z_last") == (0, 1, 2, -1)
+
+    def test_interactive_gated(self, cont):
+        with pytest.raises(ImportError, match="napari"):
+            cont.interactive(None)
+
+
+class TestPointsInTriangles:
+    def test_basic(self):
+        from squidpy_tpu.pl._utils import _points_inside_triangles
+
+        tri = np.array([[[0, 0], [4, 0], [0, 4]]], dtype=float)
+        pts = np.array([[1, 1], [3, 3], [0.5, 0.5], [5, 5]])
+        got = _points_inside_triangles(pts, tri)
+        np.testing.assert_array_equal(got, [True, False, True, False])
