@@ -164,24 +164,48 @@ def spatial_autocorr(
     else:
         perms_idx = None
 
+    import jax
+
+    n_dev = jax.device_count()
+    gene_sharding = None
+    if n_dev > 1:
+        # genes are embarrassingly parallel: shard the gene axis over all
+        # local devices (graph arrays are replicated by jit automatically)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from squidpy_tpu.parallel.mesh import default_mesh
+
+        gene_sharding = NamedSharding(default_mesh(axis_name="genes"), P(None, "genes"))
+
     score_parts: list[np.ndarray] = []
     sims_parts: list[np.ndarray] = []
     row_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=1)).ravel())
     for start_col in range(0, n_feats, gene_block_size):
         block = _to_dense_block(vals, slice(start_col, start_col + gene_block_size))
-        xb = jnp.asarray(block)
-        if mode == SpatialAutocorr.MORAN:
-            score_parts.append(np.asarray(moran_scores(graph.indices, graph.weights, xb, s0)))
+        n_block = block.shape[1]
+        pad_g = 0
+        if gene_sharding is not None:
+            pad_g = (-n_block) % n_dev
+            if pad_g:
+                block = np.pad(block, ((0, 0), (0, pad_g)))
+            xb = jax.device_put(jnp.asarray(block), gene_sharding)
         else:
-            score_parts.append(np.asarray(geary_scores(graph.indices, graph.weights, graph.mask, xb, s0)))
+            xb = jnp.asarray(block)
+        def _strip(arr: np.ndarray, axis: int = -1) -> np.ndarray:
+            return arr[..., : n_block] if pad_g else arr
+
+        if mode == SpatialAutocorr.MORAN:
+            score_parts.append(_strip(np.asarray(moran_scores(graph.indices, graph.weights, xb, s0))))
+        else:
+            score_parts.append(_strip(np.asarray(geary_scores(graph.indices, graph.weights, graph.mask, xb, s0))))
         if perms_idx is not None:
             zb = xb - jnp.mean(xb, axis=0, keepdims=True)
             ub = spmv_genes(graph.indices, graph.weights, zb)
             if mode == SpatialAutocorr.MORAN:
-                sims_parts.append(np.asarray(moran_perm_scores(zb, ub, perms_idx, s0)))
+                sims_parts.append(_strip(np.asarray(moran_perm_scores(zb, ub, perms_idx, s0))))
             else:
                 vb = spmv_genes(graph.indices, graph.weights, zb * zb)
-                sims_parts.append(np.asarray(geary_perm_scores(zb, ub, vb, row_sums_dev, perms_idx, s0)))
+                sims_parts.append(_strip(np.asarray(geary_perm_scores(zb, ub, vb, row_sums_dev, perms_idx, s0))))
 
     score = np.concatenate(score_parts) if score_parts else np.empty(0)
     sims = np.concatenate(sims_parts, axis=1) if sims_parts else None
