@@ -26,6 +26,10 @@ __all__ = [
     "histogram_features",
     "summary_features",
     "regionprops",
+    "summary_features_batch",
+    "histogram_features_batch",
+    "glcm_batch",
+    "glcm_props_batch",
 ]
 
 
@@ -130,6 +134,182 @@ def histogram_features(arr: np.ndarray, bins: int, v_range: tuple[float, float])
     lo, hi = float(v_range[0]), float(v_range[1])
     hist, _ = jnp.histogram(a, bins=bins, range=(lo, hi))
     return np.asarray(hist)
+
+
+@partial(jax.jit, static_argnames=("quantiles",))
+def _summary_batch_kernel(arr: jax.Array, quantiles: tuple[float, ...]) -> dict[str, jax.Array]:
+    # arr: (n_crops, h, w, c). One sort per (crop, channel) + interpolated
+    # gathers — jnp.quantile's general lowering compiles pathologically here.
+    flat = arr.reshape(arr.shape[0], -1, arr.shape[-1])
+    p = flat.shape[1]
+    sorted_vals = jnp.sort(flat, axis=1)
+    qs = []
+    for q in quantiles:
+        pos = q * (p - 1)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, p - 1)
+        frac = pos - lo
+        qs.append(sorted_vals[:, lo, :] * (1 - frac) + sorted_vals[:, hi, :] * frac)
+    return {
+        "quantiles": jnp.stack(qs, axis=1),  # (n, Q, c)
+        "mean": jnp.mean(flat, axis=1),      # (n, c)
+        "std": jnp.std(flat, axis=1),
+    }
+
+
+def summary_features_batch(crops: np.ndarray, quantiles: tuple[float, ...]) -> dict[str, np.ndarray]:
+    """Per-channel quantiles/mean/std for a stacked crop batch in ONE device
+    call — the batched counterpart of :func:`summary_features` (one host↔device
+    round-trip for the whole observation set instead of one per crop)."""
+    from squidpy_tpu.utils import to_host
+
+    out = _summary_batch_kernel(jnp.asarray(np.asarray(crops, dtype=np.float32)), tuple(quantiles))
+    return {k: to_host(v) for k, v in out.items()}
+
+
+@partial(jax.jit, static_argnames=("bins", "per_crop_range"))
+def _histogram_batch_kernel(
+    arr: jax.Array, bins: int, lo: jax.Array, hi: jax.Array, per_crop_range: bool
+) -> jax.Array:
+    flat = arr.reshape(arr.shape[0], -1, arr.shape[-1])  # (n, p, c)
+    if per_crop_range:
+        # reference semantics with v_range=None: whole-crop (all channels) range
+        lo = jnp.min(flat, axis=(1, 2))[:, None, None]
+        hi = jnp.max(flat, axis=(1, 2))[:, None, None]
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    idx = jnp.clip(((flat - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    onehot = jax.nn.one_hot(idx, bins, dtype=jnp.float32)  # (n, p, c, bins)
+    return jnp.sum(onehot, axis=1)  # (n, c, bins)
+
+
+def histogram_features_batch(
+    crops: np.ndarray, bins: int, v_range: tuple[float, float] | None
+) -> np.ndarray:
+    """Fixed-range histogram counts ``(n_crops, c, bins)`` in one device call.
+
+    ``v_range=None`` uses each crop's own range (the reference's behavior);
+    the top edge is inclusive as in numpy.histogram."""
+    from squidpy_tpu.utils import to_host
+
+    arr = jnp.asarray(np.asarray(crops, dtype=np.float32))
+    if v_range is None:
+        hist = _histogram_batch_kernel(arr, bins, jnp.float32(0), jnp.float32(1), True)
+    else:
+        hist = _histogram_batch_kernel(arr, bins, jnp.float32(v_range[0]), jnp.float32(v_range[1]), False)
+    return to_host(hist)
+
+
+@partial(jax.jit, static_argnames=("row_off", "col_off", "levels"))
+def _glcm_batch_kernel(images: jax.Array, row_off: int, col_off: int, levels: int) -> jax.Array:
+    # images: (n, h, w) int32. The shifted co-occurrence partner is a static
+    # roll — NO per-pixel gather (scalar gathers are pathological on this TPU
+    # runtime); out-of-bounds pairs are masked by coordinate.
+    n, h, w = images.shape
+    j_vals = jnp.roll(images, (-row_off, -col_off), axis=(1, 2))
+    rr = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = ((rr + row_off >= 0) & (rr + row_off < h) & (cc + col_off >= 0) & (cc + col_off < w))
+
+    def one(img: jax.Array, jv: jax.Array) -> jax.Array:
+        w_valid = valid.astype(jnp.float32).ravel()
+        oh_i = jax.nn.one_hot(img.ravel(), levels, dtype=jnp.float32) * w_valid[:, None]
+        oh_j = jax.nn.one_hot(jv.ravel(), levels, dtype=jnp.float32)
+        return jnp.dot(oh_i.T, oh_j, preferred_element_type=jnp.float32)
+
+    return jax.vmap(one)(images, j_vals)
+
+
+def glcm_batch(
+    images: np.ndarray,
+    distances: list[int],
+    angles: list[float],
+    levels: int = 256,
+) -> np.ndarray:
+    """GLCMs for a batch of same-size grayscale crops: ``(n, levels, levels,
+    n_dist, n_angle)`` with skimage conventions, one device call per offset."""
+    from squidpy_tpu.utils import to_host
+
+    images = np.ascontiguousarray(images)
+    if images.dtype != np.uint8 and levels <= 256:
+        images = images.astype(np.uint8)
+    imgs_j = jnp.asarray(images.astype(np.int32))
+    n = images.shape[0]
+    P = np.zeros((n, levels, levels, len(distances), len(angles)), dtype=np.float64)
+    for di, d in enumerate(distances):
+        for ai, a in enumerate(angles):
+            row = int(round(np.sin(a) * d))
+            col = int(round(np.cos(a) * d))
+            P[:, :, :, di, ai] = to_host(_glcm_batch_kernel(imgs_j, row, col, levels))
+    return P
+
+
+def _graycoprops_device(P: jax.Array, props: tuple[str, ...]) -> jax.Array:
+    """skimage ``graycoprops`` formulas as device reductions over a (n, L, L)
+    normalized-GLCM batch; returns (n, n_props)."""
+    levels = P.shape[-1]
+    sums = jnp.sum(P, axis=(-2, -1), keepdims=True)
+    Pn = P / jnp.where(sums == 0, 1.0, sums)
+    I = jax.lax.broadcasted_iota(jnp.float32, (levels, levels), 0)
+    J = jax.lax.broadcasted_iota(jnp.float32, (levels, levels), 1)
+    out = []
+    for prop in props:
+        if prop == "contrast":
+            out.append(jnp.sum(Pn * (I - J) ** 2, axis=(-2, -1)))
+        elif prop == "dissimilarity":
+            out.append(jnp.sum(Pn * jnp.abs(I - J), axis=(-2, -1)))
+        elif prop == "homogeneity":
+            out.append(jnp.sum(Pn / (1.0 + (I - J) ** 2), axis=(-2, -1)))
+        elif prop == "ASM":
+            out.append(jnp.sum(Pn * Pn, axis=(-2, -1)))
+        elif prop == "energy":
+            out.append(jnp.sqrt(jnp.sum(Pn * Pn, axis=(-2, -1))))
+        elif prop == "correlation":
+            mean_i = jnp.sum(I * Pn, axis=(-2, -1), keepdims=True)
+            mean_j = jnp.sum(J * Pn, axis=(-2, -1), keepdims=True)
+            std_i = jnp.sqrt(jnp.sum(Pn * (I - mean_i) ** 2, axis=(-2, -1)))
+            std_j = jnp.sqrt(jnp.sum(Pn * (J - mean_j) ** 2, axis=(-2, -1)))
+            cov = jnp.sum(Pn * (I - mean_i) * (J - mean_j), axis=(-2, -1))
+            denom = std_i * std_j
+            out.append(jnp.where(denom < 1e-15, 1.0, cov / jnp.where(denom == 0, 1.0, denom)))
+        else:
+            raise ValueError(f"`{prop}` is an invalid property.")
+    return jnp.stack(out, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("row_off", "col_off", "levels", "props"))
+def _glcm_props_kernel(images: jax.Array, row_off: int, col_off: int, levels: int, props: tuple[str, ...]) -> jax.Array:
+    P = _glcm_batch_kernel(images, row_off, col_off, levels)
+    return _graycoprops_device(P, props)
+
+
+def glcm_props_batch(
+    images: np.ndarray,
+    distances: list[int],
+    angles: list[float],
+    props: tuple[str, ...],
+    levels: int = 256,
+) -> np.ndarray:
+    """Texture properties for a crop batch, fully on device.
+
+    Returns ``(n, n_dist, n_angle, n_props)``. Only the scalar properties
+    cross the host boundary — the (n, 256, 256) co-occurrence matrices never
+    leave the chip (the host tunnel here moves ~17 MB/s, so shipping GLCMs is
+    the bottleneck, not computing them).
+    """
+    from squidpy_tpu.utils import to_host
+
+    images = np.ascontiguousarray(images)
+    if images.dtype != np.uint8 and levels <= 256:
+        images = images.astype(np.uint8)
+    imgs_j = jnp.asarray(images.astype(np.int32))
+    n = images.shape[0]
+    out = np.zeros((n, len(distances), len(angles), len(props)), dtype=np.float64)
+    for di, d in enumerate(distances):
+        for ai, a in enumerate(angles):
+            row = int(round(np.sin(a) * d))
+            col = int(round(np.cos(a) * d))
+            out[:, di, ai, :] = to_host(_glcm_props_kernel(imgs_j, row, col, levels, tuple(props)))
+    return out
 
 
 @partial(jax.jit, static_argnames=("num_labels",))

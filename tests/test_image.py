@@ -333,3 +333,46 @@ class TestPointsInTriangles:
         pts = np.array([[1, 1], [3, 3], [0.5, 0.5], [5, 5]])
         got = _points_inside_triangles(pts, tri)
         np.testing.assert_array_equal(got, [True, False, True, False])
+
+
+class TestBatchedFeatures:
+    def test_batched_matches_per_crop(self, cont):
+        """The batched fast path must reproduce the per-crop path's values."""
+        adata = sq.AnnData(X=np.zeros((4, 1)), obs=pd.DataFrame(index=[f"s{i}" for i in range(4)]))
+        adata.obsm["spatial"] = np.array([[30, 30], [60, 50], [90, 70], [50, 20]], dtype=float)
+        adata.uns["spatial"] = {"lib": {"scalefactors": {"spot_diameter_fullres": 20}}}
+
+        batched = sq.im.calculate_image_features(
+            adata, cont, features=["summary", "histogram", "texture"], copy=True
+        )
+        # force the per-crop path by including a non-batchable feature set:
+        # call mixin per crop manually
+        rows = []
+        for crop, obs in cont.generate_spot_crops(adata, return_obs=True):
+            d = {}
+            d.update(crop.features_summary("image"))
+            d.update(crop.features_histogram("image"))
+            d.update(crop.features_texture("image"))
+            rows.append(pd.Series(d, name=obs))
+        per_crop = pd.DataFrame(rows)
+
+        assert set(batched.columns) == set(per_crop.columns)
+        for col in per_crop.columns:
+            np.testing.assert_allclose(
+                batched[col].to_numpy(dtype=float),
+                per_crop[col].to_numpy(dtype=float),
+                rtol=1e-4, atol=1e-2,
+                err_msg=col,
+            )
+
+    def test_ragged_crops_fall_back(self, cont):
+        """Different spot diameters per library -> per-crop path still works."""
+        adata = sq.AnnData(X=np.zeros((2, 1)), obs=pd.DataFrame(
+            {"lib": pd.Categorical(["a", "b"])}, index=["s0", "s1"]))
+        adata.obsm["spatial"] = np.array([[30, 30], [60, 50]], dtype=float)
+        adata.uns["spatial"] = {
+            "a": {"scalefactors": {"spot_diameter_fullres": 20}},
+            "b": {"scalefactors": {"spot_diameter_fullres": 40}},
+        }
+        df = sq.im.calculate_image_features(adata, cont, features="summary", library_id="lib", copy=True)
+        assert df.shape[0] == 2
