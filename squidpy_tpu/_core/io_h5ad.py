@@ -146,6 +146,8 @@ def _write_elem(group: h5py.Group, key: str, value: Any) -> None:
         sub = group.create_group(key)
         _set_enc(sub, "dict", "0.1.0")
         for k, v in value.items():
+            if str(k).startswith("__squidpy_tpu"):
+                continue  # device-side caches are not persisted
             _write_elem(sub, str(k), v)
         return
     if isinstance(value, str):

@@ -21,7 +21,7 @@ import pandas as pd
 
 from squidpy_tpu._constants._constants import Centrality
 from squidpy_tpu._constants._pkg_constants import Key
-from squidpy_tpu._core.graph import SpatialGraph
+from squidpy_tpu._core.graph import SpatialGraph, graph_from_adata
 from squidpy_tpu._core.rng import permutation_batch, shuffle_group_batch, spawn_keys
 from squidpy_tpu.gr._utils import (
     _assert_categorical_obs,
@@ -69,12 +69,11 @@ def nhood_enrichment(
     _assert_connectivity_key(adata, connectivity_key)
     assert_positive(n_perms, name="n_perms")
 
-    adj = adata.obsp[connectivity_key]
     original_clust = adata.obs[cluster_key]
     int_clust = np.asarray(original_clust.cat.codes.to_numpy(), dtype=np.int32)
     n_cls = len(original_clust.cat.categories)
 
-    graph = SpatialGraph.from_csr(adj)
+    graph = graph_from_adata(adata, connectivity_key)
     labels_dev = jnp.asarray(int_clust)
 
     start = logg.info(f"Calculating neighborhood enrichment using `{n_perms}` permutations on device")

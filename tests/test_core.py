@@ -133,3 +133,29 @@ class TestRng:
             np.testing.assert_array_equal(np.sort(row[30:70]), np.arange(30, 70))
             np.testing.assert_array_equal(np.sort(row[70:]), np.arange(70, 100))
         assert not np.array_equal(out[0], out[1])
+
+
+class TestFullPipelineRoundtrip:
+    def test_analyzed_adata_h5ad_roundtrip(self, adata_ref, tmp_path):
+        """A fully analyzed AnnData (incl. device-graph cache in uns) must
+        write to h5ad and read back with all result keys intact."""
+        import squidpy_tpu as sq
+
+        adata = adata_ref.copy()
+        sq.gr.spatial_neighbors_knn(adata, n_neighs=6)
+        sq.gr.nhood_enrichment(adata, "leiden", n_perms=10, seed=0)
+        sq.gr.interaction_matrix(adata, "leiden")
+        sq.gr.spatial_autocorr(adata, mode="moran")
+        # the ELL cache must exist (graph_from_adata wired in) but not persist
+        assert any(k.startswith("__squidpy_tpu_ell__") for k in adata.uns)
+        path = str(tmp_path / "analyzed.h5ad")
+        adata.write_h5ad(path)
+        back = sq.read_h5ad(path)
+        assert not any(k.startswith("__squidpy_tpu") for k in back.uns)
+        np.testing.assert_allclose(
+            np.asarray(back.uns["leiden_nhood_enrichment"]["zscore"]),
+            np.asarray(adata.uns["leiden_nhood_enrichment"]["zscore"]),
+        )
+        assert back.uns["moranI"].shape == adata.uns["moranI"].shape
+        # re-running a statistic on the reloaded object works
+        sq.gr.interaction_matrix(back, "leiden")
