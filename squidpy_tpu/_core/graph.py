@@ -171,13 +171,32 @@ class SpatialGraph:
 
 
 def graph_from_adata(adata: Any, connectivity_key: str, distances_key: str | None = None) -> SpatialGraph:
-    """Build (and cache on ``adata.uns``) the device graph from obsp CSR."""
+    """Build (and cache on ``adata.uns``) the device graph from obsp CSR.
+
+    Cache validity is keyed on the obsp object's identity (every graph build
+    assigns a fresh CSR, see ``_run_spatial_neighbors``) plus shape/nnz, and
+    on whether distances were materialized — replacing the graph with one of
+    identical sparsity invalidates correctly.
+    """
     cache_key = f"__squidpy_tpu_ell__{connectivity_key}"
     cached = adata.uns.get(cache_key)
     adj = adata.obsp[connectivity_key]
-    if cached is not None and cached.get("nnz") == adj.nnz and cached.get("n") == adj.shape[0]:
+    want_dist = distances_key is not None
+    if (
+        cached is not None
+        and cached.get("adj_id") == id(adj)
+        and cached.get("nnz") == adj.nnz
+        and cached.get("n") == adj.shape[0]
+        and (not want_dist or cached.get("has_distances"))
+    ):
         return cached["graph"]
-    dst = adata.obsp.get(distances_key) if distances_key is not None else None
+    dst = adata.obsp.get(distances_key) if want_dist else None
     g = SpatialGraph.from_csr(adj, dst)
-    adata.uns[cache_key] = {"graph": g, "nnz": adj.nnz, "n": adj.shape[0]}
+    adata.uns[cache_key] = {
+        "graph": g,
+        "adj_id": id(adj),
+        "nnz": adj.nnz,
+        "n": adj.shape[0],
+        "has_distances": g.distances is not None,
+    }
     return g

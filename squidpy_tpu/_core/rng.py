@@ -54,9 +54,12 @@ def shuffle_group_batch(keys: jax.Array, values: jax.Array, groups: np.ndarray) 
 
     def one(k: jax.Array) -> jax.Array:
         u = jax.random.uniform(k, (values.shape[0],))
-        # sort key = group * 2 + u  (u in [0,1) keeps groups separated)
-        skey = gsorted.astype(jnp.float32) * 2.0 + u
-        perm_within = jnp.argsort(skey)
+        # lexsort-by-two-stable-sorts: order by the uniform first, then
+        # stably by group — exact for any group count/size (a float composite
+        # key like group*2+u quantizes the uniform away for large group ids)
+        o1 = jnp.argsort(u)
+        o2 = jnp.argsort(gsorted[o1], stable=True)
+        perm_within = o1[o2]
         shuffled_sorted = values[order_j][perm_within]
         return shuffled_sorted[inv_j]
 

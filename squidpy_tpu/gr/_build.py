@@ -162,6 +162,8 @@ def _run_spatial_neighbors(
     if copy:
         return SpatialNeighborsResult(connectivities=adj, distances=dst)
 
+    # drop any stale device-graph cache for this key
+    adata.uns.pop(f"__squidpy_tpu_ell__{conns_key}", None)
     _save_data(adata, attr="obsp", key=conns_key, data=adj)
     _save_data(adata, attr="obsp", key=dists_key, data=dst, prefix=False)
     _save_data(adata, attr="uns", key=neighs_key, data=neighbors_dict, prefix=False, time=start)

@@ -159,3 +159,56 @@ class TestFullPipelineRoundtrip:
         assert back.uns["moranI"].shape == adata.uns["moranI"].shape
         # re-running a statistic on the reloaded object works
         sq.gr.interaction_matrix(back, "leiden")
+
+
+class TestShuffleGroupPrecision:
+    def test_large_group_ids_float32(self):
+        """The stratified shuffle must stay uniform for large group ids even
+        with x64 disabled (float32 composite keys would quantize the
+        randomness away; the lexsort formulation must not)."""
+        import jax
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.rng import shuffle_group_batch, spawn_keys
+
+        jax.config.update("jax_enable_x64", False)
+        try:
+            n = 4000
+            # two groups with huge ids; each group has 2000 members
+            groups = np.repeat([2**21, 2**21 + 1], n // 2)
+            vals = jnp.asarray(np.arange(n, dtype=np.int32))
+            out = np.asarray(shuffle_group_batch(spawn_keys(0, 3), vals, groups))
+            for row in out:
+                np.testing.assert_array_equal(np.sort(row[: n // 2]), np.arange(n // 2))
+                np.testing.assert_array_equal(np.sort(row[n // 2 :]), np.arange(n // 2, n))
+                # genuinely shuffled: few fixed points (identity would have all)
+                assert (row == np.arange(n)).mean() < 0.01
+            assert not np.array_equal(out[0], out[1])
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+
+class TestGraphCacheInvalidation:
+    def test_rebuilt_graph_with_same_nnz_invalidates(self, dummy_adata):
+        """Rebuilding the graph with identical sparsity (kNN nnz == n*k) must
+        not serve the stale cached device graph."""
+        import squidpy_tpu as sq
+        from squidpy_tpu._core.graph import graph_from_adata
+
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=5)
+        g1 = graph_from_adata(dummy_adata, "spatial_connectivities")
+        # move the points, rebuild: same n, same nnz, different edges
+        dummy_adata.obsm["spatial"] = dummy_adata.obsm["spatial"][::-1].copy()
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=5)
+        g2 = graph_from_adata(dummy_adata, "spatial_connectivities")
+        assert not np.array_equal(np.asarray(g1.indices), np.asarray(g2.indices))
+
+    def test_distances_request_not_served_from_distanceless_cache(self, dummy_adata):
+        import squidpy_tpu as sq
+        from squidpy_tpu._core.graph import graph_from_adata
+
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=5)
+        g1 = graph_from_adata(dummy_adata, "spatial_connectivities")
+        assert g1.distances is None
+        g2 = graph_from_adata(dummy_adata, "spatial_connectivities", "spatial_distances")
+        assert g2.distances is not None
