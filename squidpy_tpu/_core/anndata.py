@@ -44,30 +44,18 @@ def _as_df(value: pd.DataFrame | Mapping[str, Any] | None, n: int | None, axis_n
     return df
 
 
-class _AlignedMapping(dict):
-    """Dict of arrays validated against a parent dimension."""
-
-    def __init__(self, parent: AnnData, axis: tuple[int, ...], data: Mapping[str, Any] | None = None):
-        super().__init__()
-        self._parent = parent
-        self._axis = axis
-        if data:
-            for k, v in data.items():
-                self[k] = v
-
-    def __setitem__(self, key: str, value: Any) -> None:
-        if value is not None and hasattr(value, "shape"):
-            for ax in self._axis:
-                if ax < len(value.shape) and value.shape[ax] not in (self._parent.shape[0 if ax == 0 else 1],):
-                    # obsp/varp validate both dims against n_obs/n_vars respectively
-                    pass
-        super().__setitem__(key, value)
-
-    def copy(self) -> dict[str, Any]:
-        out = {}
-        for k, v in self.items():
-            out[k] = v.copy() if hasattr(v, "copy") else v
-        return out
+def _make_unique(names: Iterable[str]) -> pd.Index:
+    """Deduplicate names with ``-N`` suffixes (anndata convention)."""
+    counts: dict[str, int] = {}
+    out = []
+    for name in names:
+        if name in counts:
+            counts[name] += 1
+            out.append(f"{name}-{counts[name]}")
+        else:
+            counts[name] = 0
+            out.append(name)
+    return pd.Index(out)
 
 
 class Raw:
@@ -258,34 +246,12 @@ class AnnData:
 
     # -- mutation helpers --------------------------------------------------
     def var_names_make_unique(self) -> None:
-        idx = pd.Index(self.var.index)
-        if idx.is_unique:
-            return
-        counts: dict[str, int] = {}
-        new = []
-        for name in idx:
-            if name in counts:
-                counts[name] += 1
-                new.append(f"{name}-{counts[name]}")
-            else:
-                counts[name] = 0
-                new.append(name)
-        self.var.index = pd.Index(new)
+        if not self.var.index.is_unique:
+            self.var.index = _make_unique(self.var.index)
 
     def obs_names_make_unique(self) -> None:
-        idx = pd.Index(self.obs.index)
-        if idx.is_unique:
-            return
-        counts: dict[str, int] = {}
-        new = []
-        for name in idx:
-            if name in counts:
-                counts[name] += 1
-                new.append(f"{name}-{counts[name]}")
-            else:
-                counts[name] = 0
-                new.append(name)
-        self.obs.index = pd.Index(new)
+        if not self.obs.index.is_unique:
+            self.obs.index = _make_unique(self.obs.index)
 
     # -- slicing -----------------------------------------------------------
     def __getitem__(self, index: Any) -> AnnData:
@@ -371,7 +337,23 @@ def concat(adatas: Iterable[AnnData], join: str = "inner", label: str | None = N
             var_names = var_names.intersection(a.var_names)
         else:
             var_names = var_names.union(a.var_names)
-    subs = [a[:, var_names] if not a.var_names.equals(var_names) else a for a in adatas]
+
+    def _reindex_vars(a: AnnData) -> AnnData:
+        if a.var_names.equals(var_names):
+            return a
+        if join == "inner":
+            return a[:, var_names]
+        # outer: map existing columns into the union, zero-fill the rest
+        out = AnnData(shape=(a.n_obs, len(var_names)), obs=a.obs, var=pd.DataFrame(index=var_names))
+        if a.X is not None:
+            pos = var_names.get_indexer(a.var_names)
+            X = sp.lil_matrix((a.n_obs, len(var_names))) if sp.issparse(a.X) else np.zeros((a.n_obs, len(var_names)))
+            X[:, pos] = a.X.todense() if sp.issparse(a.X) else a.X
+            out.X = sp.csr_matrix(X) if sp.issparse(a.X) else np.asarray(X)
+        out.obsm = dict(a.obsm)
+        return out
+
+    subs = [_reindex_vars(a) for a in adatas]
 
     Xs = [a.X for a in subs]
     if any(x is None for x in Xs):

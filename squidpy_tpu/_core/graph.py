@@ -173,30 +173,33 @@ class SpatialGraph:
 def graph_from_adata(adata: Any, connectivity_key: str, distances_key: str | None = None) -> SpatialGraph:
     """Build (and cache on ``adata.uns``) the device graph from obsp CSR.
 
-    Cache validity is keyed on the obsp object's identity (every graph build
-    assigns a fresh CSR, see ``_run_spatial_neighbors``) plus shape/nnz, and
-    on whether distances were materialized — replacing the graph with one of
-    identical sparsity invalidates correctly.
+    Cache validity is keyed on a weak reference to the obsp object — the
+    cache is valid only while the exact same live CSR object is installed
+    (``id()`` alone is unsafe: a freed object's address is reusable) — plus
+    whether distances were materialized.
     """
+    import weakref
+
     cache_key = f"__squidpy_tpu_ell__{connectivity_key}"
     cached = adata.uns.get(cache_key)
     adj = adata.obsp[connectivity_key]
     want_dist = distances_key is not None
     if (
         cached is not None
-        and cached.get("adj_id") == id(adj)
-        and cached.get("nnz") == adj.nnz
-        and cached.get("n") == adj.shape[0]
+        and cached.get("adj_ref") is not None
+        and cached["adj_ref"]() is adj
         and (not want_dist or cached.get("has_distances"))
     ):
         return cached["graph"]
     dst = adata.obsp.get(distances_key) if want_dist else None
     g = SpatialGraph.from_csr(adj, dst)
+    try:
+        adj_ref = weakref.ref(adj)
+    except TypeError:  # object does not support weak references
+        adj_ref = None
     adata.uns[cache_key] = {
         "graph": g,
-        "adj_id": id(adj),
-        "nnz": adj.nnz,
-        "n": adj.shape[0],
+        "adj_ref": adj_ref,
         "has_distances": g.distances is not None,
     }
     return g

@@ -371,9 +371,17 @@ def spatial_neighbors_grid(
 # ---------------------------------------------------------------------------
 
 
+def _close_ring(ring: np.ndarray) -> np.ndarray:
+    ring = np.asarray(ring, dtype=float)
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    return ring
+
+
 def _polygon_rings(polygon_mask: Any) -> list[np.ndarray]:
     """Extract exterior/interior ring coordinate arrays from a shapely-like
-    Polygon/MultiPolygon or from raw ``(m, 2)`` arrays / lists thereof."""
+    Polygon/MultiPolygon or from raw ``(m, 2)`` arrays / lists thereof.
+    Raw rings are closed automatically."""
     rings: list[np.ndarray] = []
     if hasattr(polygon_mask, "geoms"):  # MultiPolygon
         for geom in polygon_mask.geoms:
@@ -384,10 +392,9 @@ def _polygon_rings(polygon_mask: Any) -> list[np.ndarray]:
         for interior in polygon_mask.interiors:
             rings.append(np.asarray(interior.coords))
         return rings
-    arr = np.asarray(polygon_mask, dtype=object)
-    if arr.ndim == 1:  # list of rings
-        return [np.asarray(r, dtype=float) for r in polygon_mask]
-    return [np.asarray(polygon_mask, dtype=float)]
+    if isinstance(polygon_mask, (list, tuple)) and len(polygon_mask) and np.asarray(polygon_mask[0]).ndim == 2:
+        return [_close_ring(r) for r in polygon_mask]  # list of rings
+    return [_close_ring(polygon_mask)]
 
 
 def points_in_polygon(points: np.ndarray, polygon_mask: Any) -> np.ndarray:

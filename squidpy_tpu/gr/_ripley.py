@@ -72,7 +72,11 @@ def ripley(
     support = np.linspace(0, max_dist, n_steps)
 
     cluster_idx = clusters.cat.codes.to_numpy()
-    categories = clusters.cat.categories.values
+    # only categories with members — an empty cluster has no point cloud to
+    # query (the reference's LabelEncoder fits on present values only)
+    present = np.unique(cluster_idx)
+    categories = clusters.cat.categories.values[present]
+    code_list = list(present)
     n_cls = len(categories)
     obs_arr = np.empty((n_cls, n_steps))
 
@@ -82,14 +86,14 @@ def ripley(
     obs_rng, *sim_rngs = [np.random.default_rng(s) for s in np.random.SeedSequence(seed).spawn(n_simulations + 1)]
 
     random = None
-    for i in range(n_cls):
-        coord_c = coordinates[cluster_idx == i, :]
+    for i, code in enumerate(code_list):
+        coord_c = coordinates[cluster_idx == code, :]
         if mode == RipleyStat.F:
             random = ppp_sample(hull, n_simulations=1, n_observations=n_observations, rng=obs_rng)
             distances, _ = cross_knn(random, coord_c, n_neigh)
             bins, obs_stats = _f_g_function(distances.squeeze(), support)
         elif mode == RipleyStat.G:
-            distances, _ = cross_knn(coordinates[cluster_idx != i, :], coord_c, n_neigh)
+            distances, _ = cross_knn(coordinates[cluster_idx != code, :], coord_c, n_neigh)
             bins, obs_stats = _f_g_function(distances.squeeze(), support)
         elif mode == RipleyStat.L:
             bins, obs_stats = _l_function(coord_c, support, N, area)

@@ -58,8 +58,16 @@ def graycomatrix(
     normed: bool = False,
 ) -> np.ndarray:
     """Gray-level co-occurrence matrix, skimage-convention
-    (``P[i, j, d, a]``; offset row = d*sin(angle), col = d*cos(angle))."""
+    (``P[i, j, d, a]``; offset row = d*sin(angle), col = d*cos(angle)).
+
+    Raises when pixel values exceed ``levels`` (skimage behavior) instead of
+    silently wrapping or dropping them.
+    """
     image = np.ascontiguousarray(image)
+    if int(image.max(initial=0)) >= levels:
+        raise ValueError(
+            f"The maximum grayscale value `{int(image.max())}` must be smaller than `levels={levels}`."
+        )
     if image.dtype != np.uint8 and levels <= 256:
         image = image.astype(np.uint8)
     img_j = jnp.asarray(image.astype(np.int32))
@@ -177,8 +185,11 @@ def _histogram_batch_kernel(
         lo = jnp.min(flat, axis=(1, 2))[:, None, None]
         hi = jnp.max(flat, axis=(1, 2))[:, None, None]
     span = jnp.where(hi > lo, hi - lo, 1.0)
+    # numpy.histogram DROPS out-of-range values (it does not clip them into
+    # the edge bins); top edge inclusive
+    in_range = (flat >= lo) & (flat <= hi)
     idx = jnp.clip(((flat - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
-    onehot = jax.nn.one_hot(idx, bins, dtype=jnp.float32)  # (n, p, c, bins)
+    onehot = jax.nn.one_hot(idx, bins, dtype=jnp.float32) * in_range[..., None].astype(jnp.float32)
     return jnp.sum(onehot, axis=1)  # (n, c, bins)
 
 
@@ -230,6 +241,10 @@ def glcm_batch(
     from squidpy_tpu.utils import to_host
 
     images = np.ascontiguousarray(images)
+    if int(images.max(initial=0)) >= levels:
+        raise ValueError(
+            f"The maximum grayscale value `{int(images.max())}` must be smaller than `levels={levels}`."
+        )
     if images.dtype != np.uint8 and levels <= 256:
         images = images.astype(np.uint8)
     imgs_j = jnp.asarray(images.astype(np.int32))
@@ -299,6 +314,10 @@ def glcm_props_batch(
     from squidpy_tpu.utils import to_host
 
     images = np.ascontiguousarray(images)
+    if int(images.max(initial=0)) >= levels:
+        raise ValueError(
+            f"The maximum grayscale value `{int(images.max())}` must be smaller than `levels={levels}`."
+        )
     if images.dtype != np.uint8 and levels <= 256:
         images = images.astype(np.uint8)
     imgs_j = jnp.asarray(images.astype(np.int32))

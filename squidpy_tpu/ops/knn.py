@@ -154,27 +154,18 @@ def cross_knn(queries: np.ndarray, data: np.ndarray, k: int, *, row_tile: int = 
     queries = np.ascontiguousarray(queries, dtype=np.float32)
     data = np.ascontiguousarray(data, dtype=np.float32)
     k = min(k, data.shape[0])
+    if queries.shape[0] == 0 or k == 0:
+        # sklearn's tree.query on an empty query set returns empty results;
+        # match that rather than tracing a zero-row device kernel
+        return (
+            np.zeros((queries.shape[0], k), dtype=np.float32),
+            np.zeros((queries.shape[0], k), dtype=np.int32),
+        )
     d, i = _cross_knn_device(jnp.asarray(queries), jnp.asarray(data), k, min(row_tile, max(8, queries.shape[0])))
     d = np.asarray(d)
     i = np.asarray(i)
     order = np.argsort(d, axis=1, kind="stable")
     return np.take_along_axis(d, order, axis=1), np.take_along_axis(i, order, axis=1)
-
-
-@partial(jax.jit, static_argnames=("row_tile",))
-def _radius_counts(coords: jax.Array, r2: jax.Array, row_tile: int) -> jax.Array:
-    n = coords.shape[0]
-    n_tiles = (n + row_tile - 1) // row_tile
-    coords_p = jnp.pad(coords, ((0, n_tiles * row_tile - n), (0, 0)))
-
-    def block(t: jax.Array) -> jax.Array:
-        rows = jax.lax.dynamic_slice_in_dim(coords_p, t * row_tile, row_tile)
-        row_idx = t * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
-        d2 = pairwise_sq_dists(rows, coords)
-        within = (d2 <= r2) & (jnp.arange(n, dtype=jnp.int32)[None, :] != row_idx[:, None])
-        return jnp.sum(within, axis=1)
-
-    return jax.lax.map(block, jnp.arange(n_tiles)).reshape(-1)[:n]
 
 
 def radius_neighbors(
@@ -185,20 +176,16 @@ def radius_neighbors(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All neighbors within ``radius`` (inclusive), excluding self.
 
-    Returns CSR-style ``(indptr, indices, distances)``. The device pass counts
-    per-row neighbors to size the output, then a second pass emits the edges
-    tile by tile (host assembly — output is inherently ragged).
+    Returns CSR-style ``(indptr, indices, distances)``. A single device pass
+    computes each tile's exact difference-form distance block; counts and
+    neighbor lists derive from the SAME block on host — two passes with
+    different distance formulations disagree at threshold boundaries
+    (the expansion form drifts on large coordinate offsets and on the MXU).
     """
     coords = np.ascontiguousarray(coords, dtype=np.float32)
     n = coords.shape[0]
     cj = jnp.asarray(coords)
-    r2 = jnp.float32(radius) ** 2
-
-    counts = np.asarray(_radius_counts(cj, r2, min(row_tile, max(8, n))))
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(counts, out=indptr[1:])
-    indices = np.empty(indptr[-1], dtype=np.int32)
-    dists = np.empty(indptr[-1], dtype=np.float32)
+    r2 = float(radius) ** 2
 
     @jax.jit
     def tile_dists(rows: jax.Array) -> jax.Array:
@@ -206,14 +193,23 @@ def radius_neighbors(
         return jnp.sum(diff * diff, axis=-1)
 
     step = min(row_tile, max(8, n))
+    idx_parts: list[np.ndarray] = []
+    dist_parts: list[np.ndarray] = []
+    counts = np.zeros(n, dtype=np.int64)
     for start in range(0, n, step):
         stop = min(start + step, n)
         d2 = np.asarray(tile_dists(cj[start:stop]))
         for i in range(start, stop):
             row = d2[i - start]
-            mask = row <= float(r2)
+            mask = row <= r2
             mask[i] = False
             cols = np.where(mask)[0]
-            indices[indptr[i] : indptr[i + 1]] = cols
-            dists[indptr[i] : indptr[i + 1]] = np.sqrt(row[cols])
+            counts[i] = len(cols)
+            idx_parts.append(cols.astype(np.int32))
+            dist_parts.append(np.sqrt(row[cols]).astype(np.float32))
+
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = np.concatenate(idx_parts) if idx_parts else np.empty(0, dtype=np.int32)
+    dists = np.concatenate(dist_parts) if dist_parts else np.empty(0, dtype=np.float32)
     return indptr, indices, dists

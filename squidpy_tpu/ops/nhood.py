@@ -39,13 +39,16 @@ def cluster_pair_counts(
     ``_nenrich`` / ``_interaction_matrix`` semantics.
     """
     labels = labels.astype(jnp.int32)
+    # float32 accumulates integer counts exactly up to 2^24 per bucket; very
+    # large graphs need a wider accumulator for exactness
+    acc_t = jnp.float64 if (indices.size > 2**24 and jax.config.jax_enable_x64) else jnp.float32
     nbr_labels = labels[indices]  # (n, k)
-    w = mask.astype(jnp.float32) if weights is None else jnp.where(mask, weights, 0.0)
+    w = mask.astype(acc_t) if weights is None else jnp.where(mask, weights, 0.0).astype(acc_t)
     # R[i, c] = sum_k w[i,k] * onehot(nbr_labels[i,k], c)
-    nbr_onehot = jax.nn.one_hot(nbr_labels, n_cls, dtype=jnp.float32)  # (n, k, C)
+    nbr_onehot = jax.nn.one_hot(nbr_labels, n_cls, dtype=acc_t)  # (n, k, C)
     R = jnp.einsum("nk,nkc->nc", w, nbr_onehot)
-    src_onehot = jax.nn.one_hot(labels, n_cls, dtype=jnp.float32)  # (n, C)
-    return jnp.dot(src_onehot.T, R, preferred_element_type=jnp.float32)
+    src_onehot = jax.nn.one_hot(labels, n_cls, dtype=acc_t)  # (n, C)
+    return jnp.dot(src_onehot.T, R, preferred_element_type=acc_t)
 
 
 def permuted_pair_counts(

@@ -212,3 +212,77 @@ class TestGraphCacheInvalidation:
         assert g1.distances is None
         g2 = graph_from_adata(dummy_adata, "spatial_connectivities", "spatial_distances")
         assert g2.distances is not None
+
+
+class TestReviewRegressions:
+    def test_radius_neighbors_large_offset_coords(self):
+        """Counts and emitted neighbors must come from the same distance
+        formulation (expansion-form drift on large offsets crashed CSR
+        assembly)."""
+        from squidpy_tpu.ops.knn import radius_neighbors
+
+        rng = np.random.default_rng(0)
+        coords = rng.random((60, 2)) * 10 + 30000
+        indptr, indices, dists = radius_neighbors(coords.astype(np.float32), 3.0)
+        assert indptr[-1] == len(indices) == len(dists)
+        # symmetric by construction of the metric
+        from scipy.sparse import csr_matrix
+
+        adj = csr_matrix((np.ones(len(indices)), indices, indptr), shape=(60, 60))
+        assert (adj != adj.T).nnz == 0
+
+    def test_ripley_unused_category(self, dummy_adata):
+        import pandas as pd
+
+        import squidpy_tpu as sq
+
+        dummy_adata.obs["cl"] = pd.Categorical(
+            ["a"] * 100 + ["b"] * 100, categories=["a", "b", "unused"]
+        )
+        res = sq.gr.ripley(dummy_adata, "cl", mode="G", n_simulations=2,
+                           n_observations=50, n_steps=10, seed=0, copy=True)
+        assert res["pvalues"].shape[0] == 2  # only present categories
+
+    def test_concat_outer_join(self):
+        a = sq.AnnData(X=np.ones((2, 2)), var=pd.DataFrame(index=["g1", "g2"]))
+        b = sq.AnnData(X=2 * np.ones((2, 2)), var=pd.DataFrame(index=["g2", "g3"]))
+        out = sq.concat([a, b], join="outer")
+        assert out.shape == (4, 3)
+        X = np.asarray(out.X)
+        names = list(out.var_names)
+        assert X[0, names.index("g3")] == 0  # zero-filled
+        assert X[2, names.index("g1")] == 0
+        assert X[2, names.index("g2")] == 2
+
+    def test_points_in_polygon_ring_list_same_length(self):
+        from squidpy_tpu.gr._build import points_in_polygon
+
+        ring1 = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        ring2 = np.array([[10, 10], [14, 10], [14, 14], [10, 14], [10, 10]], float)
+        pts = np.array([[2, 2], [12, 12], [7, 7]], float)
+        got = points_in_polygon(pts, [ring1, ring2])
+        np.testing.assert_array_equal(got, [True, True, False])
+
+    def test_points_in_polygon_unclosed_ring(self):
+        from squidpy_tpu.gr._build import points_in_polygon
+
+        open_ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], float)  # not closed
+        pts = np.array([[2, 2], [5, 5]], float)
+        np.testing.assert_array_equal(points_in_polygon(pts, open_ring), [True, False])
+
+    def test_histogram_batch_drops_out_of_range(self):
+        from squidpy_tpu.ops.features import histogram_features_batch
+
+        crops = np.array([[[[0.1], [0.4]], [[0.8], [0.2]]]], dtype=np.float32)  # (1,2,2,1)
+        hist = histogram_features_batch(crops, bins=4, v_range=(0.0, 0.5))
+        # 0.8 is outside the range -> dropped, not clipped into the last bin
+        assert hist.sum() == 3
+        want, _ = np.histogram(crops[0, ..., 0], bins=4, range=(0.0, 0.5))
+        np.testing.assert_array_equal(hist[0, 0], want)
+
+    def test_graycomatrix_rejects_out_of_range_levels(self):
+        from squidpy_tpu.ops.features import graycomatrix
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        with pytest.raises(ValueError, match="levels"):
+            graycomatrix(img, [1], [0.0], levels=16)

@@ -176,3 +176,16 @@ class TestSepal:
         sq.gr.spatial_neighbors_grid(adata, n_neighs=4)
         sq.gr.sepal(adata, max_neighs=4, n_iter=3000)
         assert "sepal_score" in adata.uns
+
+
+def test_ripley_G_single_present_category(dummy_adata):
+    """G mode with one present category queries an empty 'other points' set;
+    must degrade to a NaN curve (sklearn-like), not crash."""
+    import pandas as pd
+
+    dummy_adata.obs["one"] = pd.Categorical(["a"] * dummy_adata.n_obs, categories=["a", "zz"])
+    with np.errstate(invalid="ignore"):
+        res = sq.gr.ripley(dummy_adata, "one", mode="G", n_simulations=2,
+                           n_observations=30, n_steps=5, seed=0, copy=True)
+    stats = res["G_stat"]["stats"].to_numpy()
+    assert np.isnan(stats[1:]).all() and stats[0] == 0
