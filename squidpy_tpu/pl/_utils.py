@@ -19,7 +19,7 @@ import pandas as pd
 from squidpy_tpu._constants._pkg_constants import Key
 from squidpy_tpu.utils import NDArrayA, logg
 
-__all__ = ["save_fig", "extract", "_get_palette", "_heatmap", "_points_inside_triangles"]
+__all__ = ["save_fig", "extract", "ALayer", "_get_palette", "_heatmap", "_points_inside_triangles"]
 
 
 def _points_inside_triangles(points: NDArrayA, triangles: NDArrayA) -> NDArrayA:
@@ -183,3 +183,175 @@ def _heatmap(
                 ax.text(j, i, f"{matrix[i, j]:.2f}", ha="center", va="center", fontsize=7)
     fig.colorbar(im, ax=ax, **(cbar_kwargs or {}))
     return fig
+
+
+def _min_max_norm(vec: Any) -> NDArrayA:
+    """Min-max normalize a 1D vector to [0, 1] (constant vectors map to 1)."""
+    from scipy.sparse import issparse
+
+    if issparse(vec):
+        vec = vec.toarray().squeeze()
+    vec = np.asarray(vec, dtype=np.float64)
+    if vec.ndim != 1:
+        raise ValueError(f"Expected `1` dimension, found `{vec.ndim}`.")
+    mx, mn = np.nanmax(vec), np.nanmin(vec)
+    return np.ones_like(vec) if np.isclose(mn, mx) else (vec - mn) / (mx - mn)
+
+
+def _coerce_dense(res: Any, fmt: str, *, normalize: bool = False) -> tuple[Any, str | None]:
+    """Densify / categorize a fetched vector (reference pl/_utils.py:223-261
+    ``_ensure_dense_vector``): strings/bools/low-cardinality ints become
+    categorical; everything else a dense float vector, optionally min-max
+    normalized."""
+    from scipy.sparse import issparse
+
+    if res is None:
+        return None, None
+    if isinstance(res, pd.Series):
+        if isinstance(res.dtype, pd.CategoricalDtype):
+            return res, fmt
+        if pd.api.types.is_string_dtype(res) or pd.api.types.is_object_dtype(res) or pd.api.types.is_bool_dtype(res):
+            return res.astype("category"), fmt
+        if pd.api.types.is_integer_dtype(res):
+            unique = res.unique()
+            if len(unique) <= 2 and (set(unique) & {0, 1}):
+                return res.astype(bool).astype("category"), fmt
+            if len(unique) <= len(res) // 100:
+                return res.astype("category"), fmt
+        elif not pd.api.types.is_numeric_dtype(res):
+            raise TypeError(f"Unable to process `pandas.Series` of type `{res.dtype}`.")
+        res = res.to_numpy()
+    elif issparse(res):
+        res = res.toarray()
+    elif not isinstance(res, (np.ndarray, list, tuple)):
+        raise TypeError(f"Unable to process result of type `{type(res).__name__}`.")
+    res = np.asarray(np.squeeze(res))
+    if res.ndim != 1:
+        raise ValueError(f"Expected 1-dimensional array, found `{res.ndim}`.")
+    return (_min_max_norm(res) if normalize else res), fmt
+
+
+class ALayer:
+    """Switchable view over ``adata``'s layers / raw / libraries for
+    interactive plotting widgets (reference: pl/_utils.py:269-470).
+
+    Tracks a current ``layer`` (None = ``X``), a ``raw`` toggle (mutually
+    exclusive with ``layer``), and a current ``library_id``; ``get_obs`` /
+    ``get_var`` / ``get_obsm`` fetch display-ready dense vectors.
+    """
+
+    VALID_ATTRIBUTES = ("obs", "var", "obsm")
+
+    def __init__(
+        self,
+        adata: Any,
+        library_ids: Any,
+        is_raw: bool = False,
+        palette: str | None = None,
+    ):
+        if is_raw and adata.raw is None:
+            raise AttributeError("Attribute `.raw` is `None`.")
+        self._adata = adata
+        self._library_id = library_ids[0]
+        self._ix_to_group = dict(enumerate(library_ids))
+        self._layer: str | None = None
+        self._previous_layer: str | None = None
+        self._raw = is_raw
+        self._palette = palette
+
+    @property
+    def adata(self) -> Any:
+        return self._adata
+
+    @property
+    def layer(self) -> str | None:
+        return self._layer
+
+    @layer.setter
+    def layer(self, layer: str | None = None) -> None:
+        if layer not in (None,) + tuple(self.adata.layers.keys()):
+            raise KeyError(
+                f"Invalid layer `{layer}`. Valid options are `{[None] + sorted(self.adata.layers.keys())}`."
+            )
+        self._previous_layer = layer
+        self.raw = False  # raw setter installs `_previous_layer`
+
+    @property
+    def raw(self) -> bool:
+        return self._raw
+
+    @raw.setter
+    def raw(self, is_raw: bool) -> None:
+        if is_raw:
+            if self.adata.raw is None:
+                raise AttributeError("Attribute `.raw` is `None`.")
+            self._previous_layer = self.layer
+            self._layer = None
+        else:
+            self._layer = self._previous_layer
+        self._raw = is_raw
+
+    @property
+    def palette(self) -> str | None:
+        return self._palette
+
+    @property
+    def library_id(self) -> Any:
+        return self._library_id
+
+    @library_id.setter
+    def library_id(self, library_id: Any) -> None:
+        if isinstance(library_id, int):
+            library_id = self._ix_to_group[library_id]
+        self._library_id = library_id
+
+    def get_obs(self, name: str, *, normalize: bool = False) -> tuple[Any, str | None]:
+        """Fetch an ``adata.obs`` column as a display-ready vector."""
+        if name not in self.adata.obs.columns:
+            raise KeyError(f"Key `{name}` not found in `adata.obs`.")
+        return _coerce_dense(self.adata.obs[name], name, normalize=normalize)
+
+    def get_var(self, name: str, *, normalize: bool = False) -> tuple[Any, str | None]:
+        """Fetch one gene's expression from ``X`` / current layer / raw."""
+        adata = self.adata.raw if self.raw else self.adata
+        names = list(adata.var_names)
+        if name not in names:
+            raise KeyError(f"Key `{name}` not found in `adata.{'raw.' if self.raw else ''}var_names`.")
+        ix = names.index(name)
+        if self.raw:
+            X = adata.X
+        elif self.layer is not None:
+            X = self.adata.layers[self.layer]
+        else:
+            X = self.adata.X
+        col = X[:, ix]
+        fmt = f"{name} ({'raw' if self.raw else (self.layer or 'X')})"
+        return _coerce_dense(np.asarray(col.todense()).ravel() if hasattr(col, "todense") else col, fmt, normalize=normalize)
+
+    def get_obsm(self, name: str, index: int | str = 0, *, normalize: bool = False) -> tuple[Any, str | None]:
+        """Fetch one column of an ``adata.obsm`` entry."""
+        if name not in self.adata.obsm:
+            raise KeyError(f"Unable to find key `{name!r}` in `adata.obsm`.")
+        res = self.adata.obsm[name]
+        if isinstance(res, pd.DataFrame):
+            col = res[index] if isinstance(index, str) else res.iloc[:, int(index)]
+            label = index if isinstance(index, str) else res.columns[int(index)]
+            return _coerce_dense(col, f"{name}:{label}", normalize=normalize)
+        if isinstance(index, str):
+            raise KeyError(f"Key `{index}` not found in `adata.obsm[{name!r}]`.")
+        return _coerce_dense(np.asarray(res)[:, int(index)], f"{name}:{index}", normalize=normalize)
+
+    def get_items(self, attr: str) -> tuple[str, ...]:
+        """Valid keys for ``attr`` in :attr:`VALID_ATTRIBUTES`."""
+        adata = self.adata.raw if (self.raw and attr == "var") else self.adata
+        if attr == "obs":
+            return tuple(map(str, adata.obs.columns))
+        if attr == "obsm":
+            return tuple(map(str, adata.obsm.keys()))
+        return tuple(map(str, adata.var_names))
+
+    def __repr__(self) -> str:
+        return f"ALayer(layer={self.layer!r}, raw={self.raw}, library_id={self.library_id!r})"
+
+    def __str__(self) -> str:
+        return repr(self)

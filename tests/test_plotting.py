@@ -143,3 +143,40 @@ class TestVarByDistancePlot:
         gene = adata.var_names[0]
         sq.pl.var_by_distance(adata, var=gene, anchor_key="0", save=str(tmp_path / "vbd.png"))
         assert (tmp_path / "vbd.png").exists()
+
+
+class TestALayer:
+    def test_layer_raw_switching(self):
+        from squidpy_tpu.pl._utils import ALayer
+
+        ad = sq.AnnData(
+            X=np.arange(12, dtype=float).reshape(4, 3),
+            var=pd.DataFrame(index=["g1", "g2", "g3"]),
+            layers={"counts": 10 + np.arange(12, dtype=float).reshape(4, 3)},
+        )
+        ad.obs["cl"] = ["a", "a", "b", "b"]
+        ad.raw = ad
+        al = ALayer(ad, ["lib1", "lib2"])
+        np.testing.assert_array_equal(al.get_var("g2")[0], [1, 4, 7, 10])
+        al.layer = "counts"
+        np.testing.assert_array_equal(al.get_var("g2")[0], [11, 14, 17, 20])
+        al.raw = True
+        assert al.layer is None
+        np.testing.assert_array_equal(al.get_var("g2")[0], [1, 4, 7, 10])
+        al.raw = False
+        assert al.layer == "counts"  # restored
+        assert str(al.get_obs("cl")[0].dtype) == "category"
+        np.testing.assert_allclose(al.get_var("g1", normalize=True)[0], [0, 1 / 3, 2 / 3, 1])
+        al.library_id = 1
+        assert al.library_id == "lib2"
+        with pytest.raises(KeyError, match="Invalid layer"):
+            al.layer = "nope"
+        with pytest.raises(AttributeError):
+            ALayer(sq.AnnData(X=np.ones((2, 2))), ["l"], is_raw=True)
+
+    def test_points_inside_triangles(self):
+        from squidpy_tpu.pl._utils import _points_inside_triangles
+
+        tri = np.array([[[0, 0], [2, 0], [0, 2]]], float)
+        pts = np.array([[0.5, 0.5], [3, 3]], float)
+        np.testing.assert_array_equal(_points_inside_triangles(pts, tri), [True, False])
