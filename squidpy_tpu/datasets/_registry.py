@@ -32,6 +32,16 @@ class FileEntry:
     name: str
     s3_key: str
     sha256: str | None = None
+    fallback_urls: tuple[str, ...] = ()
+
+    def get_urls(self, s3_base_url: str) -> list[str]:
+        """URLs to try in order: primary S3 first, then mirrors
+        (reference: datasets/_registry.py:46-51 + _downloader.py:92-111)."""
+        urls = []
+        if s3_base_url and self.s3_key:
+            urls.append(s3_base_url.rstrip("/") + "/" + self.s3_key.lstrip("/"))
+        urls.extend(self.fallback_urls)
+        return urls
 
 
 @dataclass
@@ -59,7 +69,12 @@ class DatasetRegistry:
         registry = cls(s3_base_url=config.get("s3_base_url", ""))
         for name, data in config.get("datasets", {}).items():
             files = [
-                FileEntry(name=fd["name"], s3_key=fd["s3_key"], sha256=fd.get("sha256"))
+                FileEntry(
+                    name=fd["name"],
+                    s3_key=fd["s3_key"],
+                    sha256=fd.get("sha256"),
+                    fallback_urls=tuple(fd.get("fallback_urls", ())),
+                )
                 for fd in data.get("files", [])
             ]
             shape = tuple(data["shape"]) if isinstance(data.get("shape"), list) else data.get("shape")
@@ -106,19 +121,27 @@ class DatasetDownloader:
                 return target
             logg.warning(f"Checksum mismatch for cached `{target}`, re-downloading")
             target.unlink()
-        url = self._registry.s3_base_url + file.s3_key
-        logg.info(f"Downloading `{url}`")
-        try:
-            urllib.request.urlretrieve(url, str(target))
-        except Exception as e:
-            raise RuntimeError(
-                f"Unable to download `{url}` (no network access?). "
-                f"Place the file manually at `{target}` to use this dataset offline."
-            ) from e
-        if file.sha256 is not None and _sha256(target) != file.sha256:
-            target.unlink(missing_ok=True)
-            raise RuntimeError(f"Checksum mismatch for downloaded `{url}`.")
-        return target
+        urls = file.get_urls(self._registry.s3_base_url)
+        errors: list[Exception] = []
+        for url in urls:
+            logg.info(f"Downloading `{url}`")
+            try:
+                urllib.request.urlretrieve(url, str(target))
+            except Exception as e:  # noqa: BLE001 — collect and try the next mirror
+                errors.append(e)
+                logg.warning(f"Failed to download from `{url}`: {e}")
+                continue
+            if file.sha256 is not None and _sha256(target) != file.sha256:
+                target.unlink(missing_ok=True)
+                errors.append(RuntimeError(f"Checksum mismatch for `{url}`."))
+                logg.warning(f"Checksum mismatch for `{url}`, trying next mirror")
+                continue
+            return target
+        raise ExceptionGroup(
+            f"Failed to download `{file.name}` from {len(urls)} URL(s). "
+            f"Place the file manually at `{target}` to use this dataset offline.",
+            errors or [RuntimeError("no URLs configured for this file")],
+        )
 
     def download(self, name: str, path: Path | str | None = None, **kwargs: Any) -> Any:
         entry = self._registry.get(name)

@@ -1,4 +1,5 @@
 from squidpy_tpu.utils._logging import logg, verbosity
+from squidpy_tpu.utils._profiling import annotate, profile
 from squidpy_tpu.utils._utils import (
     NDArrayA,
     _ensure_dim_order,
@@ -18,6 +19,8 @@ __all__ = [
     "NDArrayA",
     "logg",
     "verbosity",
+    "profile",
+    "annotate",
     "chunked_vmap",
     "deprecated_params",
     "to_host",

@@ -168,5 +168,38 @@ class TestDatasets:
             sq.datasets.download("not_a_dataset")
 
     def test_download_offline_message(self, tmp_path):
-        with pytest.raises(RuntimeError, match="network|download"):
+        with pytest.raises(ExceptionGroup, match="download|Failed"):
             sq.datasets.download("imc", path=tmp_path)
+
+
+def test_downloader_mirror_failover(tmp_path):
+    """All mirrors tried in order; total failure raises ExceptionGroup with
+    one nested error per attempted URL."""
+    from squidpy_tpu.datasets._registry import (
+        DatasetDownloader,
+        DatasetEntry,
+        DatasetRegistry,
+        FileEntry,
+    )
+
+    reg = DatasetRegistry(s3_base_url="http://127.0.0.1:1/none/")
+    fe = FileEntry(name="x.h5ad", s3_key="x.h5ad", fallback_urls=("http://127.0.0.1:1/mirror/x.h5ad",))
+    assert fe.get_urls(reg.s3_base_url) == [
+        "http://127.0.0.1:1/none/x.h5ad",
+        "http://127.0.0.1:1/mirror/x.h5ad",
+    ]
+    reg.datasets["fake"] = DatasetEntry(name="fake", type="anndata", files=[fe])
+    with pytest.raises(ExceptionGroup) as exc:
+        DatasetDownloader(reg).download("fake", path=tmp_path)
+    assert len(exc.value.exceptions) == 2
+
+
+def test_profile_context_produces_trace(tmp_path, dummy_adata):
+    import glob
+
+    import squidpy_tpu as sq
+
+    with sq.utils.profile(str(tmp_path)):
+        with sq.utils.annotate("phase"):
+            sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=4)
+    assert glob.glob(str(tmp_path) + "/**/*.xplane.pb", recursive=True)
