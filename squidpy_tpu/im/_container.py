@@ -534,27 +534,41 @@ class ImageContainer(FeatureMixin):
                 if lid not in self._library_ids:
                     raise KeyError(f"Library id `{lid}` not found in `{self._library_ids}`.")
 
+        # ``drop=True`` with a per-library func mapping keeps only the selected
+        # Z-planes (reference: im/_container.py apply, tests/image/
+        # test_container.py:790-800)
         slices = []
+        kept_ids = []
         for zi, lid in enumerate(self._library_ids):
             plane = arr[:, :, zi, :]
             if lid in func_map:
                 res = np.asarray(func_map[lid](plane.squeeze(), **fn_kwargs))
+            elif drop and not callable(func):
+                continue
             else:
                 res = plane.squeeze()
             if res.ndim == 2:
                 res = res[:, :, None]
             slices.append(res)
+            kept_ids.append(lid)
+        if len({s.shape for s in slices}) > 1:
+            raise ValueError(
+                f"Unable to stack an array: Z-slice results have inconsistent shapes `{[s.shape for s in slices]}`."
+            )
         new_arr = np.stack(slices, axis=2)
 
         if copy:
             out = ImageContainer()
             out.attrs = dict(self.attrs)
-            out._library_ids = list(self._library_ids)
+            out._library_ids = kept_ids
             out._layers[new_layer] = new_arr
             return out
+        if kept_ids != self._library_ids and (set(self._layers) - {new_layer}):
+            raise ValueError(
+                "Unable to drop Z-planes in place when the container holds other layers; use `copy=True`."
+            )
+        self._library_ids = kept_ids
         self._layers[new_layer] = new_arr
-        if drop and new_layer != layer:
-            del self._layers[layer]
         return None
 
     def subset(self, adata: Any, spatial_key: str = Key.obsm.spatial, copy: bool = False) -> Any:
@@ -703,10 +717,12 @@ class ImageContainer(FeatureMixin):
         )
 
     def _get_next_image_id(self, layer: str) -> str:
+        if layer not in self._layers:
+            return layer
         i = 0
-        while f"{layer}_{i}" in self._layers or (i == 0 and layer in self._layers):
+        while f"{layer}_{i}" in self._layers:
             i += 1
-        return layer if layer not in self._layers else f"{layer}_{i}"
+        return f"{layer}_{i}"
 
     def _get_library_id(self, library_id: str | None = None) -> str:
         self._assert_not_empty()

@@ -376,3 +376,58 @@ class TestBatchedFeatures:
         }
         df = sq.im.calculate_image_features(adata, cont, features="summary", library_id="lib", copy=True)
         assert df.shape[0] == 2
+
+
+class TestZStacks:
+    """Mirrors reference tests/image/test_container.py:790-880 (TestZStacks +
+    per-z apply semantics)."""
+
+    def _stack(self):
+        arrs = [np.zeros((10, 10)), np.zeros((10, 10)) + 1, np.zeros((10, 10)) + 2]
+        return ImageContainer.concat([ImageContainer(a) for a in arrs], library_ids=["1", "2", "3"])
+
+    def test_concat_non_unique_ids(self):
+        arrs = [np.zeros((10, 10))] * 3
+        with pytest.raises(ValueError, match="non-unique library ids"):
+            ImageContainer.concat([ImageContainer(a) for a in arrs])
+
+    @pytest.mark.parametrize("library_id", [None, "1", "2", "3"])
+    def test_crop_corner_library_ids(self, library_id):
+        img = self._stack()
+        crop = img.crop_corner(0, 0, (10, 10), library_id=library_id)
+        if library_id is None:
+            assert crop["image"].shape == (10, 10, 3, 1)
+        else:
+            assert crop["image"].shape == (10, 10, 1, 1)
+            assert float(np.unique(crop["image"])) == float(library_id) - 1
+
+    @pytest.mark.parametrize("drop_unselected", [False, True])
+    def test_apply_different_functions(self, drop_unselected):
+        img = self._stack()
+        res = img.apply({"2": lambda a: a + 3, "1": lambda a: a + 1}, copy=True, drop=drop_unselected)
+        assert res["image"].shape == (10, 10, 3 - drop_unselected, 1)
+        if drop_unselected:
+            assert res.library_ids == ["1", "2"]
+            np.testing.assert_array_equal(np.unique(res["image"]), [1, 4])
+        else:
+            assert res.library_ids == ["1", "2", "3"]
+            np.testing.assert_array_equal(np.unique(res["image"]), [1, 2, 4])
+
+    def test_apply_modifies_channels_raises(self):
+        img = self._stack()
+        with pytest.raises(ValueError, match="Unable to stack an array"):
+            img.apply({"3": lambda a: a, "1": lambda a: np.ones(a.shape[:2] + (11,))}, copy=True, drop=True)
+
+    def test_image_autoincrement(self):
+        cont = ImageContainer(np.zeros((5, 5)))
+        for _ in range(5):
+            cont.add_img(np.zeros((5, 5)))
+        assert len(cont) == 6
+        for i in range(5):
+            assert f"image_{i}" in cont
+
+    def test_rename(self):
+        cont = ImageContainer(np.zeros((5, 5)))
+        new = cont.rename("image", "foo")
+        assert new is cont
+        assert "foo" in cont and "image" not in cont

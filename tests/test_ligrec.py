@@ -179,3 +179,50 @@ class TestLigrec:
     def test_omnipath_gated(self, adata_raw):
         with pytest.raises(ImportError, match="omnipath"):
             sq.gr.ligrec(adata_raw, _CK, interactions=None, copy=True)
+
+
+class TestClustersSubset:
+    """Reference tests/graph/test_ligrec.py:92-98 (invalid clusters) and the
+    clusters-subset restriction semantics of PermutationTestABC.test."""
+
+    def test_invalid_clusters(self, adata_raw, interactions):
+        with pytest.raises(ValueError, match="Invalid cluster"):
+            sq.gr.ligrec(adata_raw, _CK, interactions=interactions, clusters=["foo"],
+                         n_perms=3, copy=True, seed=0)
+
+    def test_invalid_clusters_mix(self, adata_raw, interactions):
+        # reference raises on the str-where-pair-expected element
+        # (tests/graph/test_ligrec.py:96-98)
+        with pytest.raises(ValueError, match="Expected a pair"):
+            sq.gr.ligrec(adata_raw, _CK, interactions=interactions,
+                         clusters=["foo", ("bar", "baz")], n_perms=3, copy=True, seed=0)
+
+    def test_clusters_subset_str(self, adata_raw, interactions):
+        cats = list(adata_raw.obs[_CK].cat.categories)[:2]
+        res = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, clusters=cats,
+                           n_perms=3, copy=True, seed=0)
+        # all 4 ordered pairs of the 2 requested clusters, nothing else
+        got = set(res["means"].columns)
+        assert got == set(product(cats, cats))
+
+    def test_clusters_subset_pairs(self, adata_raw, interactions):
+        cats = list(adata_raw.obs[_CK].cat.categories)
+        pairs = [(cats[0], cats[1]), (cats[2], cats[0])]
+        res = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, clusters=pairs,
+                           n_perms=3, copy=True, seed=0)
+        assert set(res["means"].columns) == set(pairs)
+
+    def test_subset_means_match_full(self, adata_raw, interactions):
+        """Means for a cluster pair are the same whether or not other
+        clusters were requested (cluster means don't depend on the subset)."""
+        cats = list(adata_raw.obs[_CK].cat.categories)
+        full = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=2,
+                            copy=True, seed=0)
+        sub = sq.gr.ligrec(adata_raw, _CK, interactions=interactions,
+                           clusters=[(cats[0], cats[1])], n_perms=2, copy=True, seed=0)
+        col = (cats[0], cats[1])
+        np.testing.assert_allclose(
+            sub["means"][col].to_numpy(dtype=float),
+            full["means"][col].to_numpy(dtype=float),
+            equal_nan=True,
+        )
