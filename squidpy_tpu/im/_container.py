@@ -537,25 +537,41 @@ class ImageContainer(FeatureMixin):
         # ``drop=True`` with a per-library func mapping keeps only the selected
         # Z-planes (reference: im/_container.py apply, tests/image/
         # test_container.py:790-800)
-        slices = []
+        slices: list[NDArrayA | None] = []
         kept_ids = []
+        applied = []
         for zi, lid in enumerate(self._library_ids):
             plane = arr[:, :, zi, :]
             if lid in func_map:
                 res = np.asarray(func_map[lid](plane.squeeze(), **fn_kwargs))
+                if res.ndim == 2:
+                    res = res[:, :, None]
+                applied.append(res)
+                slices.append(res)
             elif drop and not callable(func):
                 continue
             else:
-                res = plane.squeeze()
-            if res.ndim == 2:
-                res = res[:, :, None]
-            slices.append(res)
+                slices.append(None)  # passthrough, resolved below
             kept_ids.append(lid)
-        if len({s.shape for s in slices}) > 1:
+        if len({a.shape for a in applied}) > 1:
             raise ValueError(
-                f"Unable to stack an array: Z-slice results have inconsistent shapes `{[s.shape for s in slices]}`."
+                f"Unable to stack an array: Z-slice results have inconsistent shapes "
+                f"`{[a.shape for a in applied]}`."
             )
-        new_arr = np.stack(slices, axis=2)
+        target = applied[0].shape if applied else arr.shape[:2] + (arr.shape[3],)
+        resolved = []
+        for s, (zi, lid) in zip(slices, [(i, l) for i, l in enumerate(self._library_ids) if l in kept_ids]):
+            if s is None:
+                plane = arr[:, :, zi, :]
+                if plane.shape == target:
+                    s = plane
+                else:
+                    # the applied functions changed the channel count:
+                    # unselected planes are zero-filled (reference:
+                    # tests/image/test_segmentation.py:245-263)
+                    s = np.zeros(target, dtype=applied[0].dtype if applied else plane.dtype)
+            resolved.append(s)
+        new_arr = np.stack(resolved, axis=2)
 
         if copy:
             out = ImageContainer()

@@ -228,16 +228,26 @@ class FeatureMixin:
         channels: Channel_t | None = None,
         feature_name: str | None = None,
         library_id: str | None = None,
+        additional_layers: Sequence[str] | None = None,
         **kwargs: Any,
     ) -> Feature_t:
-        """Features from a custom function applied to the (y, x, channels) plane."""
+        """Features from a custom function applied to the (y, x, channels) plane.
+
+        ``additional_layers`` names further layers whose (squeezed) planes are
+        passed positionally after the main array (reference:
+        im/_feature_mixin.py features_custom, tests/image/test_features.py:156-165).
+        """
         layer = self._get_layer(layer)
         library_id = self._get_library_id(library_id)
         feature_name = getattr(func, "__name__", "custom") if feature_name is None else feature_name
         channels = _get_channels(self._layers[layer], channels)
 
         arr = self._plane(layer, library_id)[..., channels]
-        res = func(np.asarray(arr.squeeze()), **kwargs)
+        extra = [
+            np.asarray(self._plane(self._get_layer(al), library_id).squeeze())
+            for al in (additional_layers or ())
+        ]
+        res = func(np.asarray(arr.squeeze()), *extra, **kwargs)
         if np.isscalar(res):
             res = [res]
         return {f"{feature_name}_{i}": r for i, r in enumerate(np.ravel(np.asarray(res, dtype=object)))}

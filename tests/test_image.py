@@ -431,3 +431,57 @@ class TestZStacks:
         new = cont.rename("image", "foo")
         assert new is cont
         assert "foo" in cont and "image" not in cont
+
+
+class TestCustomFeatureAdditionalLayers:
+    def test_additional_layers_passed_positionally(self, cont):
+        """Reference tests/image/test_features.py:156-165."""
+        cont.add_img(np.asarray(cont["image"])[:, :, :, :1], layer="foo")
+
+        seen = {}
+
+        def feature(arr, foo):
+            seen["arr"] = arr.shape
+            seen["foo"] = foo.shape
+            return float(arr.sum() + foo.sum())
+
+        res = cont.features_custom(feature, layer="image", additional_layers=["foo"], feature_name="baz")
+        assert "baz_0" in res
+        assert seen["arr"][:2] == seen["foo"][:2]
+
+    def test_unknown_additional_layer_raises(self, cont):
+        with pytest.raises(KeyError):
+            cont.features_custom(lambda a, b: 0, layer="image", additional_layers=["nope"])
+
+
+class TestSegmentLibraryId:
+    @pytest.mark.parametrize("library_id", [None, ["a"], ["a", "b"]])
+    def test_segment_z_subset(self, library_id):
+        """Unselected z-planes zero-fill when segmentation changes the channel
+        count (reference tests/image/test_segmentation.py:245-263)."""
+        rng = np.random.default_rng(0)
+        stack = ImageContainer.concat(
+            [ImageContainer(rng.random((30, 30, 3)).astype(np.float32)) for _ in range(2)],
+            library_ids=["a", "b"],
+        )
+        sq.im.segment(stack, method="watershed", layer="image", library_id=library_id)
+        seg = np.asarray(stack["segmented_watershed"])
+        assert seg.shape == (30, 30, 2, 1)
+        selected = ["a", "b"] if library_id is None else library_id
+        for zi, lid in enumerate(["a", "b"]):
+            if lid in selected:
+                assert seg[:, :, zi].max() > 0
+            else:
+                assert seg[:, :, zi].max() == 0
+
+    def test_process_z_subset_passthrough(self):
+        rng = np.random.default_rng(0)
+        stack = ImageContainer.concat(
+            [ImageContainer(rng.random((20, 20, 3)).astype(np.float32)) for _ in range(2)],
+            library_ids=["a", "b"],
+        )
+        before = np.asarray(stack["image"]).copy()
+        sq.im.process(stack, method="smooth", library_id="b")
+        out = np.asarray(stack["image_smooth"])
+        np.testing.assert_array_equal(out[:, :, 0], before[:, :, 0])  # untouched
+        assert not np.allclose(out[:, :, 1], before[:, :, 1])  # smoothed

@@ -246,3 +246,40 @@ class TestPallasCooccur:
         # the two formulations round d² differently; a handful of
         # threshold-boundary pairs may flip (measured: 1 pair in 1.9M)
         np.testing.assert_allclose(occ1, occ2, rtol=1e-5, atol=0.02)
+
+
+class TestVarNormGeary:
+    def test_geary_var_norm_distinct_formula(self, graph_adata):
+        """Geary's C uses its own Cliff&Ord normality variance, not Moran's
+        (reference regression for issue #1183,
+        tests/graph/test_ppatterns.py:109-137)."""
+        df = sq.gr.spatial_autocorr(graph_adata, mode="geary", copy=True)
+        g = row_normalize(sp.csr_matrix(graph_adata.obsp["spatial_connectivities"], dtype=float))
+        n = g.shape[0]
+        s0 = g.sum()
+        t = g.T + g
+        s1 = (t.multiply(t)).sum() / 2
+        s2 = ((np.asarray(g.sum(1)) + np.asarray(g.sum(0)).T).ravel() ** 2).sum()
+        s02 = s0 * s0
+        geary_var = ((2 * s1 + s2) * (n - 1) - 4 * s02) / (2 * (n + 1) * s02)
+        moran_var = (n * n * s1 - n * s2 + 3 * s02) / ((n - 1) * (n + 1) * s02) - (1 / (n - 1)) ** 2
+        np.testing.assert_allclose(df["var_norm"].iloc[0], geary_var, rtol=1e-10)
+        assert not np.isclose(geary_var, moran_var, rtol=1e-3)
+
+
+class TestUseRaw:
+    def test_use_raw(self, graph_adata):
+        """use_raw=True scores raw expression (reference
+        tests/graph/test_ppatterns.py:210)."""
+        from squidpy_tpu._core.anndata import Raw
+
+        raw_X = np.asarray(graph_adata.X).copy()
+        graph_adata.raw = Raw(graph_adata)
+        graph_adata.X = np.asarray(graph_adata.X) * 0  # destroy X
+        df = sq.gr.spatial_autocorr(graph_adata, mode="moran", use_raw=True, copy=True)
+        assert np.isfinite(df["I"]).all()
+        graph_adata.X = raw_X
+        df2 = sq.gr.spatial_autocorr(graph_adata, mode="moran", use_raw=False, copy=True)
+        np.testing.assert_allclose(
+            df["I"].sort_index().to_numpy(), df2["I"].sort_index().to_numpy(), rtol=1e-6
+        )

@@ -203,3 +203,27 @@ def test_profile_context_produces_trace(tmp_path, dummy_adata):
         with sq.utils.annotate("phase"):
             sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=4)
     assert glob.glob(str(tmp_path) + "/**/*.xplane.pb", recursive=True)
+
+
+class TestWindowCornersGroundTruth:
+    """Literal expected corners from reference
+    tests/tools/test_sliding_window.py:113-185."""
+
+    @pytest.mark.parametrize(
+        "overlap,drop,shape,first,last",
+        [
+            (20, False, (9, 4), [0, 100, 0, 100], [160, 200, 160, 200]),
+            (0, False, (4, 4), [0, 100, 0, 100], [100, 200, 100, 200]),
+            (20, True, (4, 4), [0, 100, 0, 100], [80, 180, 80, 180]),
+        ],
+    )
+    def test_corners(self, overlap, drop, shape, first, last):
+        from squidpy_tpu.tl._sliding_window import _calculate_window_corners
+
+        w = _calculate_window_corners(
+            min_x=0, max_x=200, min_y=0, max_y=200,
+            window_size=100, overlap=overlap, drop_partial_windows=drop,
+        )
+        assert w.shape == shape
+        assert w.iloc[0].values.tolist() == first
+        assert w.iloc[-1].values.tolist() == last
