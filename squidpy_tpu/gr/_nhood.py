@@ -54,12 +54,17 @@ def nhood_enrichment(
     show_progress_bar: bool = True,
     *,
     table_key: str | None = None,
+    cache: bool | str = False,
 ) -> NhoodEnrichmentResult | None:
     """Compute neighborhood enrichment by permutation test.
 
     z-score = (observed count − mean(permuted counts)) / std(permuted counts),
     per cluster pair; counts are directed stored-edge counts (reference
     semantics, /root/reference/src/squidpy/gr/_nhood.py:208-230).
+
+    ``cache`` (``True`` or a directory) memoizes the permutation-count batch
+    on disk keyed by graph/labels/seed, so re-running the identical seeded
+    call skips the device computation (requires an explicit ``seed``).
 
     Stores ``uns['{cluster_key}_nhood_enrichment'] = {'zscore', 'count'}``.
     """
@@ -81,17 +86,39 @@ def nhood_enrichment(
         cluster_pair_counts(graph.indices, graph.mask, labels_dev, n_cls), dtype=np.int64
     ).astype(np.uint32)
 
-    keys = spawn_keys(seed, n_perms)
+    lib_codes = None
     if library_key is not None:
         _assert_categorical_obs(adata, key=library_key)
         lib_codes = adata.obs[library_key].cat.codes.to_numpy()
-        shuffled = shuffle_group_batch(keys, labels_dev, lib_codes)
-    else:
-        shuffled = permutation_batch(keys, labels_dev)
 
-    from squidpy_tpu.parallel.sharded import auto_permuted_pair_counts
+    def _compute_perms() -> dict[str, NDArrayA]:
+        keys = spawn_keys(seed, n_perms)
+        if lib_codes is not None:
+            shuffled = shuffle_group_batch(keys, labels_dev, lib_codes)
+        else:
+            shuffled = permutation_batch(keys, labels_dev)
+        from squidpy_tpu.parallel.sharded import auto_permuted_pair_counts
 
-    perms = to_host(auto_permuted_pair_counts(graph.indices, graph.mask, shuffled, n_cls), dtype=np.float64)
+        return {
+            "perms": to_host(
+                auto_permuted_pair_counts(graph.indices, graph.mask, shuffled, n_cls),
+                dtype=np.float64,
+            )
+        }
+
+    if cache and seed is None:
+        logg.warning("`cache` requires an explicit `seed`; caching is disabled for this call")
+        cache = False
+    adj = adata.obsp[connectivity_key]
+    arrays = {"indptr": adj.indptr, "indices": adj.indices, "labels": int_clust}
+    if lib_codes is not None:
+        arrays["libs"] = lib_codes
+    from squidpy_tpu.utils._memoize import memoize_arrays
+
+    perms = memoize_arrays(
+        cache, "nhood_enrichment", arrays,
+        {"seed": seed, "n_perms": n_perms, "n_cls": n_cls}, _compute_perms,
+    )["perms"]
     # zero-variance pairs (e.g. singleton clusters) yield NaN, matching the
     # reference; suppress only the warning
     with np.errstate(invalid="ignore", divide="ignore"):

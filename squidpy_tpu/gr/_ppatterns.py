@@ -74,6 +74,7 @@ def spatial_autocorr(
     *,
     table_key: str | None = None,
     gene_block_size: int | None = None,
+    cache: bool | str = False,
 ) -> pd.DataFrame | None:
     """Global spatial autocorrelation (Moran's I or Geary's C) per feature.
 
@@ -82,6 +83,11 @@ def spatial_autocorr(
     (see :mod:`squidpy_tpu.ops.autocorr`). Analytic normality p-values follow
     Cliff & Ord (reference formulas at gr/_ppatterns.py:501-559, including the
     corrected Geary variance from issue #1183).
+
+    ``cache`` (``True`` or a directory) memoizes the raw scores and
+    permutation sims on disk keyed by graph/expression/seed; requires an
+    explicit ``seed`` when ``n_perms`` is set, and is skipped (with a warning)
+    for expression matrices too large to fingerprint cheaply.
 
     Stores the result DataFrame under ``uns['moranI']`` / ``uns['gearyC']``.
     """
@@ -177,38 +183,69 @@ def spatial_autocorr(
 
         gene_sharding = NamedSharding(default_mesh(axis_name="genes"), P(None, "genes"))
 
-    score_parts: list[np.ndarray] = []
-    sims_parts: list[np.ndarray] = []
-    row_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=1)).ravel())
-    for start_col in range(0, n_feats, gene_block_size):
-        block = _to_dense_block(vals, slice(start_col, start_col + gene_block_size))
-        n_block = block.shape[1]
-        pad_g = 0
-        if gene_sharding is not None:
-            pad_g = (-n_block) % n_dev
-            if pad_g:
-                block = np.pad(block, ((0, 0), (0, pad_g)))
-            xb = jax.device_put(jnp.asarray(block), gene_sharding)
-        else:
-            xb = jnp.asarray(block)
-        def _strip(arr: np.ndarray, axis: int = -1) -> np.ndarray:
-            return arr[..., : n_block] if pad_g else arr
-
-        if mode == SpatialAutocorr.MORAN:
-            score_parts.append(_strip(np.asarray(moran_scores(graph.indices, graph.weights, xb, s0))))
-        else:
-            score_parts.append(_strip(np.asarray(geary_scores(graph.indices, graph.weights, graph.mask, xb, s0))))
-        if perms_idx is not None:
-            zb = xb - jnp.mean(xb, axis=0, keepdims=True)
-            ub = spmv_genes(graph.indices, graph.weights, zb)
-            if mode == SpatialAutocorr.MORAN:
-                sims_parts.append(_strip(np.asarray(moran_perm_scores(zb, ub, perms_idx, s0))))
+    def _score_blocks() -> dict[str, np.ndarray]:
+        score_parts: list[np.ndarray] = []
+        sims_parts: list[np.ndarray] = []
+        row_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=1)).ravel())
+        for start_col in range(0, n_feats, gene_block_size):
+            block = _to_dense_block(vals, slice(start_col, start_col + gene_block_size))
+            n_block = block.shape[1]
+            pad_g = 0
+            if gene_sharding is not None:
+                pad_g = (-n_block) % n_dev
+                if pad_g:
+                    block = np.pad(block, ((0, 0), (0, pad_g)))
+                xb = jax.device_put(jnp.asarray(block), gene_sharding)
             else:
-                vb = spmv_genes(graph.indices, graph.weights, zb * zb)
-                sims_parts.append(_strip(np.asarray(geary_perm_scores(zb, ub, vb, row_sums_dev, perms_idx, s0))))
+                xb = jnp.asarray(block)
 
-    score = np.concatenate(score_parts) if score_parts else np.empty(0)
-    sims = np.concatenate(sims_parts, axis=1) if sims_parts else None
+            def _strip(arr: np.ndarray) -> np.ndarray:
+                return arr[..., :n_block] if pad_g else arr
+
+            if mode == SpatialAutocorr.MORAN:
+                score_parts.append(_strip(np.asarray(moran_scores(graph.indices, graph.weights, xb, s0))))
+            else:
+                score_parts.append(_strip(np.asarray(geary_scores(graph.indices, graph.weights, graph.mask, xb, s0))))
+            if perms_idx is not None:
+                zb = xb - jnp.mean(xb, axis=0, keepdims=True)
+                ub = spmv_genes(graph.indices, graph.weights, zb)
+                if mode == SpatialAutocorr.MORAN:
+                    sims_parts.append(_strip(np.asarray(moran_perm_scores(zb, ub, perms_idx, s0))))
+                else:
+                    vb = spmv_genes(graph.indices, graph.weights, zb * zb)
+                    sims_parts.append(_strip(np.asarray(geary_perm_scores(zb, ub, vb, row_sums_dev, perms_idx, s0))))
+        out = {"score": np.concatenate(score_parts) if score_parts else np.empty(0)}
+        if sims_parts:
+            out["sims"] = np.concatenate(sims_parts, axis=1)
+        return out
+
+    if cache:
+        if n_perms is not None and seed is None:
+            logg.warning("`cache` requires an explicit `seed`; caching is disabled for this call")
+            cache = False
+        elif (vals.data.nbytes if sp.issparse(vals) else np.asarray(vals).nbytes) > 512e6:
+            logg.warning("`cache`: expression matrix too large to fingerprint cheaply; caching is disabled")
+            cache = False
+    if cache:
+        memo_arrays: dict[str, Any] = {
+            "g_data": g_csr.data, "g_indices": g_csr.indices, "g_indptr": g_csr.indptr,
+        }
+        if sp.issparse(vals):
+            v = vals.tocsr()
+            memo_arrays.update(x_data=v.data, x_indices=v.indices, x_indptr=v.indptr)
+        else:
+            memo_arrays["x"] = np.asarray(vals)
+        from squidpy_tpu.utils._memoize import memoize_arrays
+
+        result = memoize_arrays(
+            cache, f"spatial_autocorr_{params['mode']}", memo_arrays,
+            {"seed": seed, "n_perms": n_perms, "transformation": transformation},
+            _score_blocks,
+        )
+    else:
+        result = _score_blocks()
+    score = result["score"]
+    sims = result.get("sims")
 
     with np.errstate(divide="ignore", invalid="ignore"):
         pval_results = _p_value_calc(score, sims, g_csr, params)

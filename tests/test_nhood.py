@@ -113,3 +113,44 @@ class TestCentralityScores:
         sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
         df = sq.gr.centrality_scores(dummy_adata, "leiden", score="degree_centrality", copy=True)
         assert list(df.columns) == ["degree_centrality"]
+
+
+class TestPermutationCache:
+    """Optional on-disk memoization of permutation batches (SURVEY §5
+    checkpoint/resume: deterministic keyed RNG makes cached batches exact)."""
+
+    def test_cache_roundtrip_exact(self, dummy_adata, tmp_path):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        r1 = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=20, seed=7, cache=str(tmp_path), copy=True)
+        r2 = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=20, seed=7, cache=str(tmp_path), copy=True)
+        r3 = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=20, seed=7, copy=True)
+        np.testing.assert_array_equal(r1.zscore, r2.zscore)
+        np.testing.assert_array_equal(r1.zscore, r3.zscore)
+        assert len(list((tmp_path / "nhood_enrichment").glob("*.npz"))) == 1
+
+    def test_cache_key_sensitivity(self, dummy_adata, tmp_path):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=20, seed=7, cache=str(tmp_path), copy=True)
+        sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=20, seed=8, cache=str(tmp_path), copy=True)
+        sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=21, seed=7, cache=str(tmp_path), copy=True)
+        assert len(list((tmp_path / "nhood_enrichment").glob("*.npz"))) == 3
+
+    def test_cache_corrupt_entry_recomputed(self, dummy_adata, tmp_path):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        r1 = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=20, seed=7, cache=str(tmp_path), copy=True)
+        entry = next((tmp_path / "nhood_enrichment").glob("*.npz"))
+        entry.write_bytes(b"garbage")
+        r2 = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=20, seed=7, cache=str(tmp_path), copy=True)
+        np.testing.assert_array_equal(r1.zscore, r2.zscore)
+
+    def test_cache_requires_seed(self, dummy_adata, tmp_path):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        res = sq.gr.nhood_enrichment(dummy_adata, "leiden", n_perms=10, cache=str(tmp_path), copy=True)
+        assert res is not None
+        assert not (tmp_path / "nhood_enrichment").exists()
+
+    def test_autocorr_cache_roundtrip(self, dummy_adata, tmp_path):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        d1 = sq.gr.spatial_autocorr(dummy_adata, mode="moran", n_perms=10, seed=3, cache=str(tmp_path), copy=True)
+        d2 = sq.gr.spatial_autocorr(dummy_adata, mode="moran", n_perms=10, seed=3, cache=str(tmp_path), copy=True)
+        pd.testing.assert_frame_equal(d1, d2)
