@@ -261,9 +261,11 @@ class PermutationTestABC(ABC):
         _save_data(self._adata, attr="uns", key=Key.uns.ligrec(cluster_key, key_added), data=res, time=start)
 
     def _trim_data(self) -> None:
-        self._filtered_data = self._data.loc[
-            :, list(set(self.interactions[SOURCE]) | set(self.interactions[TARGET]))
-        ]
+        # order-preserving unique keeps the take in near-original column order,
+        # which pandas executes as a cheap contiguous block take
+        wanted = set(self.interactions[SOURCE]) | set(self.interactions[TARGET])
+        cols = [c for c in self._data.columns if c in wanted]
+        self._filtered_data = self._data.loc[:, cols]
 
     def _filter_interactions_by_genes(self) -> None:
         self._interactions = self.interactions[
