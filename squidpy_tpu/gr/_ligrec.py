@@ -432,8 +432,10 @@ def _analysis(
     x_dev = jnp.asarray(data, dtype=dev_dtype)
     keys = spawn_keys(seed, n_perms)
     shuffled = permutation_batch(keys, jnp.asarray(clustering))
+    from squidpy_tpu.parallel.sharded import auto_ligrec_counts
+
     exceed = np.asarray(
-        ligrec_perm_counts(
+        auto_ligrec_counts(
             x_dev,
             shuffled,
             jnp.asarray(counts, x_dev.dtype),

@@ -27,7 +27,9 @@ __all__ = [
     "sharded_pair_counts",
     "sharded_permuted_pair_counts",
     "sharded_moran_scores",
+    "sharded_ligrec_counts",
     "auto_permuted_pair_counts",
+    "auto_ligrec_counts",
 ]
 
 
@@ -154,3 +156,114 @@ def sharded_moran_scores(
         return moran_scores(idx, w, xx, jnp.asarray(s0, xx.dtype))
 
     return f(indices, weights, x)
+
+
+def sharded_ligrec_counts(
+    mesh: Mesh,
+    x: jax.Array,
+    shuffled_labels: jax.Array,
+    counts_per_cluster: jax.Array,
+    rec: jax.Array,
+    lig: jax.Array,
+    c1: jax.Array,
+    c2: jax.Array,
+    m_sum: jax.Array,
+    n_cls: int,
+    *,
+    chunk_size: int | None = None,
+) -> jax.Array:
+    """Ligrec exceedance counts with the **permutation axis** sharded.
+
+    This is the direct TPU mapping of the reference's permutation-level data
+    parallelism (SURVEY §2.2: joblib fans permutation chunks over a loky pool,
+    /root/reference/src/squidpy/gr/_ligrec.py:766-782): each device computes
+    complete permutations for its slice of the batch — identical per-perm math
+    to the single-device kernel — and the integer exceedance counts merge with
+    one ``psum``. Exactness of integer accumulation makes the result bitwise
+    independent of the device count.
+
+    ``shuffled_labels`` rows beyond the true permutation count (padding for
+    divisibility) must carry weight 0 via ``perm_weights`` handled by
+    :func:`auto_ligrec_counts`.
+    """
+    return _sharded_ligrec_weighted(
+        mesh, x, shuffled_labels,
+        jnp.ones((shuffled_labels.shape[0],), jnp.float32),
+        counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls, chunk_size=chunk_size,
+    )
+
+
+def _sharded_ligrec_weighted(
+    mesh: Mesh,
+    x: jax.Array,
+    shuffled_labels: jax.Array,
+    perm_weights: jax.Array,
+    counts_per_cluster: jax.Array,
+    rec: jax.Array,
+    lig: jax.Array,
+    c1: jax.Array,
+    c2: jax.Array,
+    m_sum: jax.Array,
+    n_cls: int,
+    *,
+    chunk_size: int | None = None,
+) -> jax.Array:
+    axis = mesh.axis_names[0]
+    inv_counts = 1.0 / jnp.where(counts_per_cluster == 0, 1.0, counts_per_cluster).astype(x.dtype)
+    if chunk_size is None:
+        bytes_per_perm = 4 * (x.shape[0] * n_cls + n_cls * x.shape[1] + 2 * rec.shape[0] * c1.shape[0])
+        chunk_size = max(1, min(shuffled_labels.shape[0] // mesh.size or 1, int(2e9 // max(bytes_per_perm, 1))))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(), P(), P(), P(), P()),
+        out_specs=P(),
+    )
+    def f(x_r, lab_s, w_s, rec_r, lig_r, c1_r, c2_r, m_sum_r):
+        def one(labels, w):
+            onehot = jax.nn.one_hot(labels, n_cls, dtype=x_r.dtype)
+            groups = jnp.dot(onehot.T, x_r, preferred_element_type=x_r.dtype) * inv_counts[:, None]
+            g_rec = groups[c1_r[None, :], rec_r[:, None]]
+            g_lig = groups[c2_r[None, :], lig_r[:, None]]
+            return w * ((g_rec + g_lig) > m_sum_r).astype(x_r.dtype)
+
+        parts = chunked_vmap(one, (lab_s, w_s), chunk_size=chunk_size)
+        return jax.lax.psum(jnp.sum(parts, axis=0), axis)
+
+    return f(x, shuffled_labels, perm_weights, rec, lig, c1, c2, m_sum)
+
+
+def auto_ligrec_counts(
+    x: jax.Array,
+    shuffled_labels: jax.Array,
+    counts_per_cluster: jax.Array,
+    rec: jax.Array,
+    lig: jax.Array,
+    c1: jax.Array,
+    c2: jax.Array,
+    m_sum: jax.Array,
+    n_cls: int,
+) -> jax.Array:
+    """Perm-sharded ligrec counts across all local devices when available
+    (permutation axis padded with zero-weight rows for divisibility);
+    single-device kernel otherwise. Bitwise equal either way."""
+    from squidpy_tpu.ops.ligrec import ligrec_perm_counts
+    from squidpy_tpu.parallel.mesh import default_mesh
+
+    n_dev = jax.device_count()
+    if n_dev <= 1:
+        return ligrec_perm_counts(
+            x, shuffled_labels, counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls
+        )
+    n_perms = shuffled_labels.shape[0]
+    pad = (-n_perms) % n_dev
+    weights = jnp.ones((n_perms + pad,), jnp.float32).at[n_perms:].set(0.0)
+    if pad:
+        shuffled_labels = jnp.concatenate(
+            [shuffled_labels, jnp.repeat(shuffled_labels[:1], pad, axis=0)], axis=0
+        )
+    return _sharded_ligrec_weighted(
+        default_mesh(axis_name="perms"), x, shuffled_labels, weights,
+        counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls,
+    )

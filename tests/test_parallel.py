@@ -62,3 +62,32 @@ class TestShardedMoran:
         got = np.asarray(sharded_moran_scores(mesh, g.indices, g.weights, x, s0))
         want = np.asarray(moran_scores(g.indices, g.weights, x, jnp.asarray(s0)))
         np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+class TestShardedLigrec:
+    @pytest.mark.parametrize("n_perms", [7, 16, 23])  # non-divisible exercises pad weights
+    def test_auto_matches_single_device(self, n_perms):
+        import jax
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.ligrec import ligrec_perm_counts
+        from squidpy_tpu.parallel.sharded import auto_ligrec_counts
+
+        rng = np.random.default_rng(0)
+        n, g, C, I, J = 300, 40, 5, 20, 12
+        x = jnp.asarray(rng.gamma(2.0, 1.0, (n, g)).astype(np.float32))
+        labels = rng.integers(0, C, n).astype(np.int32)
+        shuffled = jnp.asarray(
+            np.stack([np.random.default_rng(i).permutation(labels) for i in range(n_perms)])
+        )
+        counts = jnp.asarray(np.bincount(labels, minlength=C).astype(np.float32))
+        rec = jnp.asarray(rng.integers(0, g, I).astype(np.int32))
+        lig = jnp.asarray(rng.integers(0, g, I).astype(np.int32))
+        c1 = jnp.asarray(rng.integers(0, C, J).astype(np.int32))
+        c2 = jnp.asarray(rng.integers(0, C, J).astype(np.int32))
+        m_sum = jnp.asarray(rng.random((I, J)).astype(np.float32) * 2)
+
+        single = np.asarray(ligrec_perm_counts(x, shuffled, counts, rec, lig, c1, c2, m_sum, C))
+        assert jax.device_count() == 8
+        sharded = np.asarray(auto_ligrec_counts(x, shuffled, counts, rec, lig, c1, c2, m_sum, C))
+        np.testing.assert_array_equal(single, sharded)  # bitwise: integer exceedance counts
