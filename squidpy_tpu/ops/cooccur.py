@@ -67,14 +67,15 @@ def co_occurrence_counts(
     Matches the reference's ``_occur_count`` output layout
     (counts[label_i, label_j, r], self-pairs excluded).
     """
+    from squidpy_tpu.parallel.sharded import auto_cooccur_counts
+
     coords = np.ascontiguousarray(coords, dtype=np.float32)
-    n = coords.shape[0]
-    out = _cooccur_device(
+    out = auto_cooccur_counts(
         jnp.asarray(coords),
         jnp.asarray(labels.astype(np.int32)),
         jnp.asarray(np.asarray(thresholds, dtype=np.float32)),
         n_cls,
-        min(row_tile, max(8, n)),
+        row_tile=row_tile,
     )
     from squidpy_tpu.utils import to_host
 

@@ -28,8 +28,10 @@ __all__ = [
     "sharded_permuted_pair_counts",
     "sharded_moran_scores",
     "sharded_ligrec_counts",
+    "sharded_cooccur_counts",
     "auto_permuted_pair_counts",
     "auto_ligrec_counts",
+    "auto_cooccur_counts",
 ]
 
 
@@ -266,4 +268,105 @@ def auto_ligrec_counts(
     return _sharded_ligrec_weighted(
         default_mesh(axis_name="perms"), x, shuffled_labels, weights,
         counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls,
+    )
+
+
+def sharded_cooccur_counts(
+    mesh: Mesh,
+    coords: jax.Array,
+    labels: jax.Array,
+    row_valid: jax.Array,
+    thresholds: jax.Array,
+    n_cls: int,
+    *,
+    row_tile: int = 2048,
+) -> jax.Array:
+    """Co-occurrence pair counts ``(L, C, C)`` with the **row axis** sharded.
+
+    The O(n²) pairwise sweep (the reference's numba `_occur_count` scaling
+    cliff, /root/reference/src/squidpy/gr/_ppatterns.py:283-310) splits by
+    source rows: each device sweeps its row shard against the replicated
+    column set, and the integer counts merge with one ``psum`` — bitwise
+    equal to the single-device kernel. ``row_valid`` masks padding rows
+    added for mesh divisibility.
+    """
+    from squidpy_tpu.ops.knn import pairwise_sq_dists
+
+    axis = mesh.axis_names[0]
+    n = coords.shape[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=P(),
+    )
+    def f(rows_s, row_lab_s, row_valid_s, coords_r, labels_r, col_valid_r, thr_r):
+        m = rows_s.shape[0]
+        tile = min(row_tile, max(8, m))
+        n_tiles = (m + tile - 1) // tile
+        m_pad = n_tiles * tile
+        rows_p = jnp.pad(rows_s, ((0, m_pad - m), (0, 0)))
+        oh_rows_p = jnp.pad(
+            jax.nn.one_hot(row_lab_s, n_cls, dtype=rows_s.dtype) * row_valid_s[:, None].astype(rows_s.dtype),
+            ((0, m_pad - m), (0, 0)),
+        )
+        valid_p = jnp.pad(row_valid_s, (0, m_pad - m))
+        # global index of each shard row, for self-pair exclusion
+        shard_off = jax.lax.axis_index(axis) * m
+        onehot_cols = jax.nn.one_hot(labels_r, n_cls, dtype=rows_s.dtype)
+
+        def tile_fn(t: jax.Array) -> jax.Array:
+            r = jax.lax.dynamic_slice_in_dim(rows_p, t * tile, tile)
+            oh_r = jax.lax.dynamic_slice_in_dim(oh_rows_p, t * tile, tile)
+            v_r = jax.lax.dynamic_slice_in_dim(valid_p, t * tile, tile)
+            gids = shard_off + t * tile + jnp.arange(tile, dtype=jnp.int32)
+            d2 = pairwise_sq_dists(r, coords_r)
+            ok = (
+                v_r[:, None]
+                & col_valid_r[None, :]
+                & (jnp.arange(n, dtype=jnp.int32)[None, :] != gids[:, None])
+            )
+
+            def per_thresh(thr: jax.Array) -> jax.Array:
+                ind = jnp.where(ok & (d2 <= thr), jnp.asarray(1.0, rows_s.dtype), 0.0)
+                s = jnp.dot(ind, onehot_cols, preferred_element_type=jnp.float32)
+                return jnp.dot(oh_r.T, s, preferred_element_type=jnp.float32)
+
+            return jax.lax.map(per_thresh, thr_r)
+
+        part = jnp.sum(jax.lax.map(tile_fn, jnp.arange(n_tiles)), axis=0)
+        return jax.lax.psum(part, axis)
+
+    return f(coords, labels, row_valid, coords, labels, row_valid, thresholds)
+
+
+def auto_cooccur_counts(
+    coords: jax.Array,
+    labels: jax.Array,
+    thresholds: jax.Array,
+    n_cls: int,
+    *,
+    row_tile: int = 2048,
+) -> jax.Array:
+    """Row-sharded co-occurrence counts ``(L, C, C)`` across all local devices
+    when available (row axis zero-padded with invalid rows for divisibility);
+    single-device kernel otherwise. Bitwise equal either way."""
+    from squidpy_tpu.ops.cooccur import _cooccur_device
+    from squidpy_tpu.parallel.mesh import default_mesh
+
+    n = coords.shape[0]
+    n_dev = jax.device_count()
+    if n_dev <= 1:
+        return _cooccur_device(coords, labels, thresholds, n_cls, min(row_tile, max(8, n)))
+    pad = (-n) % n_dev
+    valid = jnp.ones((n + pad,), bool).at[n:].set(False) if pad else jnp.ones((n,), bool)
+    if pad:
+        coords_p = jnp.pad(coords, ((0, pad), (0, 0)))
+        labels_p = jnp.pad(labels, (0, pad))
+    else:
+        coords_p, labels_p = coords, labels
+    return sharded_cooccur_counts(
+        default_mesh(axis_name="rows"), coords_p, labels_p, valid, thresholds, n_cls,
+        row_tile=row_tile,
     )

@@ -91,3 +91,22 @@ class TestShardedLigrec:
         assert jax.device_count() == 8
         sharded = np.asarray(auto_ligrec_counts(x, shuffled, counts, rec, lig, c1, c2, m_sum, C))
         np.testing.assert_array_equal(single, sharded)  # bitwise: integer exceedance counts
+
+
+class TestShardedCooccur:
+    @pytest.mark.parametrize("n", [333, 512])  # non-divisible exercises row padding
+    def test_auto_matches_single_device(self, n):
+        import jax
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.cooccur import _cooccur_device
+        from squidpy_tpu.parallel.sharded import auto_cooccur_counts
+
+        rng = np.random.default_rng(1)
+        coords = jnp.asarray(rng.random((n, 2)).astype(np.float32) * 50)
+        labels = jnp.asarray(rng.integers(0, 5, n).astype(np.int32))
+        thr = jnp.asarray((np.linspace(2, 40, 7) ** 2).astype(np.float32))
+        single = np.asarray(_cooccur_device(coords, labels, thr, 5, 128))
+        assert jax.device_count() == 8
+        shard = np.asarray(auto_cooccur_counts(coords, labels, thr, 5, row_tile=128))
+        np.testing.assert_array_equal(single, shard)
