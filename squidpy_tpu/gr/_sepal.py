@@ -100,7 +100,9 @@ def sepal(
         if issparse(block):
             block = np.asarray(block.todense())
         conc = jnp.asarray(np.ascontiguousarray(block), dtype=dtype)
-        iters = sepal_diffusion(
+        from squidpy_tpu.parallel.sharded import auto_sepal_iters
+
+        iters = auto_sepal_iters(
             conc, sat_j, sat_idx_j, unsat_j, pos_j, use_hex, int(n_iter), float(dt), float(thresh)
         )
         scores_parts.append(np.asarray(iters, dtype=np.float64) * dt)

@@ -32,6 +32,7 @@ __all__ = [
     "auto_permuted_pair_counts",
     "auto_ligrec_counts",
     "auto_cooccur_counts",
+    "auto_sepal_iters",
 ]
 
 
@@ -370,3 +371,57 @@ def auto_cooccur_counts(
         default_mesh(axis_name="rows"), coords_p, labels_p, valid, thresholds, n_cls,
         row_tile=row_tile,
     )
+
+
+def auto_sepal_iters(
+    conc0: jax.Array,
+    sat: jax.Array,
+    sat_idx: jax.Array,
+    unsat: jax.Array,
+    unsat_to_sat_pos: jax.Array,
+    use_hex: bool,
+    n_iter: int,
+    dt: float,
+    thresh: float,
+) -> jax.Array:
+    """Sepal convergence iterations with the **gene axis** sharded.
+
+    Each device runs its own independent ``while_loop`` over its gene shard
+    (graph/stencil arrays replicated), so shards stop as soon as *their*
+    genes converge — no per-iteration collectives, and per-gene results are
+    bitwise identical to the single-device kernel. Replaces the reference's
+    thread pool over genes (/root/reference/src/squidpy/gr/_sepal.py:199-206).
+    Padding replicates the first gene column (zero columns would never
+    converge and pin a shard at ``n_iter``).
+    """
+    from squidpy_tpu.ops.sepal import sepal_diffusion
+    from squidpy_tpu.parallel.mesh import default_mesh
+
+    n_dev = jax.device_count()
+    n_genes = conc0.shape[1]
+    if n_dev <= 1 or n_genes < n_dev:
+        return sepal_diffusion(
+            conc0, sat, sat_idx, unsat, unsat_to_sat_pos, use_hex, n_iter, dt, thresh
+        )
+    pad = (-n_genes) % n_dev
+    if pad:
+        conc0 = jnp.concatenate([conc0, jnp.repeat(conc0[:, :1], pad, axis=1)], axis=1)
+    mesh = default_mesh(axis_name="genes")
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(), P(None, None), P(), P()),
+        out_specs=P(axis),
+        # the while_loop carry mixes shard-varying (conc) and literal-derived
+        # (prev_ent/active/done) components; skip the varying-axes check
+        check_vma=False,
+    )
+    def f(conc_s, sat_r, sat_idx_r, unsat_r, u2s_r):
+        return sepal_diffusion(
+            conc_s, sat_r, sat_idx_r, unsat_r, u2s_r, use_hex, n_iter, dt, thresh
+        )
+
+    out = f(conc0, sat, sat_idx, unsat, unsat_to_sat_pos)
+    return out[:n_genes] if pad else out

@@ -110,3 +110,35 @@ class TestShardedCooccur:
         assert jax.device_count() == 8
         shard = np.asarray(auto_cooccur_counts(coords, labels, thr, 5, row_tile=128))
         np.testing.assert_array_equal(single, shard)
+
+
+class TestShardedSepal:
+    def test_auto_matches_single_device(self):
+        """Gene-sharded sepal equals the single-device kernel per gene
+        (11 genes on 8 devices exercises the replicate-pad path)."""
+        import jax
+        import pandas as pd
+
+        import squidpy_tpu as sq
+
+        assert jax.device_count() == 8
+        rng = np.random.default_rng(0)
+        side = 12
+        xx, yy = np.meshgrid(np.arange(side), np.arange(side))
+        coords = np.c_[xx.ravel(), yy.ravel()].astype(float)
+        n = side * side
+        X = rng.gamma(2.0, 1.0, (n, 11)).astype(np.float64)
+        ad = sq.AnnData(X=X, var=pd.DataFrame(index=[f"g{i}" for i in range(11)]),
+                        obsm={"spatial": coords})
+        sq.gr.spatial_neighbors_grid(ad, n_neighs=4)
+        res = sq.gr.sepal(ad, max_neighs=4, genes=list(ad.var_names), n_iter=500, copy=True)
+
+        # the 11-gene run went through the 8-device sharded path; a 1-gene run
+        # takes the single-device branch (n_genes < n_dev) — per-gene equality
+        # is the sharding-invariance contract
+        one_by_one = []
+        for g in ad.var_names:
+            r1 = sq.gr.sepal(ad, max_neighs=4, genes=[g], n_iter=500, copy=True)
+            one_by_one.append(float(r1["sepal_score"].loc[g]))
+        got = res["sepal_score"].loc[list(ad.var_names)].to_numpy(dtype=float)
+        np.testing.assert_allclose(got, np.array(one_by_one), equal_nan=True)
