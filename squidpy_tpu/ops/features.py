@@ -169,10 +169,12 @@ def summary_features_batch(crops: np.ndarray, quantiles: tuple[float, ...]) -> d
     """Per-channel quantiles/mean/std for a stacked crop batch in ONE device
     call — the batched counterpart of :func:`summary_features` (one host↔device
     round-trip for the whole observation set instead of one per crop)."""
+    from squidpy_tpu.parallel.sharded import batch0_sharded
     from squidpy_tpu.utils import to_host
 
-    out = _summary_batch_kernel(jnp.asarray(np.asarray(crops, dtype=np.float32)), tuple(quantiles))
-    return {k: to_host(v) for k, v in out.items()}
+    arr, n = batch0_sharded(jnp.asarray(np.asarray(crops, dtype=np.float32)))
+    out = _summary_batch_kernel(arr, tuple(quantiles))
+    return {k: to_host(v)[:n] for k, v in out.items()}
 
 
 @partial(jax.jit, static_argnames=("bins", "per_crop_range"))
@@ -200,14 +202,15 @@ def histogram_features_batch(
 
     ``v_range=None`` uses each crop's own range (the reference's behavior);
     the top edge is inclusive as in numpy.histogram."""
+    from squidpy_tpu.parallel.sharded import batch0_sharded
     from squidpy_tpu.utils import to_host
 
-    arr = jnp.asarray(np.asarray(crops, dtype=np.float32))
+    arr, n = batch0_sharded(jnp.asarray(np.asarray(crops, dtype=np.float32)))
     if v_range is None:
         hist = _histogram_batch_kernel(arr, bins, jnp.float32(0), jnp.float32(1), True)
     else:
         hist = _histogram_batch_kernel(arr, bins, jnp.float32(v_range[0]), jnp.float32(v_range[1]), False)
-    return to_host(hist)
+    return to_host(hist)[:n]
 
 
 @partial(jax.jit, static_argnames=("row_off", "col_off", "levels"))
@@ -320,14 +323,15 @@ def glcm_props_batch(
         )
     if images.dtype != np.uint8 and levels <= 256:
         images = images.astype(np.uint8)
-    imgs_j = jnp.asarray(images.astype(np.int32))
-    n = images.shape[0]
+    from squidpy_tpu.parallel.sharded import batch0_sharded
+
+    imgs_j, n = batch0_sharded(jnp.asarray(images.astype(np.int32)))
     out = np.zeros((n, len(distances), len(angles), len(props)), dtype=np.float64)
     for di, d in enumerate(distances):
         for ai, a in enumerate(angles):
             row = int(round(np.sin(a) * d))
             col = int(round(np.cos(a) * d))
-            out[:, di, ai, :] = to_host(_glcm_props_kernel(imgs_j, row, col, levels, tuple(props)))
+            out[:, di, ai, :] = to_host(_glcm_props_kernel(imgs_j, row, col, levels, tuple(props)))[:n]
     return out
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "auto_ligrec_counts",
     "auto_cooccur_counts",
     "auto_sepal_iters",
+    "batch0_sharded",
 ]
 
 
@@ -425,3 +426,27 @@ def auto_sepal_iters(
 
     out = f(conc0, sat, sat_idx, unsat, unsat_to_sat_pos)
     return out[:n_genes] if pad else out
+
+
+def batch0_sharded(x: jax.Array) -> tuple[jax.Array, int]:
+    """Shard ``x`` along axis 0 over all local devices (pad rows replicated
+    from row 0 for divisibility; caller strips to the returned true length).
+
+    This is the crop-batch data parallelism for image featurization
+    (reference: ``parallelize`` over ``adata.obs_names``,
+    /root/reference/src/squidpy/im/_feature.py:90-97): per-crop computations
+    are independent, so GSPMD partitions the downstream jitted kernel without
+    any collective until the host gathers results.
+    """
+    from squidpy_tpu.parallel.mesh import default_mesh
+
+    n = x.shape[0]
+    n_dev = jax.device_count()
+    if n_dev <= 1 or n < n_dev:
+        return x, n
+    pad = (-n) % n_dev
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+    mesh = default_mesh(axis_name="crops")
+    sharding = NamedSharding(mesh, P("crops", *([None] * (x.ndim - 1))))
+    return jax.device_put(x, sharding), n
