@@ -109,16 +109,21 @@ def nhood_enrichment(
     if cache and seed is None:
         logg.warning("`cache` requires an explicit `seed`; caching is disabled for this call")
         cache = False
-    adj = adata.obsp[connectivity_key]
-    arrays = {"indptr": adj.indptr, "indices": adj.indices, "labels": int_clust}
-    if lib_codes is not None:
-        arrays["libs"] = lib_codes
-    from squidpy_tpu.utils._memoize import memoize_arrays
+    if cache:
+        from scipy import sparse as _sp
 
-    perms = memoize_arrays(
-        cache, "nhood_enrichment", arrays,
-        {"seed": seed, "n_perms": n_perms, "n_cls": n_cls}, _compute_perms,
-    )["perms"]
+        from squidpy_tpu.utils._memoize import memoize_arrays
+
+        adj = _sp.csr_matrix(adata.obsp[connectivity_key])
+        arrays = {"indptr": adj.indptr, "indices": adj.indices, "labels": int_clust}
+        if lib_codes is not None:
+            arrays["libs"] = lib_codes
+        perms = memoize_arrays(
+            cache, "nhood_enrichment", arrays,
+            {"seed": seed, "n_perms": n_perms, "n_cls": n_cls}, _compute_perms,
+        )["perms"]
+    else:
+        perms = _compute_perms()["perms"]
     # zero-variance pairs (e.g. singleton clusters) yield NaN, matching the
     # reference; suppress only the warning
     with np.errstate(invalid="ignore", divide="ignore"):
