@@ -227,3 +227,89 @@ class TestWindowCornersGroundTruth:
         assert w.shape == shape
         assert w.iloc[0].values.tolist() == first
         assert w.iloc[-1].values.tolist() == last
+
+
+class TestVizgenReader:
+    def test_vizgen(self, tmp_path):
+        """Synthetic MERSCOPE directory: counts csv (with Blank- probes),
+        metadata with micron centroids, micron->pixel transform."""
+        rng = np.random.default_rng(0)
+        genes = ["GeneA", "GeneB", "Blank-1", "GeneC"]
+        cells = [f"{i}" for i in range(6)]
+        counts = pd.DataFrame(rng.integers(0, 9, (6, 4)), index=cells, columns=genes)
+        counts.index.name = "cell"
+        counts.to_csv(tmp_path / "cell_by_gene.csv")
+        meta = pd.DataFrame(
+            {"center_x": rng.random(6) * 100, "center_y": rng.random(6) * 100,
+             "volume": rng.random(6)},
+            index=cells,
+        )
+        meta.index.name = "EntityID"
+        meta.to_csv(tmp_path / "cell_metadata.csv")
+        (tmp_path / "images").mkdir()
+        np.savetxt(tmp_path / "images" / "micron_to_mosaic_pixel_transform.csv",
+                   np.eye(3), delimiter=" ")
+
+        adata = sq.read.vizgen(
+            tmp_path, counts_file="cell_by_gene.csv", meta_file="cell_metadata.csv",
+            transformation_file="micron_to_mosaic_pixel_transform.csv",
+        )
+        assert adata.shape == (6, 3)  # Blank- probe moved to obsm
+        assert "Blank-1" in adata.obsm["blank_genes"].columns
+        assert adata.obsm["spatial"].shape == (6, 2)
+        assert "volume" in adata.obs.columns
+        lib = list(adata.uns["spatial"])[0]
+        tm = adata.uns["spatial"][lib]["scalefactors"]["transformation_matrix"]
+        assert tm.shape == (3, 3)
+        from scipy import sparse as sp
+
+        assert sp.issparse(adata.X)
+
+
+class TestNanostringReader:
+    def test_nanostring(self, tmp_path):
+        """Synthetic CosMx directory: per-FOV counts/metadata, composite and
+        label images, FOV positions."""
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        n = 8
+        fovs = [1] * 4 + [2] * 4
+        counts = pd.DataFrame(rng.integers(0, 5, (n, 3)), columns=["G1", "G2", "G3"])
+        counts.insert(0, "fov", fovs)
+        counts.insert(0, "cell_ID", list(range(1, 5)) * 2)
+        counts.to_csv(tmp_path / "exprMat_file.csv", index=False)
+        meta = pd.DataFrame({
+            "cell_ID": list(range(1, 5)) * 2,
+            "fov": fovs,
+            "CenterX_local_px": rng.integers(0, 50, n),
+            "CenterY_local_px": rng.integers(0, 50, n),
+            "CenterX_global_px": rng.integers(0, 500, n),
+            "CenterY_global_px": rng.integers(0, 500, n),
+            "Area": rng.random(n),
+        })
+        meta.to_csv(tmp_path / "metadata_file.csv", index=False)
+        for sub in ["CellComposite", "CellLabels"]:
+            (tmp_path / sub).mkdir()
+            for f in (1, 2):
+                Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8).astype(np.uint8)).save(
+                    tmp_path / sub / f"Img_F{f:03d}.jpg"
+                )
+        pd.DataFrame({"fov": [1, 2], "x_global_px": [0, 500], "y_global_px": [0, 0]}).to_csv(
+            tmp_path / "fov_positions.csv", index=False
+        )
+
+        adata = sq.read.nanostring(
+            tmp_path, counts_file="exprMat_file.csv", meta_file="metadata_file.csv",
+            fov_file="fov_positions.csv",
+        )
+        assert adata.shape == (8, 3)
+        assert set(adata.obs["fov"].cat.categories) == {"1", "2"}
+        assert adata.obsm["spatial"].shape == (8, 2)
+        assert adata.obsm["spatial_fov"].shape == (8, 2)
+        for fov in ("1", "2"):
+            assert "hires" in adata.uns["spatial"][fov]["images"]
+            assert "segmentation" in adata.uns["spatial"][fov]["images"]
+            assert "x_global_px" in adata.uns["spatial"][fov]["metadata"]
+        # obs index is cellID_fov
+        assert adata.obs_names[0].endswith("_1")
