@@ -1,0 +1,49 @@
+"""Regenerate docs/api.md from package docstrings: python docs/_gen_api.py"""
+
+from __future__ import annotations
+
+import inspect
+import io
+from pathlib import Path
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import squidpy_tpu as sq
+    import squidpy_tpu.parallel as par
+    import squidpy_tpu.utils as utils
+
+    out = io.StringIO()
+    out.write(
+        "# API reference\n\n"
+        "Every public symbol, with a one-line summary. Generated from docstrings\n"
+        "(`python docs/_gen_api.py`); reference parity citations live in each\n"
+        "docstring's body (file:line into the reference repo).\n\n"
+    )
+    modules = [
+        ("squidpy_tpu.gr", sq.gr), ("squidpy_tpu.im", sq.im), ("squidpy_tpu.tl", sq.tl),
+        ("squidpy_tpu.pl", sq.pl), ("squidpy_tpu.read", sq.read),
+        ("squidpy_tpu.datasets", sq.datasets),
+        ("squidpy_tpu.experimental.im", sq.experimental.im),
+        ("squidpy_tpu.experimental.tl", sq.experimental.tl),
+        ("squidpy_tpu.experimental.pl", sq.experimental.pl),
+        ("squidpy_tpu.parallel", par), ("squidpy_tpu.utils", utils),
+    ]
+    for name, mod in modules:
+        pub = getattr(mod, "__all__", None) or [n for n in dir(mod) if not n.startswith("_")]
+        out.write(f"## `{name}`\n\n| Symbol | Summary |\n|---|---|\n")
+        for n in sorted(pub):
+            obj = getattr(mod, n, None)
+            if obj is None:
+                continue
+            doc = (inspect.getdoc(obj) or "").strip().split("\n")[0]
+            kind = "class" if inspect.isclass(obj) else ("fn" if callable(obj) else "obj")
+            out.write(f"| `{n}` ({kind}) | {doc} |\n")
+        out.write("\n")
+    (Path(__file__).parent / "api.md").write_text(out.getvalue())
+
+
+if __name__ == "__main__":
+    main()
