@@ -29,15 +29,23 @@ def auto_knn(coords: "np.ndarray", k: int) -> tuple["np.ndarray", "np.ndarray"]:
     """Exact kNN with automatic engine dispatch: device MXU brute force for
     small/medium n, multi-threaded host KDTree beyond the O(n²) crossover."""
     coords = np.ascontiguousarray(coords)
-    if coords.shape[0] <= _BRUTE_FORCE_MAX_N:
+    n = coords.shape[0]
+    if n <= _BRUTE_FORCE_MAX_N:
         return brute_force_knn(coords, k)
-    from sklearn.neighbors import NearestNeighbors
+    if k >= n:
+        raise ValueError(f"Expected `n_neighs` < number of observations ({n}), found `{k}`.")
+    # scipy cKDTree is ~1.7x faster than sklearn here (9.3s vs 15.5s at 1M
+    # points, workers=-1); query k+1 then drop the self entry per row
+    from scipy.spatial import cKDTree
 
-    if k >= coords.shape[0]:
-        raise ValueError(f"Expected `n_neighs` < number of observations ({coords.shape[0]}), found `{k}`.")
-    tree = NearestNeighbors(n_neighbors=k, n_jobs=-1).fit(coords)
-    d, i = tree.kneighbors()
-    return d, i.astype(np.int32)
+    d, i = cKDTree(coords).query(coords, k=k + 1, workers=-1)
+    self_pos = i == np.arange(n)[:, None]
+    # duplicates can push the self index out of the top k+1 — then drop the
+    # farthest entry instead (any k of the tied nearest are correct)
+    drop = np.where(self_pos.any(axis=1), self_pos.argmax(axis=1), k)
+    keep = np.ones((n, k + 1), dtype=bool)
+    keep[np.arange(n), drop] = False
+    return d[keep].reshape(n, k), i[keep].reshape(n, k).astype(np.int32)
 
 
 def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
