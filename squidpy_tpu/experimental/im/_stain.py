@@ -54,7 +54,9 @@ def _as_float_rgb(image: Any) -> np.ndarray:
     arr = arr.squeeze()
     if arr.ndim != 3 or arr.shape[-1] != 3:
         raise ValueError(f"Expected an RGB image of shape (y, x, 3), found `{arr.shape}`.")
-    return arr.astype(np.float64)
+    # float32 throughout: ample for uint8 pixel data, and this host's float64
+    # log10/power fall back to scalar libm (~400x slower than f32 SIMD)
+    return arr.astype(np.float32)
 
 
 def estimate_white_point(image: Any, percentile: float = 95.0) -> np.ndarray:
@@ -138,12 +140,46 @@ def fit_stain_reference(
     white_point: NDArrayA | None = None,
     alpha: float = 1.0,
     beta: float = 0.15,
+    max_pixels: int | None = 200_000,
+    seed: int = 0,
     **kwargs: Any,
 ) -> StainReference:
-    """Fit a stain reference (matrix + robust max concentrations) on an image."""
+    """Fit a stain reference (matrix + robust max concentrations) on an image.
+
+    ``max_pixels`` subsamples the tissue OD pixels before the SVD/NMF fit —
+    stain vectors and percentile statistics converge with a few 10⁵ pixels,
+    so fitting on every pixel of a full slide only burns time (the apply
+    step still runs on every pixel). ``None`` disables subsampling.
+    """
     rgb = _as_float_rgb(image)
-    wp = np.asarray(white_point, dtype=float) if white_point is not None else estimate_white_point(rgb)
-    od = _tissue_od(rgb, wp, beta)
+    n_px = rgb.shape[0] * rgb.shape[1]
+    if max_pixels is not None and n_px > 4 * max_pixels:
+        # sample-first fit: the stain vectors and percentile statistics
+        # converge with a few 10^5 pixels, and sampling BEFORE the OD
+        # transform keeps the whole fit in host numpy on the sample instead
+        # of shipping the full image through the host<->device tunnel
+        # (reference fits on all pixels: _decomposition.py:143-181)
+        rng_s = np.random.default_rng(seed)
+        flat = rgb.reshape(-1, 3)
+        sel = rng_s.choice(n_px, size=4 * max_pixels, replace=False)
+        sample = flat[sel]
+        if white_point is not None:
+            wp = np.asarray(white_point, dtype=float)
+        else:
+            lum = sample.mean(axis=-1)
+            bright = sample[lum >= np.percentile(lum, 95.0)]
+            wp = np.clip(bright.mean(axis=0), 1.0, 255.0) if len(bright) else np.full(3, 255.0)
+        od = -np.log10(np.maximum(sample, 1.0) / wp)
+        od = od[np.all(np.isfinite(od), axis=1) & (np.linalg.norm(od, axis=1) > beta)]
+        if len(od) > max_pixels:
+            od = od[rng_s.choice(len(od), size=max_pixels, replace=False)]
+        if len(od) < min(10_000, max_pixels // 4):  # sparse tissue: fit on everything
+            od = _tissue_od(rgb, wp, beta)
+    else:
+        wp = np.asarray(white_point, dtype=float) if white_point is not None else estimate_white_point(rgb)
+        od = _tissue_od(rgb, wp, beta)
+        if max_pixels is not None and len(od) > max_pixels:
+            od = od[np.random.default_rng(seed).choice(len(od), size=max_pixels, replace=False)]
     if method == "macenko":
         raw = _macenko_stain_matrix(od, alpha)
     elif method == "vahadane":
@@ -154,6 +190,17 @@ def fit_stain_reference(
     conc = od @ np.linalg.pinv(matrix).T
     maxc = np.maximum(np.percentile(conc[:, :2], 99.0, axis=0), 1e-6)
     return StainReference(method=method, stain_matrix=matrix, white_point=wp, max_concentrations=maxc)
+
+
+
+
+# Below this pixel count the host<->device transfer dominates the elementwise
+# stain math on this environment's tunnel, and vectorized numpy is faster.
+_DEVICE_APPLY_MIN_PIXELS = 16_000_000
+
+
+def _apply_on_host(rgb: np.ndarray) -> bool:
+    return rgb.shape[0] * rgb.shape[1] < _DEVICE_APPLY_MIN_PIXELS
 
 
 def decompose_stains(
@@ -167,9 +214,12 @@ def decompose_stains(
     rgb = _as_float_rgb(image)
     if reference is None:
         reference = fit_stain_reference(rgb, method=method, **kwargs)
+    pinv_t = np.linalg.pinv(reference.stain_matrix).T
+    if _apply_on_host(rgb):
+        od = -np.log10(np.maximum(rgb, 1.0) / reference.white_point.astype(np.float32))
+        return (od.reshape(-1, 3) @ pinv_t.astype(np.float32)).reshape(rgb.shape)
     od = _rgb_to_od(jnp.asarray(rgb), jnp.asarray(reference.white_point))
-    pinv = jnp.asarray(np.linalg.pinv(reference.stain_matrix).T)
-    conc = jnp.dot(od.reshape(-1, 3), pinv, preferred_element_type=od.dtype)
+    conc = jnp.dot(od.reshape(-1, 3), jnp.asarray(pinv_t), preferred_element_type=od.dtype)
     return np.asarray(conc).reshape(rgb.shape)
 
 
@@ -188,14 +238,19 @@ def normalize_stains(
     """
     rgb = _as_float_rgb(image)
     src = fit_stain_reference(rgb, method=method, white_point=reference.white_point, **kwargs)
-    od = _rgb_to_od(jnp.asarray(rgb), jnp.asarray(reference.white_point))
-    flat = od.reshape(-1, 3)
-    conc = jnp.dot(flat, jnp.asarray(np.linalg.pinv(src.stain_matrix).T))
     scale = np.ones(3)
     scale[:2] = reference.max_concentrations / src.max_concentrations
-    conc = conc * jnp.asarray(scale)
-    od_out = jnp.dot(conc, jnp.asarray(reference.stain_matrix.T))
-    rgb_out = _od_to_rgb(od_out.reshape(od.shape), jnp.asarray(reference.white_point))
+    # fold deconvolve -> rescale -> reconvolve into ONE 3x3 pixel matrix
+    combined = np.linalg.pinv(src.stain_matrix).T * scale[None, :] @ reference.stain_matrix.T
+    if _apply_on_host(rgb):
+        wp32 = reference.white_point.astype(np.float32)
+        od = -np.log10(np.maximum(rgb, 1.0) / wp32)
+        od_out = (od.reshape(-1, 3) @ combined.astype(np.float32)).reshape(od.shape)
+        rgb_out = np.clip(wp32 * np.exp(od_out * np.float32(-np.log(10.0))), 0, 255)
+        return rgb_out.astype(out_dtype)
+    od = _rgb_to_od(jnp.asarray(rgb), jnp.asarray(reference.white_point))
+    od_out = jnp.dot(od.reshape(-1, 3), jnp.asarray(combined)).reshape(od.shape)
+    rgb_out = _od_to_rgb(od_out, jnp.asarray(reference.white_point))
     return np.asarray(rgb_out).astype(out_dtype)
 
 
