@@ -274,6 +274,38 @@ def _rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:
     return lab.reshape(rgb.shape)
 
 
+# f32 C-contiguous constants for the host LAB paths: a float64 operand
+# silently promotes the whole 27M-element matmul to f64 (~200x slower on this
+# host), and F-contiguous 3x3 operands cost another ~10x
+_RGB2LMS_T32 = np.ascontiguousarray(_RGB2LMS.T, dtype=np.float32)
+_LMS2LAB_T32 = np.ascontiguousarray((_LMS2LAB_A @ _LMS2LAB_B).T, dtype=np.float32)
+_LAB2LMS_T32 = np.ascontiguousarray(np.linalg.inv(_LMS2LAB_A @ _LMS2LAB_B).T, dtype=np.float32)
+_LMS2RGB_T32 = np.ascontiguousarray(np.linalg.inv(_RGB2LMS).T, dtype=np.float32)
+_LN10_32 = np.float32(np.log(10.0))
+
+
+def _rgb_to_lab_host(rgb: np.ndarray) -> np.ndarray:
+    """f32 host counterpart of :func:`_rgb_to_lab` (fast SIMD transcendentals)."""
+    lms = rgb.reshape(-1, 3).astype(np.float32) / np.float32(255.0) @ _RGB2LMS_T32
+    log_lms = np.log10(np.maximum(lms, np.float32(1e-8)))
+    return (log_lms @ _LMS2LAB_T32).reshape(rgb.shape)
+
+
+def _lab_to_rgb_host(lab: np.ndarray) -> np.ndarray:
+    buf = lab.reshape(-1, 3).astype(np.float32) @ _LAB2LMS_T32
+    # in-place from here: each fresh 300MB allocation costs seconds of page
+    # faults on this host. Clamp the log domain too — extreme normalized LAB
+    # values otherwise produce f32 subnormals out of exp (slow path), and
+    # below 10^-12 the intensity rounds to 0 anyway.
+    np.clip(buf, np.float32(-12.0), np.float32(12.0), out=buf)
+    buf *= _LN10_32
+    np.exp(buf, out=buf)
+    rgb = buf @ _LMS2RGB_T32
+    rgb *= np.float32(255.0)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.reshape(lab.shape)
+
+
 def _lab_to_rgb(lab: jnp.ndarray) -> jnp.ndarray:
     inv = np.linalg.inv(_LMS2LAB_A @ _LMS2LAB_B)
     log_lms = jnp.dot(lab.reshape(-1, 3), jnp.asarray(inv.T))
@@ -294,20 +326,20 @@ def reinhard_normalize(
     reference image (or explicit target statistics), computed over tissue
     pixels (luminosity below the threshold)."""
     rgb = _as_float_rgb(image)
-    lab = _rgb_to_lab(jnp.asarray(rgb))
+    on_host = _apply_on_host(rgb)
+    lab_np = _rgb_to_lab_host(rgb) if on_host else np.asarray(_rgb_to_lab(jnp.asarray(rgb)))
     lum = np.asarray(rgb.mean(axis=-1) / 255.0)
     mask = lum < luminosity_threshold
     if not mask.any():
         mask = np.ones_like(mask)
 
-    lab_np = np.asarray(lab)
     src_mean = lab_np[mask].mean(axis=0)
     src_std = lab_np[mask].std(axis=0)
     src_std[src_std == 0] = 1.0
 
     if reference_image is not None:
         ref_rgb = _as_float_rgb(reference_image)
-        ref_lab = np.asarray(_rgb_to_lab(jnp.asarray(ref_rgb)))
+        ref_lab = _rgb_to_lab_host(ref_rgb) if _apply_on_host(ref_rgb) else np.asarray(_rgb_to_lab(jnp.asarray(ref_rgb)))
         ref_lum = ref_rgb.mean(axis=-1) / 255.0
         ref_mask = ref_lum < luminosity_threshold
         if not ref_mask.any():
@@ -317,6 +349,13 @@ def reinhard_normalize(
     if target_means is None or target_stds is None:
         raise ValueError("Provide either `reference_image` or both `target_means` and `target_stds`.")
 
-    out = (lab - jnp.asarray(src_mean)) / jnp.asarray(src_std) * jnp.asarray(target_stds) + jnp.asarray(target_means)
+    if on_host:
+        lab_np -= src_mean.astype(np.float32)
+        lab_np *= (np.asarray(target_stds, dtype=np.float32) / src_std.astype(np.float32))
+        lab_np += np.asarray(target_means, dtype=np.float32)
+        return _lab_to_rgb_host(lab_np).astype(out_dtype)
+    out = (jnp.asarray(lab_np) - jnp.asarray(src_mean)) / jnp.asarray(src_std) * jnp.asarray(
+        target_stds
+    ) + jnp.asarray(target_means)
     rgb_out = _lab_to_rgb(out)
     return np.asarray(rgb_out).astype(out_dtype)
