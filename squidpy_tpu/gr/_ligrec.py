@@ -218,7 +218,7 @@ class PermutationTestABC(ABC):
         )
 
         res_means, res_pvalues = _analysis(
-            data[gene_cols].to_numpy(dtype=np.float64),
+            data[gene_cols].to_numpy(),
             np.asarray(cat.codes.to_numpy(), dtype=np.int32),
             len(cat.categories),
             interactions_,
@@ -408,13 +408,25 @@ def _analysis(
     n_perms: int,
     seed: int | None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Observed means/mask on host (float64 parity), permutation loop on device."""
+    """Observed means/mask on host, permutation loop on device.
+
+    Host precision follows the device policy: float64 for small/x64 runs
+    (exact parity with the reference's float64 pipeline, golden-pickle tests)
+    and float32 at scale — this 1-core host's f64 BLAS and the extra 160MB+
+    copies otherwise dominate the whole test.
+    """
+    import jax
+
+    f64 = jax.config.jax_enable_x64 and data.size <= 5e7
+    host_t = np.float64 if f64 else np.float32
+    data_h = data if data.dtype == host_t else data.astype(host_t)
     # observed per-cluster means and expression-fraction mask
-    onehot = np.zeros((len(clustering), n_cls))
+    onehot = np.zeros((len(clustering), n_cls), dtype=host_t)
     onehot[np.arange(len(clustering)), clustering] = 1.0
     counts = onehot.sum(axis=0)
-    mean = (data.T @ onehot) / np.where(counts == 0, 1.0, counts)          # (G, C)
-    frac = ((data > 0).astype(np.float64).T @ onehot) / np.where(counts == 0, 1.0, counts)
+    safe_counts = np.where(counts == 0, 1.0, counts).astype(host_t)
+    mean = (data_h.T @ onehot) / safe_counts                               # (G, C)
+    frac = ((data_h > 0).astype(host_t).T @ onehot) / safe_counts
     mask = frac >= threshold                                               # (G, C)
 
     rec, lig = interactions[:, 0], interactions[:, 1]
@@ -424,12 +436,8 @@ def _analysis(
     both_positive = (m1 > 0) & (m2 > 0)
     mask_ok = mask[rec[:, None], c1[None, :]] & mask[lig[:, None], c2[None, :]]
 
-    # device permutation pass: float64 only when x64 is enabled (CPU parity
-    # tests); float32 on TPU
-    import jax
-
-    dev_dtype = jnp.float64 if jax.config.jax_enable_x64 and data.size <= 5e7 else jnp.float32
-    x_dev = jnp.asarray(data, dtype=dev_dtype)
+    # device permutation pass matches the host precision chosen above
+    x_dev = jnp.asarray(data_h)
     keys = spawn_keys(seed, n_perms)
     shuffled = permutation_batch(keys, jnp.asarray(clustering))
     from squidpy_tpu.parallel.sharded import auto_ligrec_counts
