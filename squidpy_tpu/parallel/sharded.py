@@ -212,28 +212,37 @@ def _sharded_ligrec_weighted(
     *,
     chunk_size: int | None = None,
 ) -> jax.Array:
+    from squidpy_tpu.ops.ligrec import _perm_counts_scan
+
     axis = mesh.axis_names[0]
-    inv_counts = 1.0 / jnp.where(counts_per_cluster == 0, 1.0, counts_per_cluster).astype(x.dtype)
+    inv_counts = (1.0 / jnp.where(counts_per_cluster == 0, 1.0, counts_per_cluster)).astype(x.dtype)
+    perms_per_shard = max(1, shuffled_labels.shape[0] // mesh.size)
     if chunk_size is None:
-        bytes_per_perm = 4 * (x.shape[0] * n_cls + n_cls * x.shape[1] + 2 * rec.shape[0] * c1.shape[0])
-        chunk_size = max(1, min(shuffled_labels.shape[0] // mesh.size or 1, int(2e9 // max(bytes_per_perm, 1))))
+        # same even-chunk policy as the single-device kernel, per shard
+        chunk_max = int(max(1, min(perms_per_shard, 1.2e9 // max(4 * x.shape[0] * n_cls, 1))))
+        n_chunks = -(-perms_per_shard // chunk_max)
+        chunk_size = -(-perms_per_shard // n_chunks)
+    chunk_size = min(chunk_size, perms_per_shard)
+    # each shard's perm count must be chunk-divisible: pad per shard is not
+    # expressible, so require divisibility here (auto wrapper pads globally)
+    if perms_per_shard % chunk_size:
+        chunk_size = 1 if perms_per_shard == 1 else next(
+            c for c in range(chunk_size, 0, -1) if perms_per_shard % c == 0
+        )
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis), P(), P(), P(), P(), P()),
         out_specs=P(),
+        check_vma=False,
     )
     def f(x_r, lab_s, w_s, rec_r, lig_r, c1_r, c2_r, m_sum_r):
-        def one(labels, w):
-            onehot = jax.nn.one_hot(labels, n_cls, dtype=x_r.dtype)
-            groups = jnp.dot(onehot.T, x_r, preferred_element_type=x_r.dtype) * inv_counts[:, None]
-            g_rec = groups[c1_r[None, :], rec_r[:, None]]
-            g_lig = groups[c2_r[None, :], lig_r[:, None]]
-            return w * ((g_rec + g_lig) > m_sum_r).astype(x_r.dtype)
-
-        parts = chunked_vmap(one, (lab_s, w_s), chunk_size=chunk_size)
-        return jax.lax.psum(jnp.sum(parts, axis=0), axis)
+        part = _perm_counts_scan(
+            x_r, lab_s, w_s.astype(x_r.dtype), inv_counts,
+            rec_r, lig_r, c1_r, c2_r, m_sum_r, n_cls, chunk_size,
+        )
+        return jax.lax.psum(part, axis)
 
     return f(x, shuffled_labels, perm_weights, rec, lig, c1, c2, m_sum)
 
