@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import inspect
 import io
+import sys
 from pathlib import Path
 
 
@@ -11,6 +12,7 @@ def main() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import squidpy_tpu as sq
     import squidpy_tpu.parallel as par
     import squidpy_tpu.utils as utils
