@@ -226,3 +226,39 @@ class TestClustersSubset:
             full["means"][col].to_numpy(dtype=float),
             equal_nan=True,
         )
+
+
+class TestKernelChunking:
+    """The scan kernel pads the permutation axis with zero-weight rows; edge
+    perm counts must not leak padding into the exceedance counts."""
+
+    @pytest.mark.parametrize("n_perms", [1, 3, 5, 17])
+    def test_edge_perm_counts_match_naive(self, n_perms):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.ligrec import ligrec_perm_counts
+
+        rng = np.random.default_rng(0)
+        n, g, C, I, J = 150, 20, 4, 8, 6
+        x = jnp.asarray(rng.gamma(2.0, 1.0, (n, g)).astype(np.float64))
+        labels = rng.integers(0, C, n).astype(np.int32)
+        shuffled = np.stack([np.random.default_rng(i).permutation(labels) for i in range(n_perms)])
+        counts = np.bincount(labels, minlength=C).astype(np.float64)
+        rec = rng.integers(0, g, I).astype(np.int32)
+        lig = rng.integers(0, g, I).astype(np.int32)
+        c1 = rng.integers(0, C, J).astype(np.int32)
+        c2 = rng.integers(0, C, J).astype(np.int32)
+        m_sum = rng.random((I, J)) * 1.5
+
+        got = np.asarray(ligrec_perm_counts(
+            x, jnp.asarray(shuffled), jnp.asarray(counts), jnp.asarray(rec), jnp.asarray(lig),
+            jnp.asarray(c1), jnp.asarray(c2), jnp.asarray(m_sum), C, chunk_size=2,
+        ))
+        # naive numpy accumulation
+        want = np.zeros((I, J))
+        xs = np.asarray(x)
+        for p in range(n_perms):
+            onehot = np.zeros((n, C)); onehot[np.arange(n), shuffled[p]] = 1
+            groups = (onehot.T @ xs) / np.where(counts == 0, 1, counts)[:, None]
+            want += (groups[c1[None, :], rec[:, None]] + groups[c2[None, :], lig[:, None]]) > m_sum
+        np.testing.assert_array_equal(got, want)
