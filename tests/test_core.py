@@ -286,3 +286,36 @@ class TestReviewRegressions:
         img = np.arange(64, dtype=np.uint8).reshape(8, 8)
         with pytest.raises(ValueError, match="levels"):
             graycomatrix(img, [1], [0.0], levels=16)
+
+
+class TestKeyConventions:
+    """Key-naming contract (reference tests/graph/test_utils.py:38-72):
+    defaults, custom prefixes, idempotence, no partial-suffix matching."""
+
+    def test_defaults(self):
+        from squidpy_tpu._constants._pkg_constants import Key
+
+        assert Key.obsp.spatial_conn() == "spatial_connectivities"
+        assert Key.obsp.spatial_dist() == "spatial_distances"
+
+    def test_custom_prefix(self):
+        from squidpy_tpu._constants._pkg_constants import Key
+
+        assert Key.obsp.spatial_conn("mykey") == "mykey_connectivities"
+        assert Key.obsp.spatial_dist("mykey") == "mykey_distances"
+
+    def test_idempotent(self):
+        from squidpy_tpu._constants._pkg_constants import Key
+
+        once = Key.obsp.spatial_conn("custom")
+        assert Key.obsp.spatial_conn(once) == once == "custom_connectivities"
+        onced = Key.obsp.spatial_dist("custom")
+        assert Key.obsp.spatial_dist(onced) == onced == "custom_distances"
+
+    def test_already_suffixed_and_partial(self):
+        from squidpy_tpu._constants._pkg_constants import Key
+
+        assert Key.obsp.spatial_conn("foo_connectivities") == "foo_connectivities"
+        assert Key.obsp.spatial_dist("foo_distances") == "foo_distances"
+        assert Key.obsp.spatial_conn("my_conn") == "my_conn_connectivities"
+        assert Key.obsp.spatial_dist("my_dist") == "my_dist_distances"
