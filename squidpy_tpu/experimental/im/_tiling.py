@@ -185,9 +185,19 @@ def build_tile_specs(
 
 
 def extract_tile(image: Any, labels: Any, spec: TileSpec) -> tuple[np.ndarray, np.ndarray]:
-    """Read one tile's image crop (``(..., h, w)``) and ownership-masked labels."""
+    """Read one tile's image crop and ownership-masked labels.
+
+    Handles both channel layouts: a 3D image whose LAST axis is small (≤ 8)
+    is treated as channels-last ``(y, x, c)`` and sliced on the leading axes;
+    anything else is channels-first ``(..., y, x)``. Slicing happens before
+    materialization so lazy readers only load the tile.
+    """
     cy0, cx0, cy1, cx1 = spec.crop
-    tile_image = np.asarray(image[..., cy0:cy1, cx0:cx1])
+    shape = getattr(image, "shape", None)
+    if shape is not None and len(shape) == 3 and shape[-1] <= 8 < shape[0]:
+        tile_image = np.asarray(image[cy0:cy1, cx0:cx1, :])
+    else:
+        tile_image = np.asarray(image[..., cy0:cy1, cx0:cx1])
     return tile_image, extract_labels_tile(labels, spec)
 
 

@@ -312,3 +312,22 @@ class TestUtils:
         assert len(chunks) >= 4
         total_area = sum(c["area"].sum() for c in chunks)
         assert total_area == (labels > 0).sum()
+
+
+def test_tiled_featurization_channel_layouts():
+    """extract_tile must crop (y, x, c) images on the leading axes; both
+    layouts give identical features (regression: channels-last crops were
+    sliced on the wrong axes and crashed the intensity reductions)."""
+    from squidpy_tpu.experimental.im import calculate_image_features
+
+    rng = np.random.default_rng(0)
+    img_last = (rng.random((120, 120, 3)) * 255).astype(np.uint8)
+    img_first = np.ascontiguousarray(np.moveaxis(img_last, -1, 0))
+    labels = np.zeros((120, 120), np.int32)
+    for i, (y, x) in enumerate(rng.integers(15, 105, (8, 2)), start=1):
+        labels[y - 5:y + 5, x - 5:x + 5] = i
+    a = calculate_image_features(img_last, labels, tile_size=64)
+    b = calculate_image_features(img_first, labels, tile_size=64)
+    oa = np.argsort(a.obs["label"].to_numpy())
+    ob = np.argsort(b.obs["label"].to_numpy())
+    np.testing.assert_allclose(np.asarray(a.X)[oa], np.asarray(b.X)[ob])
