@@ -485,3 +485,20 @@ class TestSegmentLibraryId:
         out = np.asarray(stack["image_smooth"])
         np.testing.assert_array_equal(out[:, :, 0], before[:, :, 0])  # untouched
         assert not np.allclose(out[:, :, 1], before[:, :, 1])  # smoothed
+
+
+def test_crop_attrs_survive_save_load_and_uncrop(tmp_path):
+    """Crop geometry attrs serialize with the container, so crops reloaded
+    from disk can still be reassembled with uncrop."""
+    cont = ImageContainer(np.random.default_rng(0).random((40, 40, 3)).astype(np.float32))
+    crops = [cont.crop_corner(y, x, (20, 20)) for y in (0, 20) for x in (0, 20)]
+    reloaded = []
+    for i, c in enumerate(crops):
+        p = str(tmp_path / f"crop{i}.h5")
+        c.save(p)
+        reloaded.append(ImageContainer.load(p))
+    from squidpy_tpu._constants._pkg_constants import Key
+
+    assert all(Key.img.coords in r.attrs for r in reloaded)
+    merged = ImageContainer.uncrop(reloaded)
+    np.testing.assert_array_equal(np.asarray(merged["image"]), np.asarray(cont["image"]))
