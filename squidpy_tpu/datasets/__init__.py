@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Literal
 
 from squidpy_tpu.datasets._registry import (
     DatasetDownloader,
@@ -11,6 +11,14 @@ from squidpy_tpu.datasets._registry import (
     get_downloader,
     get_registry,
 )
+
+
+# name-enumerating type aliases (reference: datasets/_datasets.py:71-93),
+# derived from the registry so they never drift from the YAML
+AnnDataDatasets = Literal[tuple(get_registry().names("anndata"))]
+ImageDatasets = Literal[tuple(get_registry().names("image"))]
+VisiumDatasets = Literal[tuple(get_registry().names("visium_10x"))]
+SpatialDataDatasets = Literal[tuple(get_registry().names("spatialdata"))]
 
 
 def _make_loader(dataset_name: str):  # noqa: ANN202
