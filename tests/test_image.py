@@ -502,3 +502,14 @@ def test_crop_attrs_survive_save_load_and_uncrop(tmp_path):
     assert all(Key.img.coords in r.attrs for r in reloaded)
     merged = ImageContainer.uncrop(reloaded)
     np.testing.assert_array_equal(np.asarray(merged["image"]), np.asarray(cont["image"]))
+
+
+def test_crop_corner_negative_and_overhang():
+    """Out-of-bounds corners zero-pad like the reference."""
+    cont = ImageContainer(np.arange(100, dtype=np.float32).reshape(10, 10, 1), layer="image")
+    neg = np.asarray(cont.crop_corner(-3, -3, (6, 6))["image"]).squeeze()
+    assert neg.shape == (6, 6)
+    assert (neg[:3, :] == 0).all() and (neg[:, :3] == 0).all()
+    assert neg[3, 4] == 1  # image pixel (0, 1)
+    over = np.asarray(cont.crop_corner(7, 7, (6, 6))["image"]).squeeze()
+    assert over[0, 0] == 77 and (over[3:, :] == 0).all()
