@@ -319,3 +319,34 @@ class TestKeyConventions:
         assert Key.obsp.spatial_dist("foo_distances") == "foo_distances"
         assert Key.obsp.spatial_conn("my_conn") == "my_conn_connectivities"
         assert Key.obsp.spatial_dist("my_dist") == "my_dist_distances"
+
+
+def test_analysis_results_h5ad_roundtrip(tmp_path):
+    """The container IS the checkpoint (reference contract): every analysis
+    result written under deterministic uns keys must survive h5ad write/read,
+    and internal device-graph cache entries must not be serialized."""
+    from squidpy_tpu._core.io_h5ad import read_h5ad, write_h5ad
+
+    rng = np.random.default_rng(0)
+    n = 150
+    ad = AnnData(X=rng.random((n, 8)), var=pd.DataFrame(index=[f"g{i}" for i in range(8)]),
+                 obsm={"spatial": rng.random((n, 2)) * 50})
+    ad.obs["cl"] = pd.Categorical(rng.choice(list("ab"), n))
+    sq.gr.spatial_neighbors_knn(ad, n_neighs=4)
+    sq.gr.nhood_enrichment(ad, "cl", n_perms=10, seed=0)
+    sq.gr.spatial_autocorr(ad, mode="moran")
+    sq.gr.co_occurrence(ad, "cl")
+    assert any(k.startswith("__squidpy_tpu") for k in ad.uns)  # cache present in memory
+
+    p = str(tmp_path / "ckpt.h5ad")
+    write_h5ad(p, ad)
+    back = read_h5ad(p)
+    assert not any(k.startswith("__squidpy_tpu") for k in back.uns)  # not serialized
+    np.testing.assert_allclose(
+        back.uns["cl_nhood_enrichment"]["zscore"], ad.uns["cl_nhood_enrichment"]["zscore"], equal_nan=True
+    )
+    pd.testing.assert_frame_equal(back.uns["moranI"], ad.uns["moranI"])
+    np.testing.assert_allclose(
+        back.uns["cl_co_occurrence"]["occ"], ad.uns["cl_co_occurrence"]["occ"], equal_nan=True
+    )
+    assert (back.obsp["spatial_connectivities"] != ad.obsp["spatial_connectivities"]).nnz == 0
