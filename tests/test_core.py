@@ -329,8 +329,8 @@ def test_analysis_results_h5ad_roundtrip(tmp_path):
 
     rng = np.random.default_rng(0)
     n = 150
-    ad = AnnData(X=rng.random((n, 8)), var=pd.DataFrame(index=[f"g{i}" for i in range(8)]),
-                 obsm={"spatial": rng.random((n, 2)) * 50})
+    ad = sq.AnnData(X=rng.random((n, 8)), var=pd.DataFrame(index=[f"g{i}" for i in range(8)]),
+                    obsm={"spatial": rng.random((n, 2)) * 50})
     ad.obs["cl"] = pd.Categorical(rng.choice(list("ab"), n))
     sq.gr.spatial_neighbors_knn(ad, n_neighs=4)
     sq.gr.nhood_enrichment(ad, "cl", n_perms=10, seed=0)
