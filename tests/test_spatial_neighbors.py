@@ -171,3 +171,39 @@ class TestMaskGraph:
         inside = (coords[:, 0] < 50) & (coords[:, 1] < 50)
         # every surviving edge has both endpoints inside the square
         assert inside[coo.row].all() and inside[coo.col].all()
+
+
+class TestBuilderTransforms:
+    """Transform postprocessors through the public from_builder path
+    (reference gr/neighbors.py:456-535: spectral = D^-1/2 A D^-1/2 on the raw
+    directed kNN graph, cosine similarity weights bounded by 1)."""
+
+    def _adata(self):
+        rng = np.random.default_rng(0)
+        return sq.AnnData(X=np.ones((200, 1)), obsm={"spatial": rng.random((200, 2)) * 100})
+
+    def test_spectral(self):
+        from squidpy_tpu.gr.neighbors import KNNBuilder, symmetric_normalize_csr
+
+        ad = self._adata()
+        sq.gr.spatial_neighbors_from_builder(ad, KNNBuilder(n_neighs=8, transform="spectral"))
+        w = ad.obsp["spatial_connectivities"]
+        # equals the hand-computed bilateral scaling of the raw kNN graph
+        ad2 = self._adata()
+        sq.gr.spatial_neighbors_from_builder(ad2, KNNBuilder(n_neighs=8))
+        want = symmetric_normalize_csr(ad2.obsp["spatial_connectivities"])
+        assert (abs(w - want)).max() < 1e-12
+
+    def test_cosine_bounded(self):
+        from squidpy_tpu.gr.neighbors import KNNBuilder
+
+        ad = self._adata()
+        sq.gr.spatial_neighbors_from_builder(ad, KNNBuilder(n_neighs=8, transform="cosine"))
+        assert (ad.obsp["spatial_connectivities"].data <= 1.0 + 1e-9).all()
+
+    def test_radius_set_diag(self):
+        from squidpy_tpu.gr.neighbors import RadiusBuilder
+
+        ad = self._adata()
+        sq.gr.spatial_neighbors_from_builder(ad, RadiusBuilder(radius=12.0, set_diag=True))
+        assert (ad.obsp["spatial_connectivities"].diagonal() > 0).all()
