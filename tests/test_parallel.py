@@ -142,3 +142,37 @@ class TestShardedSepal:
             one_by_one.append(float(r1["sepal_score"].loc[g]))
         got = res["sepal_score"].loc[list(ad.var_names)].to_numpy(dtype=float)
         np.testing.assert_allclose(got, np.array(one_by_one), equal_nan=True)
+
+
+class TestGraftEntry:
+    """The driver's multi-chip dryrun must work from any jax state."""
+
+    def test_dryrun_multichip_inprocess_on_existing_mesh(self):
+        """Case 2: jax is already an 8-device CPU mesh (this suite) — the
+        dryrun must run in-process without touching backend config."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        try:
+            import __graft_entry__ as ge
+
+            for n in (1, 2, 8):
+                ge.dryrun_multichip(n)
+        finally:
+            sys.path.remove("/root/repo")
+
+    def test_entry_is_jittable(self):
+        import sys
+
+        import jax
+
+        sys.path.insert(0, "/root/repo")
+        try:
+            import __graft_entry__ as ge
+
+            fn, example_args = ge.entry()
+            counts, scores = jax.jit(fn)(*example_args)
+            assert np.isfinite(np.asarray(scores)).all()
+            assert np.asarray(counts).sum() > 0
+        finally:
+            sys.path.remove("/root/repo")
