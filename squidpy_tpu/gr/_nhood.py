@@ -11,13 +11,12 @@ compatibility and ignored.
 from __future__ import annotations
 
 from collections.abc import Iterable, Sequence
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax.numpy as jnp
-import networkx as nx
 import numpy as np
 import pandas as pd
+from scipy import sparse as sp
 
 from squidpy_tpu._constants._constants import Centrality
 from squidpy_tpu._constants._pkg_constants import Key
@@ -157,8 +156,12 @@ def centrality_scores(
     """Compute group centrality scores per cluster.
 
     Valid scores: ``closeness_centrality``, ``average_clustering``,
-    ``degree_centrality`` (reference: gr/_nhood.py:246-313; graph-algorithmic,
-    runs on host networkx — the graphs per cluster are small).
+    ``degree_centrality``. Same Everett–Borgatti definitions the reference
+    gets from networkx (/root/reference/src/squidpy/gr/_nhood.py:246-335),
+    computed vectorized over sparse CSR — group degree as one boolean sparse
+    matmul, clustering from one triangles-per-node pass, closeness via one
+    multi-source BFS per cluster — so million-cell graphs stay in seconds
+    instead of materializing an ``nx.Graph``.
     """
     adata = extract_adata_if_sdata(adata, table_key=table_key)
     connectivity_key = Key.obsp.spatial_conn(connectivity_key)
@@ -166,41 +169,94 @@ def centrality_scores(
     _assert_connectivity_key(adata, connectivity_key)
 
     if isinstance(score, (str, Centrality)):
-        centrality = [score]
+        wanted = [Centrality(score)]
     elif score is None:
-        centrality = [c.s for c in Centrality]
+        wanted = list(Centrality)
     else:
-        centrality = list(score)
-    centralities = [Centrality(c) for c in centrality]
+        wanted = [Centrality(c) for c in score]
 
-    graph = nx.Graph(adata.obsp[connectivity_key])
-    cat = adata.obs[cluster_key].cat.categories.values
-    clusters = adata.obs[cluster_key].values
+    start = logg.info(f"Calculating centralities `{[c.s for c in wanted]}`")
 
-    fun_dict = {}
-    for c in centralities:
-        if c == Centrality.CLOSENESS:
-            fun_dict[c.s] = partial(nx.algorithms.centrality.group_closeness_centrality, graph)
-        elif c == Centrality.DEGREE:
-            fun_dict[c.s] = partial(nx.algorithms.centrality.group_degree_centrality, graph)
-        elif c == Centrality.CLUSTERING:
-            fun_dict[c.s] = partial(nx.algorithms.cluster.average_clustering, graph)
+    # Undirected simple view of the stored graph (what ``nx.Graph(adj)``
+    # would build): symmetrized, unweighted, no self-loops.
+    adj = sp.csr_matrix(adata.obsp[connectivity_key])
+    und = ((adj + adj.T) != 0).astype(np.int8).tocsr()
+    und.setdiag(0)
+    und.eliminate_zeros()
+
+    cats = adata.obs[cluster_key].cat.categories.values
+    codes = np.asarray(adata.obs[cluster_key].cat.codes.to_numpy(), dtype=np.int64)
+    n = und.shape[0]
+    n_cls = len(cats)
+    member = np.zeros((n_cls, n), dtype=bool)
+    member[codes[codes >= 0], np.flatnonzero(codes >= 0)] = True
+    sizes = member.sum(axis=1)
+
+    columns: dict[str, NDArrayA] = {}
+    for cent in wanted:
+        if cent == Centrality.DEGREE:
+            columns[cent.s] = _group_degree_centrality(und, member, sizes)
+        elif cent == Centrality.CLUSTERING:
+            columns[cent.s] = _group_average_clustering(und, member, sizes)
+        elif cent == Centrality.CLOSENESS:
+            columns[cent.s] = _group_closeness_centrality(und, member)
         else:
-            raise NotImplementedError(f"Centrality `{c}` is not yet implemented.")
+            raise NotImplementedError(f"Centrality `{cent}` is not yet implemented.")
 
-    start = logg.info(f"Calculating centralities `{centralities}`")
-    res_list = []
-    for method, fun in fun_dict.items():
-        values = []
-        for c in cat:
-            idx = np.where(clusters == c)[0]
-            values.append(fun(idx))
-        res_list.append(pd.DataFrame(values, columns=[method], index=cat))
-    df = pd.concat(res_list, axis=1)
-
+    df = pd.DataFrame(columns, index=cats)
     if copy:
         return df
     _save_data(adata, attr="uns", key=Key.uns.centrality_scores(cluster_key), data=df, time=start)
+
+
+def _group_degree_centrality(und: sp.csr_matrix, member: NDArrayA, sizes: NDArrayA) -> NDArrayA:
+    """Everett–Borgatti group degree: |N(S) \\ S| / (n - |S|), all groups at once.
+
+    One (C, n) @ (n, n) sparse matmul replaces the reference's per-cluster
+    ``nx.group_degree_centrality`` loop (/root/reference/src/squidpy/gr/
+    _nhood.py:246-335), so it stays fast at millions of cells.
+    """
+    n = und.shape[0]
+    reached = (sp.csr_matrix(member, dtype=np.int8) @ und).toarray() > 0
+    outside_reached = (reached & ~member).sum(axis=1)
+    return outside_reached / np.maximum(n - sizes, 1)
+
+
+def _group_average_clustering(und: sp.csr_matrix, member: NDArrayA, sizes: NDArrayA) -> NDArrayA:
+    """Mean local clustering coefficient per group.
+
+    Per-node triangle counts come from ``diag(B³)/2`` computed sparsely
+    (``(B@B) ⊙ B`` row sums) — one pass for every node, then a masked mean
+    per group; matches ``nx.average_clustering(G, nodes=S)`` exactly.
+    """
+    deg = np.asarray(und.sum(axis=1)).ravel().astype(np.float64)
+    tri2 = np.asarray((und @ und).multiply(und).sum(axis=1)).ravel()  # 2 * triangles(v)
+    denom = deg * (deg - 1.0)
+    coeff = np.divide(tri2, denom, out=np.zeros_like(deg), where=denom > 0)
+    return (member @ coeff) / np.maximum(sizes, 1)
+
+
+def _group_closeness_centrality(und: sp.csr_matrix, member: NDArrayA) -> NDArrayA:
+    """Everett–Borgatti group closeness: |V−S| / Σ_{v∈V−S} d(v, S).
+
+    One multi-source shortest-path sweep per group
+    (``csgraph.dijkstra(..., min_only=True)``, hop metric) instead of the
+    reference's ``nx.group_closeness_centrality`` on a materialized
+    ``nx.Graph``; unreachable nodes contribute 0 to the sum and an empty sum
+    yields 0, matching networkx.
+    """
+    from scipy.sparse.csgraph import dijkstra
+
+    scores = np.zeros(member.shape[0], dtype=np.float64)
+    for c, inside in enumerate(member):
+        sources = np.flatnonzero(inside)
+        if len(sources) == 0:
+            continue
+        dist = dijkstra(und, directed=False, unweighted=True, indices=sources, min_only=True)
+        dist = dist[~inside]
+        total = dist[np.isfinite(dist)].sum()
+        scores[c] = len(dist) / total if total > 0 else 0.0
+    return scores
 
 
 def interaction_matrix(

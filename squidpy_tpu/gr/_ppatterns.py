@@ -248,7 +248,9 @@ def spatial_autocorr(
     sims = result.get("sims")
 
     with np.errstate(divide="ignore", invalid="ignore"):
-        pval_results = _p_value_calc(score, sims, g_csr, params)
+        pval_results = _score_pvalues(
+            score, sims, g_csr, mode=mode, expected=params["expected"], two_tailed=two_tailed
+        )
 
     df = pd.DataFrame({str(params["stat"]): score, **pval_results}, index=index)
 
@@ -334,74 +336,70 @@ def _find_min_max(spatial: NDArrayA) -> tuple[float, float]:
     return np.float32(thres_min), np.float32(thres_max)
 
 
-def _p_value_calc(
+def _normality_variance(w: Any, mode: SpatialAutocorr) -> float:
+    """Variance of the statistic under the normality assumption.
+
+    Cliff & Ord (1981) closed forms in terms of the weight-matrix moments
+    ``S0 = ΣΣ w_ij``, ``S1 = ½ ΣΣ (w_ij + w_ji)²`` and
+    ``S2 = Σ_i (Σ_j w_ij + Σ_j w_ji)²``. Geary's C has its own sampling
+    variance, distinct from Moran's (the reference fixed this in upstream
+    issue #1183; behavior anchored at /root/reference/src/squidpy/gr/
+    _ppatterns.py:501-559 and locked by the naive-numpy parity tests in
+    tests/test_ppatterns.py).
+    """
+    n = w.shape[0]
+    s0 = float(w.sum())
+    sym = w + w.transpose()
+    sym_sq = sym.multiply(sym) if sp.issparse(sym) else np.multiply(sym, sym)
+    s1 = float(sym_sq.sum()) / 2.0
+    degree = np.asarray(w.sum(axis=1)).ravel() + np.asarray(w.sum(axis=0)).ravel()
+    s2 = float(np.square(degree).sum())
+
+    if mode == SpatialAutocorr.MORAN:
+        mean_sq = 1.0 / (n - 1) ** 2  # E[I]² under H0
+        return (n * n * s1 - n * s2 + 3.0 * s0 * s0) / ((n * n - 1) * s0 * s0) - mean_sq
+    if mode == SpatialAutocorr.GEARY:
+        return ((n - 1) * (2.0 * s1 + s2) - 4.0 * s0 * s0) / (2.0 * (n + 1) * s0 * s0)
+    raise AssertionError(f"Unexpected mode `{mode}`.")
+
+
+def _directional_tail(z: NDArrayA) -> NDArrayA:
+    """P(Z beyond z) in the direction z points — the one-tailed p-value."""
+    return np.asarray(stats.norm.cdf(-np.abs(z)))
+
+
+def _score_pvalues(
     score: NDArrayA,
     sims: NDArrayA | None,
-    weights: Any,
-    params: dict[str, Any],
+    w: Any,
+    *,
+    mode: SpatialAutocorr,
+    expected: float,
+    two_tailed: bool,
 ) -> dict[str, Any]:
-    """Analytic + permutation p-values (reference: gr/_ppatterns.py:443-500)."""
-    p_norm, var_norm = _analytic_pval(score, weights, params)
-    results: dict[str, Any] = {"pval_norm": p_norm, "var_norm": var_norm}
-    if sims is None:
-        return results
+    """Analytic (normality) and permutation p-values for autocorrelation scores.
 
-    n_perms = sims.shape[0]
-    large_perm = (sims >= score).sum(axis=0)
-    flip = (n_perms - large_perm) < large_perm
-    large_perm[flip] = n_perms - large_perm[flip]
-    p_sim: NDArrayA = (large_perm + 1) / (n_perms + 1)
-
-    e_score_sim = sims.sum(axis=0) / n_perms
-    se_score_sim = sims.std(axis=0)
-    z_sim = (score - e_score_sim) / se_score_sim
-    p_z_sim = np.empty(z_sim.shape)
-    p_z_sim[z_sim > 0] = 1 - stats.norm.cdf(z_sim[z_sim > 0])
-    p_z_sim[z_sim <= 0] = stats.norm.cdf(z_sim[z_sim <= 0])
-
-    results["pval_z_sim"] = p_z_sim
-    results["pval_sim"] = p_sim
-    results["var_sim"] = np.var(sims, axis=0)
-    return results
-
-
-def _analytic_pval(score: NDArrayA, g: Any, params: dict[str, Any]) -> tuple[NDArrayA, float]:
-    """Cliff & Ord normality-assumption variance and p-value.
-
-    Geary's C uses its own sampling variance (reference fix for issue #1183,
-    gr/_ppatterns.py:518), not Moran's.
+    Output keys follow the reference contract
+    (/root/reference/src/squidpy/gr/_ppatterns.py:443-500): ``pval_norm`` /
+    ``var_norm`` always; ``pval_sim`` / ``pval_z_sim`` / ``var_sim`` when a
+    permutation null ``sims`` of shape ``(n_perms, n_feats)`` is given.
+    ``pval_z_sim`` stays one-tailed regardless of ``two_tailed``, matching
+    the reference.
     """
-    s0, s1, s2 = _g_moments(g)
-    n = g.shape[0]
-    s02 = s0 * s0
+    var_norm = _normality_variance(w, mode)
+    z_norm = (score - expected) / np.sqrt(var_norm)
+    p_norm = _directional_tail(z_norm)
+    if two_tailed:
+        p_norm = p_norm * 2.0
+    out: dict[str, Any] = {"pval_norm": p_norm, "var_norm": var_norm}
 
-    if params["mode"] == SpatialAutocorr.GEARY.s:
-        v_score_norm = ((2 * s1 + s2) * (n - 1) - 4 * s02) / (2 * (n + 1) * s02)
-    elif params["mode"] == SpatialAutocorr.MORAN.s:
-        n2 = n * n
-        v_num = n2 * s1 - n * s2 + 3 * s02
-        v_den = (n - 1) * (n + 1) * s02
-        v_score_norm = v_num / v_den - (1.0 / (n - 1)) ** 2
-    else:
-        raise AssertionError(f"Unexpected mode `{params['mode']}`.")
-
-    se_score_norm = v_score_norm ** 0.5
-    z_norm = (score - params["expected"]) / se_score_norm
-    p_norm = np.empty(score.shape)
-    p_norm[z_norm > 0] = 1 - stats.norm.cdf(z_norm[z_norm > 0])
-    p_norm[z_norm <= 0] = stats.norm.cdf(z_norm[z_norm <= 0])
-
-    if params["two_tailed"]:
-        p_norm *= 2.0
-    return p_norm, v_score_norm
-
-
-def _g_moments(w: Any) -> tuple[float, float, float]:
-    """S0, S1, S2 moments of the weight matrix (pysal convention)."""
-    s0 = w.sum()
-    t = w.transpose() + w
-    t2 = t.multiply(t) if sp.issparse(t) else t * t
-    s1 = t2.sum() / 2.0
-    s2array: NDArrayA = np.asarray(w.sum(1) + w.sum(0).transpose()) ** 2
-    s2 = s2array.sum()
-    return s0, s1, s2
+    if sims is not None:
+        n_perms = sims.shape[0]
+        z_sim = (score - sims.mean(axis=0)) / sims.std(axis=0)
+        out["pval_z_sim"] = _directional_tail(z_sim)
+        n_ge = (sims >= score).sum(axis=0)
+        # count the smaller tail, i.e. how extreme the observed score is
+        tail_count = np.minimum(n_ge, n_perms - n_ge)
+        out["pval_sim"] = (tail_count + 1) / (n_perms + 1)
+        out["var_sim"] = sims.var(axis=0)
+    return out

@@ -1,73 +1,67 @@
-"""Crop geometry: coordinates, paddings, attribute propagation.
+"""Crop geometry records.
 
-Pure-Python geometry with the same semantics as the reference
-(/root/reference/src/squidpy/im/_coords.py:20-182): ``CropCoords`` tracks the
-global position of a crop, ``CropPadding`` the out-of-bounds padding, and the
-``_update_attrs_*`` helpers compose them under nested crops and rescaling.
+Behavioral counterpart of the reference's crop-coordinate machinery
+(/root/reference/src/squidpy/im/_coords.py), rebuilt on named tuples: a crop
+is a global-frame box (``CropCoords``), the out-of-bounds part of a crop is a
+four-sided padding (``CropPadding``), and nested crops / rescales compose by
+pure arithmetic on these records.
+
+One conscious deviation: the reference computes ``center_y`` from ``x0``
+(/root/reference/src/squidpy/im/_coords.py:84, an upstream bug); here
+``center_y`` is derived from ``y0`` and the fix is locked by a test
+(tests/test_image.py::TestCropGeometry::test_center_uses_y_axis).
 """
 
 from __future__ import annotations
 
-from abc import ABC, abstractmethod
-from dataclasses import dataclass
+from collections import namedtuple
 from typing import Any
 
 import numpy as np
 
 from squidpy_tpu._constants._pkg_constants import Key
 from squidpy_tpu.utils import NDArrayA
-from squidpy_tpu.utils._validators import assert_non_negative
 
 __all__ = ["CropCoords", "CropPadding", "TupleSerializer", "_NULL_COORDS", "_NULL_PADDING"]
 
 
-def _circular_mask(arr: NDArrayA, y: int, x: int, radius: float) -> NDArrayA:
-    Y, X = np.ogrid[: arr.shape[0], : arr.shape[1]]
-    return np.asarray(((Y - y) ** 2 + (X - x) ** 2) <= radius**2)
+class TupleSerializer:
+    """Scale + (de)serialization behavior shared by the geometry records.
 
+    Subclasses are named tuples of exactly four floats, so serialization is
+    the tuple itself and scaling maps over the fields.
+    """
 
-class TupleSerializer(ABC):
-    @abstractmethod
     def to_tuple(self) -> tuple[float, float, float, float]:
-        """Return self as a :class:`tuple`."""
+        return tuple(self)  # type: ignore[arg-type,return-value]
 
     @classmethod
     def from_tuple(cls, value: tuple[float, float, float, float]) -> TupleSerializer:
-        return cls(*value)  # type: ignore[call-arg]
+        return cls(*value)
 
-    @property
-    @abstractmethod
-    def T(self) -> TupleSerializer:
-        """Transpose self."""
-
-    def __mul__(self, other: int | float) -> TupleSerializer:
-        if not isinstance(other, (int, float)):
+    def __mul__(self, factor: int | float) -> TupleSerializer:  # type: ignore[override]
+        if not isinstance(factor, (int, float)):
             return NotImplemented
-        a, b, c, d = self.to_tuple()
-        return type(self)(a * other, b * other, c * other, d * other)  # type: ignore[call-arg]
+        return type(self)(*(v * factor for v in self))  # type: ignore[attr-defined]
 
-    def __rmul__(self, other: int | float) -> TupleSerializer:
-        return self * other
+    def __rmul__(self, factor: int | float) -> TupleSerializer:
+        return self.__mul__(factor)
 
 
-@dataclass(frozen=True)
-class CropCoords(TupleSerializer):
-    """Top-left and bottom-right corners of a crop."""
+class CropCoords(TupleSerializer, namedtuple("_Box", ["x0", "y0", "x1", "y1"])):
+    """An axis-aligned box in global image coordinates (corner-to-corner)."""
 
-    x0: float
-    y0: float
-    x1: float
-    y1: float
+    __slots__ = ()
 
-    def __post_init__(self) -> None:
-        if self.x0 > self.x1:
-            raise ValueError(f"Expected `x0` <= `x1`, found `{self.x0}` > `{self.x1}`.")
-        if self.y0 > self.y1:
-            raise ValueError(f"Expected `y0` <= `y1`, found `{self.y0}` > `{self.y1}`.")
+    def __new__(cls, x0: float, y0: float, x1: float, y1: float) -> CropCoords:
+        if x1 < x0 or y1 < y0:
+            raise ValueError(f"Invalid box: corners ({x0}, {y0})..({x1}, {y1}) are not ordered.")
+        return super().__new__(cls, float(x0), float(y0), float(x1), float(y1))
 
     @property
     def T(self) -> CropCoords:
-        return CropCoords(x0=self.y0, y0=self.x0, x1=self.y1, y1=self.x1)
+        """The box with x- and y-axes exchanged."""
+        return CropCoords(self.y0, self.x0, self.y1, self.x1)
 
     @property
     def dx(self) -> float:
@@ -83,82 +77,93 @@ class CropCoords(TupleSerializer):
 
     @property
     def center_y(self) -> float:
-        return self.x0 + self.dy / 2.0
-
-    def to_image_coordinates(self, padding: CropPadding) -> CropCoords:
-        """Convert global image coordinates to local, padding-adjusted ones."""
-        adj = self + padding
-        return CropCoords(x0=padding.x_pre, y0=padding.y_pre, x1=adj.dx - padding.x_post, y1=adj.dy - padding.y_post)
+        # NB: derived from y0 — the reference derives this from x0
+        # (/root/reference/src/squidpy/im/_coords.py:84), which is wrong.
+        return self.y0 + self.dy / 2.0
 
     @property
     def slice(self) -> tuple[slice, slice]:
-        """The ``(height, width)`` integer slice."""
+        """Integer ``(rows, cols)`` slice selecting the box from an array."""
         return slice(int(self.y0), int(self.y1)), slice(int(self.x0), int(self.x1))
 
-    def to_tuple(self) -> tuple[float, float, float, float]:
-        return self.x0, self.y0, self.x1, self.y1
+    def to_image_coordinates(self, padding: CropPadding) -> CropCoords:
+        """The box's position inside its own (padded) pixel buffer.
 
-    def __add__(self, other: CropPadding) -> CropCoords:
-        if not isinstance(other, CropPadding):
-            return NotImplemented
+        A crop whose buffer was padded by ``padding`` holds the real image
+        data at offset ``(x_pre, y_pre)`` with the original extent.
+        """
         return CropCoords(
-            x0=self.x0 - other.x_pre, y0=self.y0 - other.y_pre, x1=self.x1 + other.x_post, y1=self.y1 + other.y_post
+            padding.x_pre,
+            padding.y_pre,
+            padding.x_pre + self.dx,
+            padding.y_pre + self.dy,
         )
 
-    def __sub__(self, other: CropCoords) -> CropPadding:
-        if not isinstance(other, CropCoords):
+    def __add__(self, pad: CropPadding) -> CropCoords:  # type: ignore[override]
+        """Grow the box outward by ``pad`` on each side."""
+        if not isinstance(pad, CropPadding):
+            return NotImplemented
+        return CropCoords(self.x0 - pad.x_pre, self.y0 - pad.y_pre, self.x1 + pad.x_post, self.y1 + pad.y_post)
+
+    def __sub__(self, inner: CropCoords) -> CropPadding:
+        """Per-side absolute offset between two boxes, as a padding."""
+        if not isinstance(inner, CropCoords):
             return NotImplemented
         return CropPadding(
-            x_pre=abs(self.x0 - other.x0),
-            y_pre=abs(self.y0 - other.y0),
-            x_post=abs(self.x1 - other.x1),
-            y_post=abs(self.y1 - other.y1),
+            x_pre=abs(self.x0 - inner.x0),
+            x_post=abs(self.x1 - inner.x1),
+            y_pre=abs(self.y0 - inner.y0),
+            y_post=abs(self.y1 - inner.y1),
         )
 
 
-@dataclass(frozen=True)
-class CropPadding(TupleSerializer):
-    """Padding of a crop."""
+class CropPadding(TupleSerializer, namedtuple("_Pad", ["x_pre", "x_post", "y_pre", "y_post"])):
+    """Out-of-bounds padding of a crop, one non-negative width per side."""
 
-    x_pre: float
-    x_post: float
-    y_pre: float
-    y_post: float
+    __slots__ = ()
 
-    def __post_init__(self) -> None:
-        assert_non_negative(self.x_pre, name="x_pre")
-        assert_non_negative(self.y_pre, name="y_pre")
-        assert_non_negative(self.x_post, name="x_post")
-        assert_non_negative(self.y_post, name="y_post")
+    def __new__(cls, x_pre: float, x_post: float, y_pre: float, y_post: float) -> CropPadding:
+        for name, v in zip(("x_pre", "x_post", "y_pre", "y_post"), (x_pre, x_post, y_pre, y_post)):
+            if v < 0:
+                raise ValueError(f"Padding side `{name}` must be non-negative, got `{v}`.")
+        return super().__new__(cls, float(x_pre), float(x_post), float(y_pre), float(y_post))
 
     @property
     def T(self) -> CropPadding:
-        return CropPadding(x_pre=self.y_pre, y_pre=self.x_pre, x_post=self.y_post, y_post=self.x_post)
-
-    def to_tuple(self) -> tuple[float, float, float, float]:
-        return self.x_pre, self.x_post, self.y_pre, self.y_post
+        """The padding with x- and y-axes exchanged."""
+        return CropPadding(self.y_pre, self.y_post, self.x_pre, self.x_post)
 
 
-_NULL_COORDS = CropCoords(0, 0, 0, 0)
-_NULL_PADDING = CropPadding(0, 0, 0, 0)
+_NULL_COORDS = CropCoords(0.0, 0.0, 0.0, 0.0)
+_NULL_PADDING = CropPadding(0.0, 0.0, 0.0, 0.0)
+
+
+def _circular_mask(arr: NDArrayA, y: int, x: int, radius: float) -> NDArrayA:
+    """Boolean disk of ``radius`` around ``(y, x)`` over ``arr``'s 2D shape."""
+    rows = np.arange(arr.shape[0], dtype=float)[:, None] - y
+    cols = np.arange(arr.shape[1], dtype=float)[None, :] - x
+    return np.asarray(rows * rows + cols * cols <= float(radius) ** 2)
+
+
+def compose_coords(outer: CropCoords, inner: CropCoords) -> CropCoords:
+    """Global-frame position of ``inner``, which is expressed relative to ``outer``."""
+    return CropCoords(
+        outer.x0 + inner.x0,
+        outer.y0 + inner.y0,
+        outer.x0 + inner.x1,
+        outer.y0 + inner.y1,
+    )
 
 
 def _update_attrs_coords(attrs: dict[Any, Any], coords: CropCoords) -> dict[Any, Any]:
-    old_coords = attrs.get(Key.img.coords, _NULL_COORDS)
-    if old_coords != _NULL_COORDS:
-        attrs[Key.img.coords] = CropCoords(
-            x0=old_coords.x0 + coords.x0,
-            y0=old_coords.y0 + coords.y0,
-            x1=old_coords.x0 + coords.x1,
-            y1=old_coords.y0 + coords.y1,
-        )
-    else:
-        attrs[Key.img.coords] = coords
+    """Record a crop in container attrs, composing with any prior crop."""
+    prev = attrs.get(Key.img.coords, _NULL_COORDS)
+    attrs[Key.img.coords] = coords if prev == _NULL_COORDS else compose_coords(prev, coords)
     return attrs
 
 
 def _update_attrs_scale(attrs: dict[Any, Any], scale: int | float) -> dict[Any, Any]:
-    attrs[Key.img.scale] = attrs[Key.img.scale] * scale
-    attrs[Key.img.padding] = attrs[Key.img.padding] * scale
-    attrs[Key.img.coords] = attrs[Key.img.coords] * scale
+    """Record a rescale: the scale factor, crop box and padding all scale."""
+    for key in (Key.img.scale, Key.img.padding, Key.img.coords):
+        attrs[key] = attrs[key] * scale
     return attrs

@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 
 import squidpy_tpu as sq
-from squidpy_tpu.im import ImageContainer
+from squidpy_tpu.im import CropCoords, CropPadding, ImageContainer
 
 
 @pytest.fixture()
@@ -513,3 +513,50 @@ def test_crop_corner_negative_and_overhang():
     assert neg[3, 4] == 1  # image pixel (0, 1)
     over = np.asarray(cont.crop_corner(7, 7, (6, 6))["image"]).squeeze()
     assert over[0, 0] == 77 and (over[3:, :] == 0).all()
+
+
+class TestCropGeometry:
+    """Crop-coordinate record semantics (reference: im/_coords.py)."""
+
+    def test_center_uses_y_axis(self):
+        # Conscious fix of the reference bug at
+        # /root/reference/src/squidpy/im/_coords.py:84 (center_y from x0).
+        c = CropCoords(x0=10, y0=100, x1=20, y1=140)
+        assert c.center_x == 15.0
+        assert c.center_y == 120.0
+
+    def test_box_validation_and_arithmetic(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not ordered"):
+            CropCoords(5, 0, 4, 10)
+        with _pytest.raises(ValueError, match="non-negative"):
+            CropPadding(-1, 0, 0, 0)
+
+        c = CropCoords(2, 3, 12, 23)
+        p = CropPadding(x_pre=1, x_post=2, y_pre=3, y_post=4)
+        grown = c + p
+        assert grown == CropCoords(1, 0, 14, 27)
+        assert (grown - c) == p
+        assert (2 * c) == CropCoords(4, 6, 24, 46)
+        assert c.T == CropCoords(3, 2, 23, 12)
+        assert p.T == CropPadding(3, 4, 1, 2)
+
+    def test_local_coordinates_and_slice(self):
+        c = CropCoords(0, 0, 10, 20)
+        p = CropPadding(x_pre=3, x_post=0, y_pre=5, y_post=0)
+        local = c.to_image_coordinates(p)
+        assert local == CropCoords(3, 5, 13, 25)
+        ysl, xsl = c.slice
+        assert (ysl, xsl) == (slice(0, 20), slice(0, 10))
+
+    def test_compose_and_serde_round_trip(self):
+        from squidpy_tpu.im._coords import compose_coords
+
+        outer = CropCoords(100, 200, 400, 500)
+        inner = CropCoords(10, 20, 50, 60)
+        composed = compose_coords(outer, inner)
+        assert composed == CropCoords(110, 220, 150, 260)
+        assert CropCoords.from_tuple(composed.to_tuple()) == composed
+        p = CropPadding(1, 2, 3, 4)
+        assert CropPadding.from_tuple(p.to_tuple()) == p

@@ -114,6 +114,59 @@ class TestCentralityScores:
         df = sq.gr.centrality_scores(dummy_adata, "leiden", score="degree_centrality", copy=True)
         assert list(df.columns) == ["degree_centrality"]
 
+    def test_matches_networkx(self, dummy_adata):
+        """Value parity with the reference's networkx oracle
+        (/root/reference/src/squidpy/gr/_nhood.py:292-335)."""
+        import networkx as nx
+
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=4)
+        df = sq.gr.centrality_scores(dummy_adata, "leiden", copy=True)
+
+        graph = nx.Graph(dummy_adata.obsp["spatial_connectivities"])
+        clusters = dummy_adata.obs["leiden"].values
+        for cat in dummy_adata.obs["leiden"].cat.categories:
+            idx = np.where(clusters == cat)[0]
+            np.testing.assert_allclose(
+                df.loc[cat, "closeness_centrality"],
+                nx.algorithms.centrality.group_closeness_centrality(graph, idx),
+                rtol=1e-12,
+            )
+            np.testing.assert_allclose(
+                df.loc[cat, "degree_centrality"],
+                nx.algorithms.centrality.group_degree_centrality(graph, idx),
+                rtol=1e-12,
+            )
+            np.testing.assert_allclose(
+                df.loc[cat, "average_clustering"],
+                nx.algorithms.cluster.average_clustering(graph, idx),
+                rtol=1e-12,
+            )
+
+    def test_scales_to_100k_cells(self):
+        """The vectorized path must handle ≥100k cells in seconds (the old
+        nx.Graph materialization was prohibitive at this size)."""
+        import time
+
+        import pandas as pd
+
+        rng = np.random.default_rng(0)
+        n = 100_000
+        ad = sq.AnnData(
+            X=np.zeros((n, 1), dtype=np.float32),
+            obs=pd.DataFrame(
+                {"cl": pd.Categorical(rng.integers(0, 12, size=n).astype(str))},
+                index=[str(i) for i in range(n)],
+            ),
+        )
+        ad.obsm["spatial"] = rng.uniform(0, 1000, size=(n, 2))
+        sq.gr.spatial_neighbors_knn(ad, n_neighs=6)
+        t0 = time.time()
+        df = sq.gr.centrality_scores(ad, "cl", copy=True)
+        elapsed = time.time() - t0
+        assert np.isfinite(df.values).all()
+        assert (df["degree_centrality"] > 0).all()
+        assert elapsed < 60.0, f"centrality_scores took {elapsed:.1f}s at 100k cells"
+
 
 class TestPermutationCache:
     """Optional on-disk memoization of permutation batches (SURVEY §5
