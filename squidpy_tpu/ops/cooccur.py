@@ -21,6 +21,51 @@ from squidpy_tpu.ops.knn import pairwise_sq_dists
 __all__ = ["co_occurrence_counts", "co_occurrence_probs"]
 
 
+# Exact integer accumulation without x64: per-tile class reductions are split
+# into base-2^12 hi/lo digit matmuls (each an exact f32 integer, since every
+# partial sum stays < 2^24), and tiles accumulate into a base-2^24 int32 digit
+# pair with per-step carry — exact totals to ~2^55 pairs. Requires n < 2^24
+# cells (first matmul) and row_tile * n < 2^36 (hi digit), both far past any
+# feasible O(n²) sweep.
+_SPLIT = 1 << 12
+_DIGIT_BASE = 1 << 24
+
+
+def pair_digit_matmuls(ind: jax.Array, onehot_cols: jax.Array, oh_rows: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Class-pair reduction of a 0/1 indicator tile as exact (hi, lo) digits.
+
+    ``ind``: (tile, n) 0/1; ``onehot_cols``: (n, C); ``oh_rows``: (tile, C).
+    Returns int32 ``(hi, lo)`` with the tile's counts = hi·2^12 + lo.
+    """
+    s = jnp.dot(ind, onehot_cols, preferred_element_type=jnp.float32)  # (tile, C), ≤ n
+    s_hi = jnp.floor(s * (1.0 / _SPLIT))  # exact: power-of-two scale of an exact int
+    s_lo = s - s_hi * _SPLIT
+    hi = jnp.dot(oh_rows.T, s_hi, preferred_element_type=jnp.float32)
+    lo = jnp.dot(oh_rows.T, s_lo, preferred_element_type=jnp.float32)
+    return hi.astype(jnp.int32), lo.astype(jnp.int32)
+
+
+def digit_accumulate(
+    acc: tuple[jax.Array, jax.Array], hi: jax.Array, lo: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Add (hi·2^12 + lo) into a normalized base-2^24 int32 digit pair."""
+    a1, a0 = acc
+    a0 = a0 + lo + (hi & (_SPLIT - 1)) * _SPLIT
+    a1 = a1 + (hi >> 12) + (a0 >> 24)
+    return a1, a0 & (_DIGIT_BASE - 1)
+
+
+def digit_normalize(a1: jax.Array, a0: jax.Array) -> jax.Array:
+    """Canonicalize a digit pair (e.g. after a psum of per-device pairs)."""
+    return jnp.stack([a1 + (a0 >> 24), a0 & (_DIGIT_BASE - 1)])
+
+
+def combine_digits(pair: np.ndarray) -> np.ndarray:
+    """Host-side merge of a ``(2, ...)`` int digit pair into exact float64."""
+    pair = np.asarray(pair, dtype=np.float64)
+    return pair[0] * float(_DIGIT_BASE) + pair[1]
+
+
 @partial(jax.jit, static_argnames=("n_cls", "row_tile"))
 def _cooccur_device(
     coords: jax.Array,
@@ -29,29 +74,32 @@ def _cooccur_device(
     n_cls: int,
     row_tile: int,
 ) -> jax.Array:
+    """Cumulative pair counts as a ``(2, L, C, C)`` exact int32 digit pair."""
     n = coords.shape[0]
     n_l = thresholds.shape[0]
     n_tiles = (n + row_tile - 1) // row_tile
     n_pad = n_tiles * row_tile
     coords_p = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
     onehot = jax.nn.one_hot(labels, n_cls, dtype=coords.dtype)  # (n, C)
+    onehot_p = jnp.pad(onehot, ((0, n_pad - n), (0, 0)))
 
-    def tile_fn(t: jax.Array) -> jax.Array:
+    def tile_fn(acc: tuple[jax.Array, jax.Array], t: jax.Array):
         rows = jax.lax.dynamic_slice_in_dim(coords_p, t * row_tile, row_tile)
         row_ids = t * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
         d2 = pairwise_sq_dists(rows, coords)  # (tile, n)
         valid = (row_ids[:, None] < n) & (jnp.arange(n, dtype=jnp.int32)[None, :] != row_ids[:, None])
-        oh_rows = jax.lax.dynamic_slice_in_dim(jnp.pad(onehot, ((0, n_pad - n), (0, 0))), t * row_tile, row_tile)
+        oh_rows = jax.lax.dynamic_slice_in_dim(onehot_p, t * row_tile, row_tile)
 
-        def per_thresh(thr: jax.Array) -> jax.Array:
+        def per_thresh(thr: jax.Array) -> tuple[jax.Array, jax.Array]:
             ind = jnp.where(valid & (d2 <= thr), jnp.asarray(1.0, coords.dtype), 0.0)
-            s = jnp.dot(ind, onehot, preferred_element_type=jnp.float32)  # (tile, C)
-            return jnp.dot(oh_rows.T, s, preferred_element_type=jnp.float32)  # (C, C)
+            return pair_digit_matmuls(ind, onehot, oh_rows)
 
-        return jax.lax.map(per_thresh, thresholds)  # (L, C, C)
+        hi, lo = jax.lax.map(per_thresh, thresholds)  # (L, C, C) each
+        return digit_accumulate(acc, hi, lo), None
 
-    counts = jax.lax.map(tile_fn, jnp.arange(n_tiles))  # (tiles, L, C, C)
-    return jnp.sum(counts, axis=0)
+    acc0 = (jnp.zeros((n_l, n_cls, n_cls), jnp.int32),) * 2
+    (a1, a0), _ = jax.lax.scan(tile_fn, acc0, jnp.arange(n_tiles))
+    return jnp.stack([a1, a0])
 
 
 def co_occurrence_counts(
@@ -79,8 +127,8 @@ def co_occurrence_counts(
     )
     from squidpy_tpu.utils import to_host
 
-    # (L, C, C) -> (C, C, L)
-    return np.transpose(to_host(out, dtype=np.float64), (1, 2, 0))
+    counts = combine_digits(to_host(out, dtype=np.float64))  # (L, C, C)
+    return np.transpose(counts, (1, 2, 0))
 
 
 def co_occurrence_probs(counts: np.ndarray) -> np.ndarray:

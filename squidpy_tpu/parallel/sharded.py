@@ -40,13 +40,11 @@ __all__ = [
 def _pair_counts_local(indices, mask, row_labels, full_labels, n_cls):
     """Per-shard cluster-pair counts; identical math to
     :func:`squidpy_tpu.ops.nhood.cluster_pair_counts` but with the source-row
-    labels taken from the shard and neighbor labels from the replicated table."""
-    nbr_labels = full_labels[indices]
-    w = mask.astype(jnp.float32)
-    nbr_onehot = jax.nn.one_hot(nbr_labels, n_cls, dtype=jnp.float32)
-    R = jnp.einsum("nk,nkc->nc", w, nbr_onehot)
-    src_onehot = jax.nn.one_hot(row_labels, n_cls, dtype=jnp.float32)
-    return jnp.dot(src_onehot.T, R, preferred_element_type=jnp.float32)
+    labels taken from the shard and neighbor labels from the replicated table.
+    int32, exact at any shard size (psum over int shards stays exact)."""
+    from squidpy_tpu.ops.nhood import exact_pair_counts
+
+    return exact_pair_counts(indices, mask, row_labels.astype(jnp.int32), full_labels.astype(jnp.int32), n_cls)
 
 
 def sharded_pair_counts(
@@ -313,6 +311,8 @@ def sharded_cooccur_counts(
         out_specs=P(),
     )
     def f(rows_s, row_lab_s, row_valid_s, coords_r, labels_r, col_valid_r, thr_r):
+        from squidpy_tpu.ops.cooccur import digit_accumulate, digit_normalize, pair_digit_matmuls
+
         m = rows_s.shape[0]
         tile = min(row_tile, max(8, m))
         n_tiles = (m + tile - 1) // tile
@@ -327,7 +327,7 @@ def sharded_cooccur_counts(
         shard_off = jax.lax.axis_index(axis) * m
         onehot_cols = jax.nn.one_hot(labels_r, n_cls, dtype=rows_s.dtype)
 
-        def tile_fn(t: jax.Array) -> jax.Array:
+        def tile_fn(acc, t: jax.Array):
             r = jax.lax.dynamic_slice_in_dim(rows_p, t * tile, tile)
             oh_r = jax.lax.dynamic_slice_in_dim(oh_rows_p, t * tile, tile)
             v_r = jax.lax.dynamic_slice_in_dim(valid_p, t * tile, tile)
@@ -339,15 +339,26 @@ def sharded_cooccur_counts(
                 & (jnp.arange(n, dtype=jnp.int32)[None, :] != gids[:, None])
             )
 
-            def per_thresh(thr: jax.Array) -> jax.Array:
+            def per_thresh(thr: jax.Array):
                 ind = jnp.where(ok & (d2 <= thr), jnp.asarray(1.0, rows_s.dtype), 0.0)
-                s = jnp.dot(ind, onehot_cols, preferred_element_type=jnp.float32)
-                return jnp.dot(oh_r.T, s, preferred_element_type=jnp.float32)
+                return pair_digit_matmuls(ind, onehot_cols, oh_r)
 
-            return jax.lax.map(per_thresh, thr_r)
+            hi, lo = jax.lax.map(per_thresh, thr_r)
+            return digit_accumulate(acc, hi, lo), None
 
-        part = jnp.sum(jax.lax.map(tile_fn, jnp.arange(n_tiles)), axis=0)
-        return jax.lax.psum(part, axis)
+        n_l = thr_r.shape[0]
+        # the scan body's carry is device-varying (it folds in shard data), so
+        # the initial zeros must be marked varying over the mesh axis too
+        acc0 = jax.lax.pcast(
+            (jnp.zeros((n_l, n_cls, n_cls), jnp.int32),) * 2, (axis,), to="varying"
+        )
+        (a1, a0), _ = jax.lax.scan(tile_fn, acc0, jnp.arange(n_tiles))
+        # per-device pairs are normalized; their integer psum is exact, then
+        # re-normalizing yields the canonical digits — bitwise equal to the
+        # single-device kernel at any device count
+        a1 = jax.lax.psum(a1, axis)
+        a0 = jax.lax.psum(a0, axis)
+        return digit_normalize(a1, a0)
 
     return f(coords, labels, row_valid, coords, labels, row_valid, thresholds)
 

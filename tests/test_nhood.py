@@ -207,3 +207,37 @@ class TestPermutationCache:
         d1 = sq.gr.spatial_autocorr(dummy_adata, mode="moran", n_perms=10, seed=3, cache=str(tmp_path), copy=True)
         d2 = sq.gr.spatial_autocorr(dummy_adata, mode="moran", n_perms=10, seed=3, cache=str(tmp_path), copy=True)
         pd.testing.assert_frame_equal(d1, d2)
+
+
+class TestExactCountsAtScale:
+    """Counts must stay exact past 2^24 edges per bucket (f32 saturates there;
+    reference semantics are exact integers, gr/_nhood.py:53-140)."""
+
+    def test_pair_counts_exact_past_2pow24(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.nhood import cluster_pair_counts
+
+        n, k = 1 << 21, 10  # 20.97M edges, all into bucket (0, 0)
+        indices = jnp.zeros((n, k), jnp.int32)
+        mask = jnp.ones((n, k), bool)
+        labels = jnp.zeros((n,), jnp.int32)
+        got = np.asarray(cluster_pair_counts(indices, mask, labels, 2))
+        assert got.dtype == np.int32
+        assert int(got[0, 0]) == n * k  # > 2^24: f32 would have saturated at 16777216
+        assert int(got.sum()) == n * k
+
+    def test_chunked_path_matches_naive_bincount(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.nhood import cluster_pair_counts
+
+        rng = np.random.default_rng(5)
+        n, k, n_cls = 1 << 20, 9, 3  # 9.4M edges -> chunked path, mixed labels
+        indices = rng.integers(0, n, size=(n, k), dtype=np.int32)
+        mask = rng.random((n, k)) < 0.9
+        labels = rng.integers(0, n_cls, size=n, dtype=np.int32)
+        got = np.asarray(cluster_pair_counts(jnp.asarray(indices), jnp.asarray(mask), jnp.asarray(labels), n_cls))
+        pair_ids = labels[:, None] * n_cls + labels[indices]
+        want = np.bincount(pair_ids[mask].ravel(), minlength=n_cls * n_cls).reshape(n_cls, n_cls)
+        np.testing.assert_array_equal(got.astype(np.int64), want)

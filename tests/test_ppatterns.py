@@ -283,3 +283,20 @@ class TestUseRaw:
         np.testing.assert_allclose(
             df["I"].sort_index().to_numpy(), df2["I"].sort_index().to_numpy(), rtol=1e-6
         )
+
+
+class TestCooccurExactCounts:
+    def test_bucket_past_2pow24_is_exact(self):
+        """One class, all-pairs threshold: n(n-1) = 67.1M pairs in one bucket —
+        far past f32's 2^24 exact-integer limit; digit accumulation must be
+        exact to the pair."""
+        from squidpy_tpu.ops.cooccur import co_occurrence_counts
+
+        rng = np.random.default_rng(11)
+        n = 8192
+        coords = rng.uniform(0, 1, size=(n, 2)).astype(np.float32)
+        labs = np.zeros(n, dtype=np.int32)
+        thresholds = np.array([1e9], dtype=np.float32)
+        counts = co_occurrence_counts(coords, labs, thresholds, 1)
+        assert counts.shape == (1, 1, 1)
+        assert int(counts[0, 0, 0]) == n * (n - 1)
