@@ -207,3 +207,114 @@ class TestBuilderTransforms:
         ad = self._adata()
         sq.gr.spatial_neighbors_from_builder(ad, RadiusBuilder(radius=12.0, set_diag=True))
         assert (ad.obsp["spatial_connectivities"].diagonal() > 0).all()
+
+
+class TestSpatialDataElementCentroids:
+    """Coordinate resolution from SpatialData shapes/labels/points elements
+    (reference ``_resolve_data``, /root/reference/src/squidpy/gr/_build.py:331-384)."""
+
+    @staticmethod
+    def _sdata(table, **elements):
+        from types import SimpleNamespace
+
+        return SimpleNamespace(tables={"table": table}, shapes=elements, labels={}, points={})
+
+    def test_centroids_from_circles_element(self):
+        rng = np.random.default_rng(0)
+        n = 60
+        centers = rng.uniform(0, 100, size=(n, 2))
+        shapes = pd.DataFrame(
+            {"x": centers[:, 0], "y": centers[:, 1], "radius": np.full(n, 2.0)},
+            index=np.arange(n),
+        )
+        table = sq.AnnData(
+            X=np.zeros((n, 3)),
+            obs=pd.DataFrame({"region": ["cells"] * n, "instance_id": np.arange(n)}),
+        )
+        table.uns["spatialdata_attrs"] = {
+            "region": "cells", "region_key": "region", "instance_key": "instance_id",
+        }
+        sdata = self._sdata(table, cells=shapes)
+
+        sq.gr.spatial_neighbors_knn(sdata, n_neighs=4, elements_to_coordinate_systems={"cells": "global"})
+        np.testing.assert_allclose(table.obsm["spatial"], centers)
+        assert "spatial_connectivities" in table.obsp
+
+        # graph equals the one built from the raw coordinates directly
+        plain = sq.AnnData(X=np.zeros((n, 3)))
+        plain.obsm["spatial"] = centers
+        sq.gr.spatial_neighbors_knn(plain, n_neighs=4)
+        assert (table.obsp["spatial_connectivities"] != plain.obsp["spatial_connectivities"]).nnz == 0
+
+    def test_centroids_from_labels_element(self):
+        # 3 square cells of known centroids in a label image; background = 0
+        img = np.zeros((40, 40), dtype=np.int32)
+        img[2:6, 2:6] = 1      # centroid (3.5, 3.5)
+        img[10:20, 30:40] = 2  # centroid (34.5, 14.5) in (x, y)
+        img[30:34, 10:18] = 3  # centroid (13.5, 31.5)
+        table = sq.AnnData(
+            X=np.zeros((3, 2)),
+            obs=pd.DataFrame({"region": ["seg"] * 3, "instance_id": [1, 2, 3]}),
+        )
+        table.uns["spatialdata_attrs"] = {
+            "region": "seg", "region_key": "region", "instance_key": "instance_id",
+        }
+        from types import SimpleNamespace
+
+        sdata = SimpleNamespace(tables={"table": table}, shapes={}, labels={"seg": img}, points={})
+        sq.gr.spatial_neighbors_knn(sdata, n_neighs=2, elements_to_coordinate_systems={"seg": "global"})
+        np.testing.assert_allclose(
+            table.obsm["spatial"], [[3.5, 3.5], [34.5, 14.5], [13.5, 31.5]]
+        )
+
+    def test_instance_order_respected(self):
+        # table rows ordered differently from the element's index
+        centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+        shapes = pd.DataFrame({"x": centers[:, 0], "y": centers[:, 1]}, index=[0, 1, 2, 3])
+        order = [2, 0, 3, 1]
+        table = sq.AnnData(
+            X=np.zeros((4, 1)),
+            obs=pd.DataFrame({"region": ["s"] * 4, "instance_id": order}),
+        )
+        table.uns["spatialdata_attrs"] = {
+            "region": "s", "region_key": "region", "instance_key": "instance_id",
+        }
+        sdata = self._sdata(table, s=shapes)
+        sq.gr.spatial_neighbors_knn(sdata, n_neighs=2, elements_to_coordinate_systems={"s": "global"})
+        np.testing.assert_allclose(table.obsm["spatial"], centers[order])
+
+    def test_two_regions_become_library_blocks(self):
+        rng = np.random.default_rng(1)
+        a = pd.DataFrame({"x": rng.uniform(0, 10, 30), "y": rng.uniform(0, 10, 30)})
+        b = pd.DataFrame({"x": rng.uniform(100, 110, 30), "y": rng.uniform(0, 10, 30)})
+        table = sq.AnnData(
+            X=np.zeros((60, 1)),
+            obs=pd.DataFrame({
+                "region": ["a"] * 30 + ["b"] * 30,
+                "instance_id": list(range(30)) * 2,
+            }),
+        )
+        table.uns["spatialdata_attrs"] = {
+            "region": ["a", "b"], "region_key": "region", "instance_key": "instance_id",
+        }
+        sdata = self._sdata(table, a=a, b=b)
+        sq.gr.spatial_neighbors_knn(
+            sdata, n_neighs=3, elements_to_coordinate_systems={"a": "global", "b": "global"}
+        )
+        adj = table.obsp["spatial_connectivities"].toarray()
+        # region key becomes the library key: no cross-region edges
+        assert adj[:30, 30:].sum() == 0
+        assert adj[30:, :30].sum() == 0
+
+    def test_missing_coordinate_system_raises(self):
+        shapes = pd.DataFrame({"x": [0.0, 1.0], "y": [0.0, 1.0]})
+        table = sq.AnnData(
+            X=np.zeros((2, 1)),
+            obs=pd.DataFrame({"region": ["s", "s"], "instance_id": [0, 1]}),
+        )
+        table.uns["spatialdata_attrs"] = {
+            "region": "s", "region_key": "region", "instance_key": "instance_id",
+        }
+        sdata = self._sdata(table, s=shapes)
+        with pytest.raises(ValueError, match="coordinate system"):
+            sq.gr.spatial_neighbors_knn(sdata, n_neighs=1, elements_to_coordinate_systems={"other": "global"})
