@@ -1,16 +1,18 @@
-"""Moran SpMV kernel experiments on the real TPU (round 2, VERDICT item 2).
+"""Moran 15k-gene north-star measurement + kernel variant comparison (round 2).
 
-Times three formulations of the Moran numerator at (1M cells, k=6, g genes):
-  A) current: lax.scan over k, gather+FMA into an (n, g) accumulator
-  B) fused:   single (n, k, g) gather folded straight into the reduction
-  C) two-step: materialize weighted gather, sum k, then dot
+One jitted call scans over all gene blocks of a 15k-gene matrix at 1M cells,
+generating each block on device (fold_in key) — this defeats the axon
+identical-call cache, amortizes the ~1s dispatch overhead, and is exactly the
+north-star Moran workload. Variants: scan-over-k SpMV (round 1) vs fused
+(n, k, g) gather reduction.
 
-Run: python examples/_moran_kernel_experiments.py
+Run from /root/repo: PYTHONPATH=/root/repo python examples/_moran_kernel_experiments.py
 """
 
 from __future__ import annotations
 
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -18,48 +20,66 @@ import numpy as np
 
 from squidpy_tpu.ops.autocorr import spmv_genes
 
+N, K = 1_000_000, 6
+G_BLOCK = 256
+N_BLOCKS = 59  # 15,104 genes
 
-def timed(fn, *args, reps=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.time() - t0)
-    return min(ts)
+
+@partial(jax.jit, static_argnums=(1, 2))
+def make_graph(key, n, k):
+    idx = jax.random.randint(key, (n, k), 0, n, dtype=jnp.int32)
+    w = jnp.full((n, k), 1.0 / k, jnp.float32)
+    return idx, w
+
+
+def moran_block_scan(idx, w, z, s0):
+    n = z.shape[0]
+    zc = z - jnp.mean(z, axis=0, keepdims=True)
+    u = spmv_genes(idx, w, zc)
+    return (n / s0) * jnp.sum(zc * u, axis=0) / jnp.sum(zc * zc, axis=0)
+
+
+def moran_block_fused(idx, w, z, s0):
+    n = z.shape[0]
+    zc = z - jnp.mean(z, axis=0, keepdims=True)
+    num = jnp.sum(zc[:, None, :] * w[:, :, None] * zc[idx], axis=(0, 1))
+    return (n / s0) * num / jnp.sum(zc * zc, axis=0)
+
+
+def make_runner(block_fn):
+    @partial(jax.jit, static_argnums=(3,))
+    def run(idx, w, key, n_blocks):
+        s0 = jnp.sum(w)
+
+        def one(i):
+            z = jax.random.normal(jax.random.fold_in(key, i), (N, G_BLOCK), jnp.float32)
+            return block_fn(idx, w, z, s0)
+
+        return jax.lax.map(one, jnp.arange(n_blocks))
+
+    return run
 
 
 def main() -> None:
-    n, k = 1_000_000, 6
-    rng = np.random.default_rng(0)
-    idx = jnp.asarray(rng.integers(0, n, size=(n, k)).astype(np.int32))
-    w = jnp.full((n, k), 1.0 / k, jnp.float32)
+    idx, w = make_graph(jax.random.PRNGKey(0), N, K)
+    jax.block_until_ready(idx)
+    print("graph ready", flush=True)
 
-    @jax.jit
-    def num_scan(idx, w, z):
-        u = spmv_genes(idx, w, z)
-        return jnp.sum(z * u, axis=0)
-
-    @jax.jit
-    def num_fused(idx, w, z):
-        return jnp.sum(z[:, None, :] * w[:, :, None] * z[idx], axis=(0, 1))
-
-    @jax.jit
-    def num_twostep(idx, w, z):
-        u = jnp.einsum("nk,nkg->ng", w, z[idx])
-        return jnp.sum(z * u, axis=0)
-
-    import sys
-    for g in (256,):
-        z = jnp.asarray(rng.normal(size=(n, g)).astype(np.float32))
-        z2 = jnp.asarray(rng.normal(size=(n, g)).astype(np.float32))
-        for name, fn in [("scan", num_scan), ("fused", num_fused), ("twostep", num_twostep)]:
-            # warm on z, time on z2 (identical-run cache workaround)
-            jax.block_until_ready(fn(idx, w, z))
-            t = timed(fn, idx, w, z2)
-            gbytes = 4 * n * g * (k + 1) / 1e9  # gather reads + z read
-            print(f"g={g:5d} {name:8s}: {t*1e3:8.2f} ms  ({gbytes/t:6.1f} GB/s effective, {g/t:,.0f} genes/s)", flush=True)
+    for name, block_fn in [("scan", moran_block_scan), ("fused", moran_block_fused)]:
+        run = make_runner(block_fn)
+        jax.block_until_ready(run(idx, w, jax.random.PRNGKey(99), N_BLOCKS))  # compile+warm
+        for rep in range(3):
+            t0 = time.time()
+            out = run(idx, w, jax.random.PRNGKey(rep), N_BLOCKS)
+            checksum = float(jnp.sum(out))  # host round-trip forces completion
+            t = time.time() - t0
+            genes = N_BLOCKS * G_BLOCK
+            print(
+                f"{name:6s} rep{rep}: {t:7.3f} s for {genes} genes "
+                f"({genes/t:,.0f} genes/s, {t/N_BLOCKS*1e3:.1f} ms/block, checksum={checksum:.4f})",
+                flush=True,
+            )
+        assert np.isfinite(np.asarray(out)).all()
 
 
 if __name__ == "__main__":

@@ -54,10 +54,12 @@ def nhood_enrichment(
     data = _get_data(adata, cluster_key, "nhood_enrichment")
     arr = np.asarray(data[mode if mode in data else "zscore"])
     cats = adata.obs[cluster_key].cat.categories
+    palette_map = _get_palette(adata, cluster_key)
     fig = _heatmap(
         arr, cats, cats,
         title=title if title is not None else f"Neighborhood enrichment ({mode})",
         cmap=cmap, cbar_kwargs=cbar_kwargs, method=method, annotate=annotate,
+        category_colors=[palette_map[c] for c in cats],
         ax=ax, figsize=figsize, dpi=dpi, **kwargs,
     )
     if save is not None:
@@ -83,10 +85,12 @@ def interaction_matrix(
     _assert_categorical_obs(adata, key=cluster_key)
     arr = np.asarray(_get_data(adata, cluster_key, "interaction_matrix"))
     cats = adata.obs[cluster_key].cat.categories
+    palette_map = _get_palette(adata, cluster_key)
     fig = _heatmap(
         arr, cats, cats,
         title=title if title is not None else "Interaction matrix",
         cmap=cmap, cbar_kwargs=cbar_kwargs, method=method, annotate=annotate,
+        category_colors=[palette_map[c] for c in cats],
         ax=ax, figsize=figsize, dpi=dpi, **kwargs,
     )
     if save is not None:

@@ -54,6 +54,38 @@ def _get_image_and_scale(adata: Any, library_id: str | None, img_res_key: str) -
     return img, float(scalef), float(spot_diam)
 
 
+def _draw_scalebar(ax: Any, dx: float, units: str = "um", *, color: str = "black") -> None:
+    """Draw a simple anchored scale bar: a horizontal bar sized to a round
+    physical length given ``dx`` (physical units per pixel/data unit).
+
+    Stand-in for the reference's ``matplotlib_scalebar`` integration
+    (/root/reference/src/squidpy/pl/_spatial_utils.py, scalebar_dx/units) —
+    that package is unavailable here, so the bar is drawn natively.
+    """
+    x0, x1 = ax.get_xlim()
+    y0, y1 = ax.get_ylim()
+    span_px = abs(x1 - x0)
+    target_phys = span_px * dx * 0.2
+    # round to 1/2/5 * 10^k
+    mag = 10.0 ** np.floor(np.log10(max(target_phys, 1e-12)))
+    nice = min([1.0, 2.0, 5.0, 10.0], key=lambda v: abs(v * mag - target_phys)) * mag
+    bar_px = nice / dx
+    xa = x0 + 0.05 * (x1 - x0)
+    ya = y0 + 0.05 * (y1 - y0)
+    ax.plot([xa, xa + bar_px], [ya, ya], color=color, lw=3, solid_capstyle="butt")
+    label = f"{nice:g} {units}"
+    ax.annotate(label, ((2 * xa + bar_px) / 2, ya), xytext=(0, 5), textcoords="offset points",
+                ha="center", va="bottom", fontsize=8, color=color)
+
+
+def _apply_crop(ax: Any, crop_coord: tuple[float, float, float, float]) -> None:
+    """Restrict the view to a (x0, y0, x1, y1) window, keeping image-style
+    (y-down) orientation."""
+    x0, y0, x1, y1 = crop_coord
+    ax.set_xlim(x0, x1)
+    ax.set_ylim(y1, y0)
+
+
 def spatial_scatter(
     adata: Any,
     shape: str | None = "circle",
@@ -71,13 +103,27 @@ def spatial_scatter(
     legend_loc: str = "right margin",
     title: str | Sequence[str] | None = None,
     axis_label: Sequence[str] | None = None,
+    crop_coord: tuple[float, float, float, float] | None = None,
+    scalebar_dx: float | None = None,
+    scalebar_units: str = "um",
+    outline: bool = False,
+    outline_color: tuple[str, str] = ("black", "white"),
+    outline_width: tuple[float, float] = (0.3, 0.05),
+    colorbar: bool = True,
+    na_color: str = "lightgrey",
     figsize: tuple[float, float] | None = None,
     dpi: int | None = None,
     ax: Any = None,
     save: str | Path | None = None,
     **kwargs: Any,
 ) -> None:
-    """Scatter observations in spatial coordinates, optionally over the image."""
+    """Scatter observations in spatial coordinates, optionally over the image.
+
+    Reference feature set (/root/reference/src/squidpy/pl/_spatial_utils.py:59-1030):
+    multi-panel over ``color`` × libraries (``library_key``), image background
+    with scale factors, ``crop_coord`` view windows, spot ``outline`` rings,
+    a native ``scalebar_dx`` scale bar, NaN handling via ``na_color``.
+    """
     adata = extract_adata_if_sdata(adata)
     if spatial_key not in adata.obsm:
         raise KeyError(f"Spatial basis `{spatial_key}` not found in `adata.obsm`.")
@@ -86,45 +132,100 @@ def spatial_scatter(
     colors = [color] if (color is None or isinstance(color, str)) else list(color)
     titles = [title] * len(colors) if (title is None or isinstance(title, str)) else list(title)
 
-    background, scalef, spot_diam = _get_image_and_scale(adata, library_id, img_res_key) if img else (None, 1.0, 10.0)
-    plot_coords = coords * (scalef if background is not None else 1.0)
-    if size is None:
-        size = max((spot_diam * scalef / 2.0) ** 2 * np.pi / 20.0, 4.0) if background is not None else 8.0
+    if library_key is not None:
+        if library_key not in adata.obs:
+            raise KeyError(f"Library key `{library_key}` not found in `adata.obs`.")
+        lib_series = adata.obs[library_key]
+        lib_ids = list(lib_series.cat.categories) if hasattr(lib_series, "cat") else list(pd.unique(lib_series))
+        if library_id is not None:
+            wanted = [library_id] if isinstance(library_id, str) else list(library_id)
+            lib_ids = [lib for lib in lib_ids if lib in wanted]
+        panels = [(c, lib) for c in colors for lib in lib_ids]
+    else:
+        panels = [(c, None) for c in colors]
 
+    n_panels = len(panels)
     if ax is None:
-        fig, axes = plt.subplots(1, len(colors), figsize=figsize or (5 * len(colors), 5), dpi=dpi, squeeze=False)
+        fig, axes = plt.subplots(1, n_panels, figsize=figsize or (5 * n_panels, 5), dpi=dpi, squeeze=False)
         axes = axes.ravel()
     else:
         axes = np.atleast_1d(ax)
         fig = axes[0].figure
+    if len(axes) < n_panels:
+        raise ValueError(f"Expected at least `{n_panels}` axes, got `{len(axes)}`.")
 
-    for a, col_name, ttl in zip(axes, colors, titles):
+    for a, (col_name, lib) in zip(axes, panels):
+        obs_mask = np.ones(len(coords), dtype=bool) if lib is None else np.asarray(adata.obs[library_key] == lib)
+        background, scalef, spot_diam = (
+            _get_image_and_scale(adata, lib if lib is not None else library_id, img_res_key)
+            if img
+            else (None, 1.0, 10.0)
+        )
+        plot_coords = coords[obs_mask] * (scalef if background is not None else 1.0)
+        pt_size = size
+        if pt_size is None:
+            pt_size = max((spot_diam * scalef / 2.0) ** 2 * np.pi / 20.0, 4.0) if background is not None else 8.0
+
         if background is not None:
             a.imshow(np.asarray(background))
         values, is_cat = _get_color_vector(adata, col_name, layer)
+
+        def _outlined_scatter(x: Any, y: Any, **sc_kwargs: Any) -> Any:
+            if outline:
+                gap = pt_size * (1.0 + outline_width[1])
+                bg = gap * (1.0 + outline_width[0])
+                a.scatter(x, y, s=bg, c=outline_color[0], alpha=alpha, linewidths=0)
+                a.scatter(x, y, s=gap, c=outline_color[1], alpha=alpha, linewidths=0)
+            return a.scatter(x, y, s=pt_size, alpha=alpha, **sc_kwargs)
+
         if values is None:
-            a.scatter(plot_coords[:, 0], plot_coords[:, 1], s=size, alpha=alpha, **kwargs)
+            _outlined_scatter(plot_coords[:, 0], plot_coords[:, 1], **kwargs)
         elif is_cat:
+            vals = values[obs_mask] if lib is not None else values
             palette_map = _get_palette(adata, col_name, palette=palette)
-            for cat in values.cat.categories:
-                m = np.asarray(values == cat)
-                a.scatter(
-                    plot_coords[m, 0], plot_coords[m, 1], s=size, alpha=alpha,
-                    color=palette_map.get(cat), label=str(cat), **kwargs,
-                )
+            na_mask = np.asarray(pd.isnull(vals))
+            if na_mask.any():
+                a.scatter(plot_coords[na_mask, 0], plot_coords[na_mask, 1], s=pt_size, alpha=alpha,
+                          color=na_color, label="NaN", **kwargs)
+            for cat in vals.cat.categories:
+                m = np.asarray(vals == cat)
+                if not m.any():
+                    continue
+                _outlined_scatter(plot_coords[m, 0], plot_coords[m, 1],
+                                  color=palette_map.get(cat), label=str(cat), **kwargs)
             if legend_loc:
                 a.legend(fontsize=7, loc="center left", bbox_to_anchor=(1.0, 0.5), frameon=False)
         else:
-            scp = a.scatter(plot_coords[:, 0], plot_coords[:, 1], c=values, s=size, alpha=alpha, cmap=cmap, **kwargs)
-            fig.colorbar(scp, ax=a)
+            vals = np.asarray(values, dtype=float)[obs_mask]
+            scp = _outlined_scatter(plot_coords[:, 0], plot_coords[:, 1], c=vals, cmap=cmap,
+                                    plotnonfinite=True, **kwargs)
+            if colorbar:
+                fig.colorbar(scp, ax=a)
         if background is None:
             a.invert_yaxis()
-        a.set_title(ttl if ttl is not None else (col_name or ""))
+        if crop_coord is not None:
+            _apply_crop(a, crop_coord)
+        if scalebar_dx is not None:
+            _draw_scalebar(a, scalebar_dx, scalebar_units)
+        ttl = titles[colors.index(col_name)]
+        if ttl is None:
+            ttl = (col_name or "") if lib is None else f"{col_name or ''} — {lib}".strip(" —")
+        a.set_title(ttl)
         a.set_xlabel("spatial1" if axis_label is None else axis_label[0])
         a.set_ylabel("spatial2" if axis_label is None else axis_label[1])
         a.set_aspect("equal")
     if save is not None:
         save_fig(fig, save)
+
+
+def _label_boundaries(seg_img: np.ndarray) -> np.ndarray:
+    """Boolean mask of label-boundary pixels (4-neighborhood label changes)."""
+    edge = np.zeros(seg_img.shape, dtype=bool)
+    edge[:-1, :] |= seg_img[:-1, :] != seg_img[1:, :]
+    edge[1:, :] |= seg_img[1:, :] != seg_img[:-1, :]
+    edge[:, :-1] |= seg_img[:, :-1] != seg_img[:, 1:]
+    edge[:, 1:] |= seg_img[:, 1:] != seg_img[:, :-1]
+    return edge & (seg_img > 0)
 
 
 def spatial_segment(
@@ -135,10 +236,12 @@ def spatial_segment(
     seg_cell_id: str | None = None,
     seg: bool = True,
     seg_key: str = Key.uns.image_seg_key,
+    seg_outline: bool = False,
     spatial_key: str = Key.obsm.spatial,
     img_res_key: str = "hires",
     cmap: str = "viridis",
     palette: Any = None,
+    crop_coord: tuple[float, float, float, float] | None = None,
     figsize: tuple[float, float] | None = None,
     dpi: int | None = None,
     ax: Any = None,
@@ -189,7 +292,11 @@ def spatial_segment(
                     lut[cid] = mapper(norm(val))
         rgba = lut[np.clip(seg_img, 0, max_label)]
         rgba[seg_img == 0] = (0, 0, 0, 1)
+        if seg_outline:
+            rgba[_label_boundaries(seg_img)] = (1.0, 1.0, 1.0, 1.0)
         a.imshow(rgba, **kwargs)
+        if crop_coord is not None:
+            _apply_crop(a, crop_coord)
         a.set_title(col_name or "")
         a.axis("off")
     if save is not None:

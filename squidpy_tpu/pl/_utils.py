@@ -123,15 +123,21 @@ def _get_palette(
     return dict(zip(categories, colors))
 
 
-def _dendrogram_order(arr: NDArrayA) -> NDArrayA:
-    """Row order from hierarchical clustering (ward on euclidean)."""
+def _dendrogram_linkage(arr: NDArrayA, method: str = "ward") -> Any:
+    """Hierarchical-clustering linkage of the rows (NaN-safe)."""
+    from scipy.cluster import hierarchy as sch
+
+    clean = np.nan_to_num(np.asarray(arr, dtype=float), nan=0.0, posinf=0.0, neginf=0.0)
+    return sch.linkage(clean, method=method)
+
+
+def _dendrogram_order(arr: NDArrayA, method: str = "ward") -> NDArrayA:
+    """Row order from hierarchical clustering."""
     from scipy.cluster import hierarchy as sch
 
     if arr.shape[0] < 3:
         return np.arange(arr.shape[0])
-    clean = np.nan_to_num(arr, nan=0.0, posinf=0.0, neginf=0.0)
-    link = sch.linkage(clean, method="ward")
-    return np.asarray(sch.leaves_list(link))
+    return np.asarray(sch.leaves_list(_dendrogram_linkage(arr, method)))
 
 
 def _heatmap(
@@ -149,21 +155,45 @@ def _heatmap(
     vmin: float | None = None,
     vmax: float | None = None,
     vcenter: float | None = None,
+    category_colors: Any | None = None,
+    show_dendrogram: bool = True,
     **kwargs: Any,
 ) -> mpl.figure.Figure:
-    """Annotated heatmap with optional dendrogram reordering."""
+    """Annotated heatmap with category color strips and a dendrogram axis.
+
+    Same visual anatomy as the reference's annotated heatmap
+    (/root/reference/src/squidpy/pl/_utils.py:537-627): the matrix image,
+    a left color strip for row categories and a top strip for column
+    categories (``category_colors``: one color per input label, reordered
+    with the matrix), a right colorbar, and — when ``method`` is given — rows
+    and columns reordered by hierarchical clustering with the dendrogram
+    drawn above.
+    """
+    from mpl_toolkits.axes_grid1 import make_axes_locatable
+
     matrix = np.asarray(matrix, dtype=float)
     row_labels = list(row_labels)
     col_labels = list(col_labels)
-    if method is not None:
-        order = _dendrogram_order(matrix)
-        matrix = matrix[order][:, order] if len(row_labels) == len(col_labels) else matrix[order]
+    square = len(row_labels) == len(col_labels)
+    colors = None
+    if category_colors is not None:
+        colors = [mpl.colors.to_rgba(c) for c in category_colors]
+
+    link = None
+    if method is not None and matrix.shape[0] >= 3:
+        link = _dendrogram_linkage(matrix, method)
+        from scipy.cluster import hierarchy as sch
+
+        order = np.asarray(sch.leaves_list(link))
+        matrix = matrix[order][:, order] if square else matrix[order]
         row_labels = [row_labels[i] for i in order]
-        if len(col_labels) == len(order):
+        if square:
             col_labels = [col_labels[i] for i in order]
+        if colors is not None:
+            colors = [colors[i] for i in order]
 
     if ax is None:
-        fig, ax = plt.subplots(figsize=figsize or (6, 5), dpi=dpi)
+        fig, ax = plt.subplots(figsize=figsize or (6, 5), dpi=dpi, constrained_layout=True)
     else:
         fig = ax.figure
 
@@ -175,13 +205,43 @@ def _heatmap(
     ax.set_xticklabels(col_labels, rotation=90)
     ax.set_yticks(range(len(row_labels)))
     ax.set_yticklabels(row_labels)
-    if title:
-        ax.set_title(title)
     if annotate:
         for i in range(matrix.shape[0]):
             for j in range(matrix.shape[1]):
                 ax.text(j, i, f"{matrix[i, j]:.2f}", ha="center", va="center", fontsize=7)
-    fig.colorbar(im, ax=ax, **(cbar_kwargs or {}))
+
+    divider = make_axes_locatable(ax)
+    title_ax = ax
+
+    if colors is not None:
+        strip = np.asarray(colors).reshape(-1, 1, 4)
+        row_cax = divider.append_axes("left", size="3%", pad=0.02)
+        row_cax.imshow(strip, aspect="auto")
+        row_cax.set_xticks([])
+        row_cax.set_yticks([])
+        ax.set_yticks([])  # labels live on the strip side now
+        row_cax.set_yticks(range(len(row_labels)))
+        row_cax.set_yticklabels(row_labels)
+        if square:
+            col_cax = divider.append_axes("top", size="3%", pad=0.02)
+            col_cax.imshow(strip.transpose(1, 0, 2), aspect="auto")
+            col_cax.set_xticks([])
+            col_cax.set_yticks([])
+            title_ax = col_cax
+
+    if link is not None and show_dendrogram:
+        from scipy.cluster import hierarchy as sch
+
+        dend_ax = divider.append_axes("top", size="15%", pad=0.05)
+        with plt.rc_context({"lines.linewidth": 1.0}):
+            sch.dendrogram(link, ax=dend_ax, no_labels=True, color_threshold=0, above_threshold_color="black")
+        dend_ax.axis("off")
+        title_ax = dend_ax
+
+    if title:
+        title_ax.set_title(title)
+    cax = divider.append_axes("right", size="4%", pad=0.1)
+    fig.colorbar(im, cax=cax, **(cbar_kwargs or {}))
     return fig
 
 
