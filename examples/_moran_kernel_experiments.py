@@ -46,18 +46,27 @@ def moran_block_fused(idx, w, z, s0):
     return (n / s0) * num / jnp.sum(zc * zc, axis=0)
 
 
-def make_runner(block_fn):
+def make_runner(block_fn, g_block):
+    n_blocks_eff = (N_BLOCKS * G_BLOCK) // g_block
+
     @partial(jax.jit, static_argnums=(3,))
     def run(idx, w, key, n_blocks):
         s0 = jnp.sum(w)
 
         def one(i):
-            z = jax.random.normal(jax.random.fold_in(key, i), (N, G_BLOCK), jnp.float32)
+            z = jax.random.normal(jax.random.fold_in(key, i), (N, g_block), jnp.float32)
             return block_fn(idx, w, z, s0)
 
         return jax.lax.map(one, jnp.arange(n_blocks))
 
-    return run
+    return run, n_blocks_eff
+
+
+def moran_block_rng_only(idx, w, z, s0):
+    # RNG + centering only: isolates the data-generation cost from the SpMV
+    n = z.shape[0]
+    zc = z - jnp.mean(z, axis=0, keepdims=True)
+    return (n / s0) * jnp.sum(zc * zc, axis=0) / jnp.sum(zc * zc, axis=0)
 
 
 def main() -> None:
@@ -65,20 +74,28 @@ def main() -> None:
     jax.block_until_ready(idx)
     print("graph ready", flush=True)
 
-    for name, block_fn in [("scan", moran_block_scan), ("fused", moran_block_fused)]:
-        run = make_runner(block_fn)
-        jax.block_until_ready(run(idx, w, jax.random.PRNGKey(99), N_BLOCKS))  # compile+warm
+    cases = [
+        ("rng_only g=256", moran_block_rng_only, 256),
+        ("scan g=256", moran_block_scan, 256),
+        ("scan g=512", moran_block_scan, 512),
+        ("scan g=1024", moran_block_scan, 1024),
+    ]
+    for name, block_fn, gb in cases:
+        run, nb = make_runner(block_fn, gb)
+        jax.block_until_ready(run(idx, w, jax.random.PRNGKey(99), nb))  # compile+warm
+        ts = []
         for rep in range(3):
             t0 = time.time()
-            out = run(idx, w, jax.random.PRNGKey(rep), N_BLOCKS)
+            out = run(idx, w, jax.random.PRNGKey(rep), nb)
             checksum = float(jnp.sum(out))  # host round-trip forces completion
-            t = time.time() - t0
-            genes = N_BLOCKS * G_BLOCK
-            print(
-                f"{name:6s} rep{rep}: {t:7.3f} s for {genes} genes "
-                f"({genes/t:,.0f} genes/s, {t/N_BLOCKS*1e3:.1f} ms/block, checksum={checksum:.4f})",
-                flush=True,
-            )
+            ts.append(time.time() - t0)
+        t = min(ts)
+        genes = nb * gb
+        print(
+            f"{name:14s}: {t:7.3f} s for {genes} genes "
+            f"({genes/t:,.0f} genes/s, {t/nb*1e3:.1f} ms/block, checksum={checksum:.4f})",
+            flush=True,
+        )
         assert np.isfinite(np.asarray(out)).all()
 
 

@@ -14,7 +14,7 @@ Results assemble into an AnnData (one obs per cell).
 from __future__ import annotations
 
 from collections.abc import Sequence
-from typing import Any
+from typing import Any, NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -30,7 +30,7 @@ from squidpy_tpu.experimental.im._tiling import (
 from squidpy_tpu.ops.features import regionprops
 from squidpy_tpu.utils import logg
 
-__all__ = ["calculate_image_features"]
+__all__ = ["calculate_image_features", "parse_features", "align_to_image_grid"]
 
 _DEFAULT_MORPHOLOGY = (
     "area",
@@ -42,42 +42,281 @@ _DEFAULT_MORPHOLOGY = (
     "minor_axis_length",
     "perimeter",
 )
-_INTENSITY = ("mean_intensity", "max_intensity", "min_intensity")
+# Feature-flag grammar (reference: experimental/im/_calculate_image_features.py:89-249).
+_MORPHOLOGY_PROPS = frozenset(_DEFAULT_MORPHOLOGY) | {
+    "orientation", "solidity", "feret_diameter_max", "convex_area",
+    "filled_area", "euler_number", "perimeter_crofton",
+}
+_INTENSITY_PROPS = frozenset({"intensity_mean", "intensity_std", "intensity_min", "intensity_max"})
+_CP_MEASURE_GROUPS = frozenset(
+    {"cp_measure:intensity", "cp_measure:sizeshape", "cp_measure:texture", "cp_measure:granularity", "cp_measure:zernike"}
+)
+_ALL_FEATURES = (
+    {"skimage:morphology", "skimage:intensity"}
+    | {"squidpy:summary", "squidpy:texture", "squidpy:histogram"}
+)
+GLCM_LEVELS = 32
+HIST_BINS = 16
+
+
+class ParsedFeatures(NamedTuple):
+    """Structured per-backend feature selection."""
+
+    morphology_props: frozenset[str] | None
+    intensity_props: frozenset[str] | None
+    summary: bool
+    texture: bool
+    histogram: bool
+
+
+def parse_features(features: list[str] | str | None) -> ParsedFeatures:
+    """Parse user-facing feature flags into a structured config.
+
+    Grammar follows the reference's ``_parse_features``
+    (/root/reference/src/squidpy/experimental/im/_calculate_image_features.py:163-249):
+    ``None`` enables everything; ``skimage:morphology[:prop]`` /
+    ``skimage:intensity[:prop]`` select regionprops families (here computed
+    by the device segment kernels, the names are the compatibility contract);
+    ``squidpy:summary`` / ``squidpy:texture`` / ``squidpy:histogram`` select
+    the per-cell summary/GLCM/histogram features. ``cp_measure:*`` groups
+    raise a clear gate error — cp_measure/centrosome are unavailable in this
+    build and their sizeshape/intensity content is covered by the skimage
+    families.
+    """
+    if features is None:
+        return ParsedFeatures(
+            morphology_props=frozenset(_MORPHOLOGY_PROPS),
+            intensity_props=frozenset(_INTENSITY_PROPS),
+            summary=True,
+            texture=True,
+            histogram=True,
+        )
+    if isinstance(features, str):
+        features = [features]
+
+    morphology: set[str] | None = None
+    intensity: set[str] | None = None
+    summary = texture = histogram = False
+    for f in features:
+        if f in _CP_MEASURE_GROUPS:
+            raise ValueError(
+                f"`{f}` requires cp_measure, which is not available in this build; "
+                f"use the `skimage:*`/`squidpy:*` families instead."
+            )
+        if f == "skimage:morphology":
+            morphology = set(_MORPHOLOGY_PROPS)
+        elif f == "skimage:intensity":
+            intensity = set(_INTENSITY_PROPS)
+        elif f.startswith("skimage:morphology:"):
+            prop = f.split(":", 2)[2]
+            if prop not in _MORPHOLOGY_PROPS:
+                raise ValueError(
+                    f"Unknown skimage morphology property `{prop}`. Available: {sorted(_MORPHOLOGY_PROPS)}."
+                )
+            morphology = (morphology or set()) | {prop}
+        elif f.startswith("skimage:intensity:"):
+            prop = f.split(":", 2)[2]
+            if prop not in _INTENSITY_PROPS:
+                raise ValueError(
+                    f"Unknown skimage intensity property `{prop}`. Available: {sorted(_INTENSITY_PROPS)}."
+                )
+            intensity = (intensity or set()) | {prop}
+        elif f == "squidpy:summary":
+            summary = True
+        elif f == "squidpy:texture":
+            texture = True
+        elif f == "squidpy:histogram":
+            histogram = True
+        else:
+            raise ValueError(
+                f"Unknown feature `{f}`. Available: {sorted(_ALL_FEATURES)}, or "
+                f"`skimage:morphology:<prop>` / `skimage:intensity:<prop>` for single properties."
+            )
+    return ParsedFeatures(
+        morphology_props=frozenset(morphology) if morphology else None,
+        intensity_props=frozenset(intensity) if intensity else None,
+        summary=summary,
+        texture=texture,
+        histogram=histogram,
+    )
+
+
+def align_to_image_grid(
+    image: Any,
+    labels: Any,
+    labels_translation: tuple[int, int] | tuple[float, float] = (0, 0),
+    align_mode: str = "strict",
+) -> tuple[Any, Any]:
+    """Crop image and labels to their pixel-grid overlap.
+
+    ``labels_translation`` = (ty, tx): labels pixel (0, 0) lands at image
+    pixel (ty, tx). Integer translations crop both arrays to the overlap
+    rectangle; a fractional translation raises under ``align_mode='strict'``
+    and is nearest-neighbor resampled onto the image grid under
+    ``'rasterize'`` (reference ``_align_to_image_grid``,
+    /root/reference/src/squidpy/experimental/im/_calculate_image_features.py:635-716).
+    Cells that would be clipped by the crop are zeroed so no truncated
+    features are produced.
+    """
+    ty, tx = labels_translation
+    if float(ty) != int(ty) or float(tx) != int(tx):
+        if align_mode == "strict":
+            raise ValueError(
+                f"Labels are offset by a non-integer translation ({ty}, {tx}) relative to the "
+                f"image grid. Pass align_mode='rasterize' to resample the labels."
+            )
+        lbl = np.asarray(labels)
+        img_h, img_w = image.shape[-2], image.shape[-1]
+        yy = np.clip(np.round(np.arange(img_h) - float(ty)).astype(np.int64), 0, lbl.shape[0] - 1)
+        xx = np.clip(np.round(np.arange(img_w) - float(tx)).astype(np.int64), 0, lbl.shape[1] - 1)
+        in_y = (np.arange(img_h) >= ty) & (np.arange(img_h) < ty + lbl.shape[0])
+        in_x = (np.arange(img_w) >= tx) & (np.arange(img_w) < tx + lbl.shape[1])
+        res = lbl[yy[:, None], xx[None, :]]
+        res[~in_y, :] = 0
+        res[:, ~in_x] = 0
+        return image, res
+    ty, tx = int(ty), int(tx)
+
+    img_h, img_w = image.shape[-2], image.shape[-1]
+    lbl_h, lbl_w = labels.shape[-2], labels.shape[-1]
+    iy0, ix0 = max(0, ty), max(0, tx)
+    iy1, ix1 = min(img_h, lbl_h + ty), min(img_w, lbl_w + tx)
+    if iy1 <= iy0 or ix1 <= ix0:
+        raise ValueError("Image and labels do not overlap.")
+    ly0, lx0, ly1, lx1 = iy0 - ty, ix0 - tx, iy1 - ty, ix1 - tx
+
+    lbl = np.asarray(labels)
+    crop = np.array(lbl[..., ly0:ly1, lx0:lx1])
+    # zero cells only partially inside the overlap (clipped features lie)
+    inside = set(np.unique(crop)) - {0}
+    border_ids: set[int] = set()
+    if ly0 > 0:
+        border_ids |= set(np.unique(lbl[..., ly0 - 1, lx0:lx1]).tolist())
+    if ly1 < lbl_h:
+        border_ids |= set(np.unique(lbl[..., ly1, lx0:lx1]).tolist())
+    if lx0 > 0:
+        border_ids |= set(np.unique(lbl[..., ly0:ly1, lx0 - 1]).tolist())
+    if lx1 < lbl_w:
+        border_ids |= set(np.unique(lbl[..., ly0:ly1, lx1]).tolist())
+    partial = (border_ids - {0}) & inside
+    if partial:
+        crop[np.isin(crop, list(partial))] = 0
+        logg.warning(f"Dropped `{len(partial)}` cell(s) partially outside the image extent.")
+    img_crop = image[..., iy0:iy1, ix0:ix1] if image.ndim >= 2 else image
+    return img_crop, crop
+
+
+def _tile_channels(tile_image: Any, n_channels: int) -> list[np.ndarray]:
+    if tile_image.ndim == 2:
+        return [np.asarray(tile_image)]
+    # channels may be leading (c, y, x) or trailing (y, x, c)
+    if tile_image.shape[0] == n_channels:
+        return [np.asarray(tile_image[c]) for c in range(n_channels)]
+    return [np.asarray(tile_image[..., c]) for c in range(n_channels)]
+
+
+def _round_up(v: int, granule: int) -> int:
+    return ((max(v, 1) + granule - 1) // granule) * granule
+
+
+def _per_cell_squidpy_features(
+    tile_labels: np.ndarray,
+    channels: list[np.ndarray],
+    ids: np.ndarray,
+    parsed: ParsedFeatures,
+) -> dict[str, np.ndarray]:
+    """Per-cell summary / texture / histogram over one tile, batched on device.
+
+    Labels are compacted to 1..n and the segment kernels run once per tile;
+    the label count and texture crop shapes are padded to coarse buckets so
+    the jitted kernels re-specialize rarely (the reference loops python-side
+    per region, /root/reference/src/squidpy/experimental/im/
+    _calculate_image_features.py:450-537).
+    """
+    import jax.numpy as jnp
+
+    from squidpy_tpu.ops.features import (
+        _per_label_channel_stats_kernel,
+        _per_label_histogram_kernel,
+        per_cell_texture_batch,
+    )
+    from squidpy_tpu.utils import to_host
+
+    n_cells = len(ids)
+    lut = np.zeros(int(tile_labels.max()) + 1, dtype=np.int32)
+    lut[ids] = np.arange(1, n_cells + 1, dtype=np.int32)
+    compact = lut[tile_labels]
+    num_labels = 1 + _round_up(n_cells, 128)  # bucketized static arg
+
+    out: dict[str, np.ndarray] = {}
+    if parsed.summary or parsed.intensity_props:
+        stack = np.stack([c.astype(np.float32) for c in channels])
+        stats = _per_label_channel_stats_kernel(jnp.asarray(compact), jnp.asarray(stack), num_labels)
+        stats = {k: to_host(v)[:, 1 : n_cells + 1] for k, v in stats.items()}
+        for c in range(len(channels)):
+            if parsed.summary:
+                for stat in ("mean", "std", "min", "max"):
+                    out[f"summary_{stat}__ch{c}"] = stats[stat][c]
+            if parsed.intensity_props:
+                for prop in sorted(parsed.intensity_props):
+                    out[f"{prop}__ch{c}"] = stats[prop.removeprefix("intensity_")][c]
+
+    if parsed.histogram:
+        for c, chan in enumerate(channels):
+            hist = to_host(
+                _per_label_histogram_kernel(
+                    jnp.asarray(compact), jnp.asarray(chan.astype(np.float32)), num_labels, HIST_BINS
+                )
+            )[1 : n_cells + 1]
+            for b in range(HIST_BINS):
+                out[f"histogram_bin{b}__ch{c}"] = hist[:, b]
+
+    if parsed.texture:
+        props = ("contrast", "dissimilarity", "homogeneity", "energy", "ASM", "correlation")
+        bb = regionprops(tile_labels, ["label", "bbox"])
+        heights = bb["bbox-2"] - bb["bbox-0"]
+        widths = bb["bbox-3"] - bb["bbox-1"]
+        side = _round_up(int(max(heights.max(initial=1), widths.max(initial=1))), 32)
+        crops = np.zeros((n_cells, side, side), dtype=np.float32)
+        masks = np.zeros((n_cells, side, side), dtype=bool)
+        stacked = np.stack([c.astype(np.float32) for c in channels])
+        for c in range(len(channels)):
+            for i in range(n_cells):
+                y0, x0, y1, x1 = bb["bbox-0"][i], bb["bbox-1"][i], bb["bbox-2"][i], bb["bbox-3"][i]
+                h, w = y1 - y0, x1 - x0
+                crops[i, :h, :w] = stacked[c, y0:y1, x0:x1]
+                masks[i, :h, :w] = tile_labels[y0:y1, x0:x1] == ids[i]
+            tex = per_cell_texture_batch(crops, masks, props=props, levels=GLCM_LEVELS)
+            for pi, prop in enumerate(props):
+                out[f"texture_{prop}__ch{c}"] = tex[:, pi]
+    return out
 
 
 def _featurize_tile(
     spec: TileSpec,
     image: Any,
     labels: Any,
-    morphology_props: Sequence[str],
-    intensity: bool,
+    parsed: ParsedFeatures,
     n_channels: int,
 ) -> pd.DataFrame:
     tile_image, tile_labels = extract_tile(image, labels, spec)
     if tile_labels.max() == 0:
         return pd.DataFrame()
-    props = ["label", "centroid", *morphology_props]
-    res = regionprops(tile_labels, props)
+    morphology = sorted(parsed.morphology_props) if parsed.morphology_props else []
+    res = regionprops(tile_labels, ["label", "centroid", *morphology])
     cy0, cx0 = spec.crop[0], spec.crop[1]
     data: dict[str, np.ndarray] = {"label": res["label"]}
     data["centroid_y"] = res["centroid-0"] + cy0
     data["centroid_x"] = res["centroid-1"] + cx0
-    for p in morphology_props:
+    for p in morphology:
+        if p == "centroid":
+            continue
         data[p] = res[p]
-    if intensity:
-        img2d = tile_image if tile_image.ndim == 2 else None
-        if tile_image.ndim == 3:
-            # channels may be leading (c, y, x) or trailing (y, x, c)
-            if tile_image.shape[0] == n_channels:
-                channels = [tile_image[c] for c in range(n_channels)]
-            else:
-                channels = [tile_image[..., c] for c in range(n_channels)]
-        else:
-            channels = [img2d]
-        for c, chan in enumerate(channels):
-            ires = regionprops(tile_labels, ["label", *_INTENSITY], intensity_image=chan)
-            for p in _INTENSITY:
-                data[f"ch{c}_{p}"] = ires[p]
+
+    needs_pixels = parsed.summary or parsed.texture or parsed.histogram or parsed.intensity_props
+    if needs_pixels and image is not None:
+        channels = _tile_channels(tile_image, n_channels)
+        data.update(_per_cell_squidpy_features(tile_labels, channels, res["label"], parsed))
     return pd.DataFrame(data)
 
 
@@ -85,10 +324,13 @@ def calculate_image_features(
     image: Any,
     labels: Any,
     *,
+    features: list[str] | str | None = None,
     tile_size: int = 2048,
     overlap_margin: int | str = "auto",
-    morphology_props: Sequence[str] = _DEFAULT_MORPHOLOGY,
+    morphology_props: Sequence[str] | None = None,
     intensity: bool = True,
+    labels_translation: tuple[float, float] = (0, 0),
+    align_mode: str = "strict",
     n_jobs: int = 1,
     key_added: str = "cell_features",
     sdata: Any = None,
@@ -98,11 +340,33 @@ def calculate_image_features(
 
     ``image`` is ``(y, x)``, ``(c, y, x)`` or ``(y, x, c)``; ``labels`` is a
     ``(y, x)`` integer segmentation. Both only need to support numpy-style
-    slicing, so memory-mapped/h5py arrays stream tile by tile. Returns an
-    AnnData with one obs per cell (centroids in ``obsm['spatial']``), and
-    attaches it to ``sdata.tables[key_added]`` when a SpatialData-like object
-    is passed.
+    slicing, so memory-mapped/h5py arrays stream tile by tile.
+
+    ``features`` selects feature families with the reference's flag grammar
+    (see :func:`parse_features`); ``None`` computes everything. The legacy
+    ``morphology_props``/``intensity`` kwargs override the parsed morphology /
+    intensity selections when given. ``labels_translation``/``align_mode``
+    crop both arrays to their pixel-grid overlap first (see
+    :func:`align_to_image_grid`).
+
+    Returns an AnnData with one obs per cell (centroids in
+    ``obsm['spatial']``), and attaches it to ``sdata.tables[key_added]`` when
+    a SpatialData-like object is passed.
     """
+    parsed = parse_features(features)
+    if morphology_props is not None:
+        unknown = set(morphology_props) - _MORPHOLOGY_PROPS
+        if unknown:
+            raise ValueError(f"Unknown morphology properties: {sorted(unknown)}.")
+        parsed = parsed._replace(morphology_props=frozenset(morphology_props))
+    elif features is None:
+        parsed = parsed._replace(morphology_props=frozenset(_DEFAULT_MORPHOLOGY))
+    if not intensity:
+        parsed = parsed._replace(intensity_props=None, summary=False, texture=False, histogram=False)
+
+    if tuple(labels_translation) != (0, 0):
+        image, labels = align_to_image_grid(image, labels, labels_translation, align_mode)
+
     lab_shape = labels.shape[-2:]
     start = logg.info("Computing cell centroids (streaming pass)")
     cell_info = compute_cell_info_tiled(labels, chunk_size=max(tile_size, 2048))
@@ -123,7 +387,7 @@ def calculate_image_features(
         specs,
         _featurize_tile,
         n_jobs=n_jobs,
-        scatter=(image, labels, tuple(morphology_props), intensity, n_channels),
+        scatter=(image, labels, parsed, n_channels),
         desc="tiles",
     )
     df = pd.concat([f for f in frames if len(f)], axis=0, ignore_index=True)

@@ -30,6 +30,7 @@ __all__ = [
     "histogram_features_batch",
     "glcm_batch",
     "glcm_props_batch",
+    "per_cell_texture_batch",
 ]
 
 
@@ -294,9 +295,24 @@ def _graycoprops_device(P: jax.Array, props: tuple[str, ...]) -> jax.Array:
     return jnp.stack(out, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("row_off", "col_off", "levels", "props"))
-def _glcm_props_kernel(images: jax.Array, row_off: int, col_off: int, levels: int, props: tuple[str, ...]) -> jax.Array:
+@partial(jax.jit, static_argnames=("row_off", "col_off", "levels", "props", "ignore_level", "symmetric"))
+def _glcm_props_kernel(
+    images: jax.Array,
+    row_off: int,
+    col_off: int,
+    levels: int,
+    props: tuple[str, ...],
+    ignore_level: int | None = None,
+    symmetric: bool = False,
+) -> jax.Array:
     P = _glcm_batch_kernel(images, row_off, col_off, levels)
+    if ignore_level is not None:
+        # drop every pair touching the sentinel level (used to pad ragged
+        # bbox crops to a common batch shape without perturbing the GLCM)
+        keep = jnp.arange(levels) != ignore_level
+        P = P * keep[None, :, None] * keep[None, None, :]
+    if symmetric:
+        P = P + jnp.swapaxes(P, -2, -1)
     return _graycoprops_device(P, props)
 
 
@@ -437,6 +453,12 @@ def regionprops(
             out["area"] = area
         elif p == "bbox_area":
             out["bbox_area"] = (stats["ymax"] - stats["ymin"] + 1) * (stats["xmax"] - stats["xmin"] + 1)
+        elif p == "bbox":
+            # skimage half-open convention: (min_row, min_col, max_row, max_col)
+            out["bbox-0"] = stats["ymin"].astype(np.int64)
+            out["bbox-1"] = stats["xmin"].astype(np.int64)
+            out["bbox-2"] = stats["ymax"].astype(np.int64) + 1
+            out["bbox-3"] = stats["xmax"].astype(np.int64) + 1
         elif p == "centroid":
             out["centroid-0"] = cy
             out["centroid-1"] = cx
@@ -528,3 +550,114 @@ def _host_props(label_image: np.ndarray, present: np.ndarray, prop: str) -> dict
                 # Crofton approximation from 4-direction intercept counts
                 vals[k] = _perimeters(label_image, np.asarray([lab]))[0] * np.pi / 4.0
     return {prop: vals}
+
+
+@partial(jax.jit, static_argnames=("num_labels",))
+def _per_label_channel_stats_kernel(
+    labels: jax.Array, image: jax.Array, num_labels: int
+) -> dict[str, jax.Array]:
+    """Per-label per-channel mean/std/min/max via segment reductions.
+
+    ``labels`` (h, w) int; ``image`` (c, h, w). Returns dict of (c, num_labels)
+    arrays. One fused device pass instead of the reference's per-region python
+    loop (/root/reference/src/squidpy/experimental/im/_calculate_image_features.py:450-495).
+    """
+    ftype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    flat = labels.ravel().astype(jnp.int32)
+    v = image.reshape(image.shape[0], -1).astype(ftype)  # (c, hw)
+
+    def per_channel(vc: jax.Array) -> dict[str, jax.Array]:
+        s = jax.ops.segment_sum(vc, flat, num_segments=num_labels)
+        s2 = jax.ops.segment_sum(vc * vc, flat, num_segments=num_labels)
+        n = jax.ops.segment_sum(jnp.ones_like(vc), flat, num_segments=num_labels)
+        safe_n = jnp.maximum(n, 1.0)
+        mean = s / safe_n
+        var = jnp.maximum(s2 / safe_n - mean * mean, 0.0)
+        return {
+            "mean": mean,
+            "std": jnp.sqrt(var),
+            "min": jax.ops.segment_min(vc, flat, num_segments=num_labels),
+            "max": jax.ops.segment_max(vc, flat, num_segments=num_labels),
+            "count": n,
+        }
+
+    return jax.vmap(per_channel)(v)
+
+
+@partial(jax.jit, static_argnames=("num_labels", "bins"))
+def _per_label_histogram_kernel(
+    labels: jax.Array, channel: jax.Array, num_labels: int, bins: int
+) -> jax.Array:
+    """Per-label intensity histogram over each label's own [min, max] range.
+
+    Returns (num_labels, bins) normalized frequencies — the reference's
+    per-cell ``_histogram_features`` (16 bins over the masked value range)
+    computed as one bucketize + segment-sum instead of a per-region loop.
+    """
+    flat = labels.ravel().astype(jnp.int32)
+    v = channel.ravel().astype(jnp.float32)
+    lo = jax.ops.segment_min(v, flat, num_segments=num_labels)[flat]
+    hi = jax.ops.segment_max(v, flat, num_segments=num_labels)[flat]
+    span = jnp.where(hi > lo, hi - lo, 1.0)
+    b = jnp.clip(((v - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    # right-closed top bin, matching np.histogram over (lo, hi)
+    hist = jax.ops.segment_sum(
+        jax.nn.one_hot(b, bins, dtype=jnp.float32), flat, num_segments=num_labels
+    )
+    totals = jnp.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+    return hist / totals
+
+
+def per_cell_texture_batch(
+    crops: np.ndarray,
+    masks: np.ndarray,
+    props: tuple[str, ...] = ("contrast", "dissimilarity", "homogeneity", "energy", "ASM", "correlation"),
+    levels: int = 32,
+) -> np.ndarray:
+    """Per-cell GLCM texture over a batch of bbox crops, exactly per-bbox.
+
+    ``crops``: (n, H, W) float channel crops padded to a common shape;
+    ``masks``: (n, H, W) bool cell masks. Each crop is min-max normalized over
+    its mask and quantized to ``levels`` grays with non-cell pixels at level 0
+    (the reference's per-cell ``_glcm_features`` recipe, experimental/im/
+    _calculate_image_features.py:496-521); padding pixels get a sentinel level
+    that is excluded from the co-occurrence matrix on device, so the batched
+    result is bitwise the per-bbox computation. Distance 1, angle 0,
+    symmetric, normed. Returns (n, len(props))."""
+    from squidpy_tpu.utils import to_host
+
+    crops = np.ascontiguousarray(crops, dtype=np.float32)
+    masks = np.ascontiguousarray(masks, dtype=bool)
+    n = crops.shape[0]
+    if n == 0:
+        return np.zeros((0, len(props)), dtype=np.float64)
+    flat = np.where(masks, crops, np.nan)
+    lo = np.nanmin(flat.reshape(n, -1), axis=1)
+    hi = np.nanmax(flat.reshape(n, -1), axis=1)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    norm = (crops - lo[:, None, None]) / span[:, None, None]
+    quant = np.clip(np.round(norm * (levels - 1)), 0, levels - 1).astype(np.int32)
+    quant[~masks] = 0
+    sentinel = levels  # pad level, excluded from the GLCM on device
+    # mark everything outside each cell's bbox as sentinel
+    any_row = masks.any(axis=2)
+    any_col = masks.any(axis=1)
+    rr = np.arange(masks.shape[1])
+    cc = np.arange(masks.shape[2])
+    r0 = np.where(any_row.any(1), any_row.argmax(1), 0)
+    r1 = np.where(any_row.any(1), masks.shape[1] - any_row[:, ::-1].argmax(1), 0)
+    c0 = np.where(any_col.any(1), any_col.argmax(1), 0)
+    c1 = np.where(any_col.any(1), masks.shape[2] - any_col[:, ::-1].argmax(1), 0)
+    in_bbox = (
+        (rr[None, :, None] >= r0[:, None, None]) & (rr[None, :, None] < r1[:, None, None])
+        & (cc[None, None, :] >= c0[:, None, None]) & (cc[None, None, :] < c1[:, None, None])
+    )
+    quant[~in_bbox] = sentinel
+
+    from squidpy_tpu.parallel.sharded import batch0_sharded
+
+    imgs_j, n_real = batch0_sharded(jnp.asarray(quant))
+    out = to_host(
+        _glcm_props_kernel(imgs_j, 0, 1, levels + 1, tuple(props), ignore_level=sentinel, symmetric=True)
+    )[:n_real]
+    return np.asarray(out, dtype=np.float64)

@@ -88,15 +88,100 @@ class TestExperimentalFeatures:
         adata = exp_im.calculate_image_features(image, labels, tile_size=100)
         n_cells = len(np.unique(labels)) - 1
         assert adata.n_obs == n_cells
-        assert "area" in adata.var_names and "ch0_mean_intensity" in adata.var_names
+        assert "area" in adata.var_names and "intensity_mean__ch0" in adata.var_names
         areas = adata.obs_vector("area")
         from squidpy_tpu.ops.features import regionprops
 
         want = regionprops(labels, ["label", "area"])
         np.testing.assert_array_equal(np.sort(areas), np.sort(want["area"]))
         # cells are bright (150) inside
-        means = adata.obs_vector("ch0_mean_intensity")
+        means = adata.obs_vector("intensity_mean__ch0")
         assert (means > 100).all()
+        # the default feature set includes summary, 16-bin histogram, texture
+        assert "summary_std__ch0" in adata.var_names
+        assert "histogram_bin0__ch0" in adata.var_names and "histogram_bin15__ch0" in adata.var_names
+        assert "texture_contrast__ch0" in adata.var_names
+
+    def test_feature_flags_select_families(self):
+        labels, image = _synthetic_cells()
+        adata = exp_im.calculate_image_features(
+            image, labels, tile_size=100,
+            features=["skimage:morphology:area", "squidpy:histogram"],
+        )
+        cols = list(adata.var_names)
+        assert "area" in cols
+        assert not any(c.startswith("texture_") for c in cols)
+        assert not any(c.startswith("summary_") for c in cols)
+        assert sum(c.startswith("histogram_bin") for c in cols) == 16
+        # histogram rows are normalized frequencies
+        hist = adata.X[:, [i for i, c in enumerate(cols) if c.startswith("histogram_bin")]]
+        np.testing.assert_allclose(hist.sum(axis=1), 1.0, atol=1e-6)
+
+    def test_feature_flags_errors(self):
+        import pytest as _pytest
+
+        from squidpy_tpu.experimental.im._calculate_image_features import parse_features
+
+        with _pytest.raises(ValueError, match="cp_measure"):
+            parse_features(["cp_measure:texture"])
+        with _pytest.raises(ValueError, match="Unknown feature"):
+            parse_features(["bogus:family"])
+        with _pytest.raises(ValueError, match="Unknown skimage morphology"):
+            parse_features(["skimage:morphology:not_a_prop"])
+
+    def test_per_cell_texture_matches_per_bbox(self):
+        """The sentinel-padded batched GLCM equals a per-bbox skimage-recipe
+        computation (reference _glcm_features, experimental/im/
+        _calculate_image_features.py:496-521)."""
+        from squidpy_tpu.ops.features import graycomatrix, graycoprops, per_cell_texture_batch
+
+        rng = np.random.default_rng(3)
+        side = 48
+        crops = rng.uniform(0, 255, size=(4, side, side)).astype(np.float32)
+        masks = np.zeros((4, side, side), dtype=bool)
+        masks[0, 5:20, 7:30] = True
+        masks[1, 0:48, 0:48] = True
+        masks[2, 10:11, 10:25] = True  # single-row cell
+        masks[3, 3:40, 3:8] = True
+        props = ("contrast", "dissimilarity", "homogeneity", "energy", "ASM", "correlation")
+        got = per_cell_texture_batch(crops, masks, props=props, levels=32)
+
+        for i in range(4):
+            ys, xs = np.where(masks[i])
+            y0, y1, x0, x1 = ys.min(), ys.max() + 1, xs.min(), xs.max() + 1
+            ch = crops[i, y0:y1, x0:x1].copy()
+            m = masks[i, y0:y1, x0:x1]
+            ch[~m] = 0
+            lo, hi = ch[m].min(), ch[m].max()
+            norm = (ch - lo) / (hi - lo) if hi > lo else np.zeros_like(ch)
+            quant = np.clip(np.round(norm * 31), 0, 31).astype(np.uint8)
+            quant[~m] = 0
+            P = graycomatrix(quant, [1], [0], levels=32, symmetric=True, normed=True)
+            for pi, prop in enumerate(props):
+                np.testing.assert_allclose(
+                    got[i, pi], graycoprops(P, prop)[0, 0], rtol=1e-4, atol=1e-5,
+                    err_msg=f"cell {i} prop {prop}",
+                )
+
+    def test_align_to_image_grid(self):
+        from squidpy_tpu.experimental.im._calculate_image_features import align_to_image_grid
+
+        image = np.arange(100 * 120, dtype=np.float32).reshape(100, 120)
+        labels = np.zeros((90, 100), dtype=np.int32)
+        labels[10:20, 10:20] = 1   # fully inside the overlap
+        labels[0:5, 50:60] = 2     # straddles the cut under a (-3, 0) shift
+        img_c, lbl_c = align_to_image_grid(image, labels, labels_translation=(-3, 0))
+        assert img_c.shape == (87, 100)
+        assert lbl_c.shape == (87, 100)
+        # the straddling cell is zeroed, the intact one survives
+        assert set(np.unique(lbl_c)) == {0, 1}
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="non-integer"):
+            align_to_image_grid(image, labels, labels_translation=(0.5, 0), align_mode="strict")
+        _, lbl_r = align_to_image_grid(image, labels, labels_translation=(0.5, 0), align_mode="rasterize")
+        assert lbl_r.shape == image.shape
 
     def test_tiling_invariance(self):
         labels, image = _synthetic_cells()
