@@ -1,10 +1,11 @@
 """Tissue detection on downscaled whole-slide images.
 
 Functional counterpart of /root/reference/src/squidpy/experimental/im/_detect_tissue.py:208-489:
-segment tissue vs background on a coarse scale (Otsu thresholding or a
-pixel-feature clustering stand-in for the reference's Weka random forest),
-close holes, drop small specks, honor border margins, and upscale the mask
-back to full resolution with nearest-neighbor interpolation
+segment tissue vs background on a coarse scale — Otsu thresholding, native
+C++ Felzenszwalb superpixels classified by corner-oriented Otsu, a trainable
+Weka-style RandomForest on multiscale pixel features, or 2-means pixel
+clustering — then close holes, drop small specks, honor border margins, and
+upscale the mask back to full resolution with nearest-neighbor interpolation
 (``jax.image.resize``).
 """
 
@@ -34,22 +35,120 @@ def _downscale(gray: np.ndarray, max_side: int) -> tuple[np.ndarray, float]:
     return small, scale
 
 
+def _corner_background_stats(small: np.ndarray, frac: float = 0.04) -> tuple[np.ndarray, float, float]:
+    """Corner seed mask + background mean/std (corners are background priors,
+    the reference's BackgroundDetectionParams default)."""
+    h, w = small.shape
+    ch, cw = max(1, int(h * frac)), max(1, int(w * frac))
+    corners = np.zeros((h, w), dtype=bool)
+    corners[:ch, :cw] = corners[:ch, -cw:] = corners[-ch:, :cw] = corners[-ch:, -cw:] = True
+    vals = small[corners]
+    return corners, float(vals.mean()), float(max(vals.std(), 1e-6))
+
+
+def _segment_felzenszwalb_mask(small: np.ndarray, **params: Any) -> np.ndarray:
+    """Superpixels → tissue mask: Otsu over per-superpixel mean intensity,
+    oriented by the corner-background brightness (reference
+    ``_mask_from_labels_via_corners``, _detect_tissue.py:560-600)."""
+    from squidpy_tpu.native import felzenszwalb
+
+    h, w = small.shape
+    target_regions = params.get("target_regions", 64)
+    target_area = h * w / target_regions
+    # k is in intensity units: a few times the image's dynamic range keeps
+    # genuine tissue/background boundaries while merging noise (measured on
+    # the synthetic H&E: k ~= 2x range gives clean superpixels on [0, 1] data)
+    span = float(small.max() - small.min()) or 1.0
+    scale = float(params.get("scale", 2.0 * span))
+    min_size = int(params.get("min_size", 0.05 * target_area))
+    labels = felzenszwalb(small, scale=scale, min_size=min_size)
+
+    n = int(labels.max()) + 1
+    counts = np.bincount(labels.ravel(), minlength=n).astype(np.float64)
+    sums = np.bincount(labels.ravel(), weights=small.ravel().astype(np.float64), minlength=n)
+    means = sums / np.maximum(counts, 1)
+    thr = threshold_otsu(means.astype(np.float32)) if n > 1 else means[0] - 1.0
+    _, bg_mean, _ = _corner_background_stats(small)
+    bright_bg = bg_mean > float(small.mean())
+    keep = (means <= thr) if bright_bg else (means >= thr)
+    return keep[labels]
+
+
+def _multiscale_pixel_features(small: np.ndarray, sigmas: tuple[float, ...]) -> np.ndarray:
+    """WEKA-style per-pixel feature stack: intensity plus, per scale,
+    gaussian-smoothed intensity, gradient magnitude and laplacian — all
+    through the device convolution kernel. (n_pixels, n_features)."""
+    feats = [small.ravel()]
+    for s in sigmas:
+        sm = np.asarray(gaussian_blur(small, s), dtype=np.float32)
+        gy, gx = np.gradient(sm)
+        lap = np.asarray(gaussian_blur(sm, s), dtype=np.float32) - sm
+        feats += [sm.ravel(), np.hypot(gy, gx).ravel(), lap.ravel()]
+    return np.column_stack(feats).astype(np.float32)
+
+
+def _segment_weka_mask(small: np.ndarray, rng_seed: int = 0, **params: Any) -> np.ndarray:
+    """Trainable segmentation: corner background seeds + pseudo tissue seeds
+    from a background z-score map, a RandomForest on multiscale pixel
+    features, prediction over every pixel (reference ``_segment_weka``,
+    _detect_tissue.py:626-760)."""
+    from sklearn.ensemble import RandomForestClassifier
+
+    corners, bg_mean, bg_std = _corner_background_stats(small)
+    zmap = np.abs((small - bg_mean) / bg_std)
+    non_bg = ~corners
+    perc = float(params.get("pseudo_tissue_percentile", 95.0))
+    min_seeds = int(params.get("pseudo_min_pixels", 200))
+    thr = np.percentile(zmap[non_bg], perc)
+    tissue_seeds = (zmap >= thr) & non_bg
+    if tissue_seeds.sum() < min_seeds:
+        order = np.argsort(zmap.ravel())[::-1]
+        take = order[np.isin(order, np.flatnonzero(non_bg))][:min_seeds]
+        tissue_seeds = np.zeros_like(tissue_seeds)
+        tissue_seeds.ravel()[take] = True
+
+    sigmas = tuple(params.get("sigmas", (1.0, 2.0, 4.0, 8.0)))
+    feats = _multiscale_pixel_features(small, sigmas)
+    y = np.zeros(small.size, dtype=np.int8)
+    y[corners.ravel()] = 1
+    y[tissue_seeds.ravel()] = 2
+    seeded = y > 0
+    clf = RandomForestClassifier(
+        n_estimators=int(params.get("n_estimators", 50)),
+        max_depth=int(params.get("max_depth", 10)),
+        n_jobs=-1,
+        random_state=rng_seed,
+    )
+    clf.fit(feats[seeded], y[seeded])
+    pred = clf.predict(feats)
+    return (pred == 2).reshape(small.shape)
+
+
 def detect_tissue(
     image: Any,
-    method: Literal["otsu", "kmeans"] = "otsu",
+    method: Literal["otsu", "kmeans", "felzenszwalb", "weka"] = "otsu",
     downscale_to: int = 2048,
     sigma: float = 2.0,
     min_region_fraction: float = 1e-4,
     close_holes: bool = True,
     border_margin: int = 0,
     invert: bool | None = None,
+    method_params: dict[str, Any] | None = None,
     **kwargs: Any,
 ) -> np.ndarray:
     """Detect tissue; returns a full-resolution boolean mask.
 
-    ``method='otsu'`` thresholds smoothed luminance; ``method='kmeans'``
-    clusters per-pixel (intensity, smoothed intensity, gradient) features into
-    two groups — the stand-in for the reference's trainable Weka segmentation.
+    Methods (reference: experimental/im/_detect_tissue.py:208-489):
+
+    - ``'otsu'``: threshold smoothed luminance;
+    - ``'felzenszwalb'``: native C++ superpixels classified by Otsu on
+      per-superpixel mean intensity, oriented by the corner background;
+    - ``'weka'``: trainable segmentation — RandomForest on a multiscale
+      pixel-feature stack, seeded by corner background priors and
+      z-score-selected pseudo tissue pixels;
+    - ``'kmeans'``: 2-cluster pixel-feature clustering (a lighter
+      alternative kept from round 1).
+
     ``invert=None`` auto-orients the mask so tissue is the darker phase
     (bright-field convention); pass False/True to force.
     """
@@ -61,10 +160,15 @@ def detect_tissue(
 
     small, scale = _downscale(gray, downscale_to)
     smooth = gaussian_blur(small, sigma) if sigma > 0 else small
+    method_params = dict(method_params or {})
 
     if method == "otsu":
         thr = threshold_otsu(smooth)
         mask = smooth < thr
+    elif method == "felzenszwalb":
+        mask = _segment_felzenszwalb_mask(np.asarray(smooth, dtype=np.float32), **method_params)
+    elif method == "weka":
+        mask = _segment_weka_mask(np.asarray(small, dtype=np.float32), **method_params)
     elif method == "kmeans":
         from sklearn.cluster import KMeans
 
@@ -77,7 +181,9 @@ def detect_tissue(
         means = [small[labels == k].mean() for k in (0, 1)]
         mask = labels == int(np.argmin(means))
     else:
-        raise ValueError(f"Unknown tissue detection method `{method}`. Valid: ['otsu', 'kmeans'].")
+        raise ValueError(
+            f"Unknown tissue detection method `{method}`. Valid: ['otsu', 'felzenszwalb', 'weka', 'kmeans']."
+        )
 
     if invert is None:
         # tissue should be the minority-to-half darker phase; flip if it is

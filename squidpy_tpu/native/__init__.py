@@ -14,20 +14,20 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["watershed", "relabel_merge", "ensure_built"]
+__all__ = ["watershed", "relabel_merge", "felzenszwalb", "ensure_built"]
 
 _HERE = Path(__file__).parent
-_SRC = _HERE / "watershed.cpp"
+_SRCS = (_HERE / "watershed.cpp", _HERE / "felzenszwalb.cpp")
 _SO = _HERE / "_native.so"
 _LIB: ctypes.CDLL | None = None
 
 
 def ensure_built() -> Path:
     """Compile the native library if missing or stale."""
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    if not _SO.exists() or any(_SO.stat().st_mtime < s.stat().st_mtime for s in _SRCS):
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(_SO)],
+             *map(str, _SRCS), "-o", str(_SO)],
             check=True,
             capture_output=True,
         )
@@ -54,6 +54,15 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_int64,
         ]
         lib.relabel_merge.restype = ctypes.c_int64
+        lib.felzenszwalb.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_float,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.felzenszwalb.restype = None
         _LIB = lib
     return _LIB
 
@@ -103,3 +112,26 @@ def relabel_merge(labels: np.ndarray, pairs: np.ndarray) -> tuple[np.ndarray, in
         len(pairs),
     )
     return labels, int(n_out)
+
+
+def felzenszwalb(image: np.ndarray, scale: float = 100.0, min_size: int = 20) -> np.ndarray:
+    """Felzenszwalb-Huttenlocher superpixels (8-connectivity, native C++).
+
+    ``image`` is a 2D grayscale float array; returns consecutive int32 labels
+    from 0. ``scale`` favors larger components; components below ``min_size``
+    merge into a neighbor.
+    """
+    image = np.ascontiguousarray(image, dtype=np.float32)
+    if image.ndim != 2:
+        raise ValueError(f"Expected a 2D grayscale image, found shape `{image.shape}`.")
+    h, w = image.shape
+    out = np.zeros((h, w), dtype=np.int32)
+    _lib().felzenszwalb(
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h,
+        w,
+        ctypes.c_float(float(scale)),
+        int(min_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out

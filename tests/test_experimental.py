@@ -306,6 +306,44 @@ class TestDetectTissue:
         mask = exp_im.detect_tissue(img, method="kmeans", downscale_to=150)
         assert mask[70, 70] and not mask[10, 10]
 
+    def test_felzenszwalb_method(self):
+        rng = np.random.default_rng(1)
+        img = np.full((200, 200), 235.0) + rng.normal(0, 2, (200, 200))
+        yy, xx = np.mgrid[0:200, 0:200]
+        blob = (yy - 100) ** 2 + (xx - 100) ** 2 <= 55**2
+        img[blob] = 110 + rng.normal(0, 5, blob.sum())
+        mask = exp_im.detect_tissue(img, method="felzenszwalb", downscale_to=200)
+        inter = (mask & blob).sum()
+        union = (mask | blob).sum()
+        assert inter / union > 0.7
+
+    def test_weka_method(self):
+        rng = np.random.default_rng(2)
+        img = np.full((180, 180), 240.0) + rng.normal(0, 3, (180, 180))
+        img[50:130, 40:140] = 130 + rng.normal(0, 8, (80, 100))
+        mask = exp_im.detect_tissue(img, method="weka", downscale_to=180)
+        blob = np.zeros((180, 180), dtype=bool)
+        blob[50:130, 40:140] = True
+        inter = (mask & blob).sum()
+        union = (mask | blob).sum()
+        assert inter / union > 0.7
+
+    def test_native_felzenszwalb_superpixels(self):
+        """Superpixel invariants: full coverage, consecutive labels, min size,
+        and a clean two-region image splits along the true boundary."""
+        from squidpy_tpu.native import felzenszwalb
+
+        img = np.zeros((60, 90), np.float32)
+        img[:, 45:] = 1.0
+        labels = felzenszwalb(img, scale=10.0, min_size=10)
+        assert labels.min() == 0
+        assert len(np.unique(labels)) == labels.max() + 1
+        sizes = np.bincount(labels.ravel())
+        assert (sizes >= 10).all()
+        assert len(np.unique(labels[:, :45])) == 1
+        assert len(np.unique(labels[:, 45:])) == 1
+        assert labels[0, 0] != labels[0, 89]
+
     def test_invalid_method(self):
         with pytest.raises(ValueError, match="method"):
             exp_im.detect_tissue(np.zeros((50, 50)), method="banana")
