@@ -80,7 +80,12 @@ def _conv2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return out[:, 0]
 
 
-def _batched_metrics(tiles_gray: jnp.ndarray, tiles_rgb: jnp.ndarray | None, metrics: list[QCMetric]) -> dict[str, jnp.ndarray]:
+def _batched_metrics(
+    tiles_gray: jnp.ndarray,
+    tiles_rgb: jnp.ndarray | None,
+    metrics: list[QCMetric],
+    tissue_thr: float = 0.5,
+) -> dict[str, jnp.ndarray]:
     """All requested metrics over a (n, ty, tx) grayscale (and optional
     (n, ty, tx, 3) RGB) tile batch, each reduced to (n,)."""
     out: dict[str, jnp.ndarray] = {}
@@ -131,9 +136,10 @@ def _batched_metrics(tiles_gray: jnp.ndarray, tiles_rgb: jnp.ndarray | None, met
 
         out["entropy"] = jax.vmap(tile_entropy)(g)
     if QCMetric.TISSUE_FRACTION in need:
-        # tissue = darker than the (batch-global) mean luminance
-        thr = jnp.mean(g)
-        out["tissue_fraction"] = jnp.mean((g < thr).astype(jnp.float32), axis=(1, 2))
+        # tissue = darker than the whole-image mean luminance; the threshold
+        # arrives as a scalar so every metric stays per-tile — the tile batch
+        # can then shard over the device mesh with no cross-tile reduction
+        out["tissue_fraction"] = jnp.mean((g < tissue_thr).astype(jnp.float32), axis=(1, 2))
 
     hne = need & {
         QCMetric.HEMATOXYLIN_MEAN, QCMetric.HEMATOXYLIN_STD, QCMetric.EOSIN_MEAN,
@@ -156,8 +162,12 @@ def _batched_metrics(tiles_gray: jnp.ndarray, tiles_rgb: jnp.ndarray | None, met
         if QCMetric.HE_RATIO in need:
             out["he_ratio"] = jnp.mean(hem, axis=(1, 2)) / jnp.maximum(jnp.mean(eos, axis=(1, 2)), 1e-8)
         if QCMetric.FOLD_FRACTION in need:
-            # folds: simultaneously dark and strongly stained in both channels
-            fold = (hem > jnp.percentile(hem, 90)) & (eos > jnp.percentile(eos, 90))
+            # folds look dark and saturated; fixed HSV thresholds match the
+            # reference (sat > 0.4, val < 0.3, _intensity_metrics.py:112-129)
+            mx = jnp.max(tiles_rgb, axis=-1)
+            mn = jnp.min(tiles_rgb, axis=-1)
+            sat = jnp.where(mx > 0, (mx - mn) / jnp.maximum(mx, 1e-12), 0.0)
+            fold = (sat > 0.4) & (mx < 0.3)
             out["fold_fraction"] = jnp.mean(fold.astype(jnp.float32), axis=(1, 2))
     return out
 
@@ -202,8 +212,18 @@ def qc_image(
         )
 
     start = logg.info(f"Computing `{len(metrics)}` QC metrics over `{ny * nx}` tiles on device")
-    scores = _batched_metrics(jnp.asarray(tiles_gray), tiles_rgb, metrics)
-    X = np.column_stack([np.asarray(scores[m.value], dtype=np.float64) for m in metrics])
+    # tile-batch data parallelism: the (n_tiles, h, w) batch shards over all
+    # local devices (SURVEY §2.2 multi-node tile execution — the reference's
+    # dask LocalCluster path, experimental/im/_tiling.py:395-498); every
+    # metric is a per-tile reduction, so GSPMD partitions with no collectives
+    from squidpy_tpu.parallel.sharded import batch0_sharded
+
+    n_true = ny * nx
+    tiles_gray_d, _ = batch0_sharded(jnp.asarray(tiles_gray))
+    if tiles_rgb is not None:
+        tiles_rgb, _ = batch0_sharded(tiles_rgb)
+    scores = _batched_metrics(tiles_gray_d, tiles_rgb, metrics, tissue_thr=float(gray.mean()))
+    X = np.column_stack([np.asarray(scores[m.value], dtype=np.float64)[:n_true] for m in metrics])
 
     rows, cols = np.divmod(np.arange(ny * nx), nx)
     obs = pd.DataFrame(

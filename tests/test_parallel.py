@@ -176,3 +176,21 @@ class TestGraftEntry:
             assert np.asarray(counts).sum() > 0
         finally:
             sys.path.remove("/root/repo")
+
+
+class TestShardedTileQC:
+    def test_qc_tile_batch_shards_and_strips_padding(self):
+        """qc_image's tile batch is device-sharded; a tile count not divisible
+        by the 8-device mesh must produce exactly one row per true tile, with
+        per-tile metrics unaffected by the padding rows."""
+        from squidpy_tpu.experimental.im import qc_image
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, size=(3 * 64, 7 * 64)).astype(np.float32)  # 21 tiles
+        adata = qc_image(img, tile_size=64, metrics=["brightness_mean", "variance", "tissue_fraction"])
+        assert adata.n_obs == 21
+        # brightness_mean per tile equals the host-side tile mean
+        tiles = img.reshape(3, 64, 7, 64).transpose(0, 2, 1, 3).reshape(-1, 64, 64) / 255.0
+        np.testing.assert_allclose(
+            adata.X[:, 0], tiles.mean(axis=(1, 2)), rtol=1e-5
+        )
