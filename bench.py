@@ -4,16 +4,21 @@ Workload: 1000-permutation neighborhood enrichment on a 1M-cell k=6 spatial
 graph (the Xenium-scale config) — the reference's flagship hot path
 (numba CSR loop × loky pool, /root/reference/src/squidpy/gr/_nhood.py:208-229).
 The timed region covers what the user pays for per call: generating the
-permutations AND counting, on device.
+permutations AND counting, on device, in chunks of 250 permutations
+(column-layout pipeline: payload-carrying sort shuffles + shared-index row
+gathers + batched one-hot MXU contractions — ops/nhood.py, _core/rng.py).
 
 Prints ONE JSON line: permutations/sec, with ``vs_baseline`` the speedup over
 a vectorized numpy CPU implementation of the identical statistic measured
 in-process (the reference repo publishes no numbers and its numba/scanpy
 stack is not installed here — see BASELINE.md).
 
-Timing hygiene: warmup and timed runs use DIFFERENT seeds/buffers — the axon
-runtime caches executions with identical inputs, which silently turns a
-re-run into a no-op.
+Timing hygiene (both hard-won on this environment):
+- warmup and timed runs use DIFFERENT seeds — the axon runtime caches
+  executions with identical (executable, inputs);
+- completion is forced by a host readback of a scalar per chunk.
+  ``jax.block_until_ready`` does NOT synchronize through the axon tunnel (it
+  returns at dispatch), so timings gated on it measure enqueue, not compute.
 """
 
 from __future__ import annotations
@@ -27,32 +32,38 @@ N_CELLS = 1_000_000
 K = 6
 N_CLS = 16
 N_PERMS = 1000
+CHUNK = 250
 CPU_PERMS = 3
 
 
 def _device_bench() -> float:
-    import jax
     import jax.numpy as jnp
 
-    from squidpy_tpu._core.rng import permutation_batch, spawn_keys
-    from squidpy_tpu.ops.nhood import permuted_pair_counts
+    from squidpy_tpu._core.rng import permutation_columns, spawn_keys
+    from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
 
     rng = np.random.default_rng(0)
     indices = jnp.asarray(rng.integers(0, N_CELLS, size=(N_CELLS, K)).astype(np.int32))
     mask = jnp.ones((N_CELLS, K), dtype=bool)
     labels = jnp.asarray(rng.integers(0, N_CLS, size=N_CELLS).astype(np.int32))
 
-    def run(seed: int, n_perms: int):
-        shuffled = permutation_batch(spawn_keys(seed, n_perms), labels)
-        return permuted_pair_counts(indices, mask, shuffled, N_CLS)
+    def run(seed: int) -> int:
+        keys = spawn_keys(seed, N_PERMS)
+        totals = []
+        for c0 in range(0, N_PERMS, CHUNK):
+            cols = permutation_columns(keys[c0 : c0 + CHUNK], labels)
+            counts = permuted_pair_counts_cols(indices, mask, cols, N_CLS)
+            totals.append(jnp.sum(counts))
+        # per-chunk host readbacks AFTER all dispatches: forces completion of
+        # every chunk without serializing the pipeline
+        return sum(int(t) for t in totals)
 
-    # warm up compiles on a different seed and perm count chunk-compatible
-    # with the timed run
-    jax.block_until_ready(run(999, N_PERMS))
+    assert run(999) == N_PERMS * N_CELLS * K  # compile + warm, different seed
 
     t0 = time.perf_counter()
-    jax.block_until_ready(run(0, N_PERMS))
+    total = run(0)
     t1 = time.perf_counter()
+    assert total == N_PERMS * N_CELLS * K
     return N_PERMS / (t1 - t0)
 
 

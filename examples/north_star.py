@@ -23,9 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from squidpy_tpu._core.rng import permutation_batch, spawn_keys
-from squidpy_tpu.ops.autocorr import spmv_genes
-from squidpy_tpu.ops.nhood import permuted_pair_counts
+from squidpy_tpu._core.rng import permutation_columns, spawn_keys
+from squidpy_tpu.ops.autocorr import moran_scores
+from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
 
 N, K, N_CLS, N_PERMS = 1_000_000, 6, 16, 1000
 G_BLOCK, N_BLOCKS = 512, 29  # 14,848 genes ≈ the 15k-gene config
@@ -47,9 +47,7 @@ def moran_all_blocks(idx, w, key, n_blocks):
 
     def one(i):
         z = jax.random.normal(jax.random.fold_in(key, i), (N, G_BLOCK), jnp.float32)
-        zc = z - jnp.mean(z, axis=0, keepdims=True)
-        u = spmv_genes(idx, w, zc)
-        return (N / s0) * jnp.sum(zc * u, axis=0) / jnp.sum(zc * zc, axis=0)
+        return moran_scores(idx, w, z, s0)
 
     return jax.lax.map(one, jnp.arange(n_blocks))
 
@@ -58,13 +56,15 @@ def run_once(seed: int, idx, w, labels) -> tuple[float, float]:
     mask = jnp.ones((N, K), bool)
 
     t0 = time.time()
-    total = 0
     chunk = 250  # keep shuffle-generation transients well inside HBM
+    keys = spawn_keys(seed, N_PERMS)
+    totals = []
     for c0 in range(0, N_PERMS, chunk):
-        keys = spawn_keys(seed, N_PERMS)[c0 : c0 + chunk]
-        shuffled = permutation_batch(keys, labels)
-        counts = permuted_pair_counts(idx, mask, shuffled, N_CLS)
-        total += int(jnp.sum(counts))  # host scalar forces completion
+        cols = permutation_columns(keys[c0 : c0 + chunk], labels)
+        totals.append(jnp.sum(permuted_pair_counts_cols(idx, mask, cols, N_CLS)))
+    # readbacks AFTER all dispatches (each forces its chunk's completion;
+    # block_until_ready does not sync through the axon tunnel)
+    total = sum(int(t) for t in totals)
     t_nhood = time.time() - t0
     assert total == N_PERMS * N * K
 

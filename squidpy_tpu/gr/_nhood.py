@@ -1,10 +1,11 @@
 """Neighborhood enrichment, centrality scores, interaction matrix.
 
 API/semantics parity with /root/reference/src/squidpy/gr/_nhood.py:145-480.
-The permutation test runs entirely on device: all ``n_perms`` shuffles are a
-batched ``jax.random.permutation`` and the counting kernel is one vmapped
-gather+matmul (:mod:`squidpy_tpu.ops.nhood`) instead of a numba loop per
-permutation across a process pool. ``n_jobs``/``backend`` are accepted for API
+The permutation test runs entirely on device in column layout: shuffles are
+payload-carrying batched sorts (:func:`squidpy_tpu._core.rng.permutation_columns`)
+and counting is shared-index row gathers + batched MXU one-hot contractions
+(:func:`squidpy_tpu.ops.nhood.permuted_pair_counts_cols`) instead of a numba
+loop per permutation across a process pool. ``n_jobs``/``backend`` are accepted for API
 compatibility and ignored.
 """
 
@@ -21,7 +22,7 @@ from scipy import sparse as sp
 from squidpy_tpu._constants._constants import Centrality
 from squidpy_tpu._constants._pkg_constants import Key
 from squidpy_tpu._core.graph import SpatialGraph, graph_from_adata
-from squidpy_tpu._core.rng import permutation_batch, shuffle_group_batch, spawn_keys
+from squidpy_tpu._core.rng import permutation_columns, shuffle_group_columns, spawn_keys
 from squidpy_tpu.gr._utils import (
     _assert_categorical_obs,
     _assert_connectivity_key,
@@ -91,19 +92,29 @@ def nhood_enrichment(
         lib_codes = adata.obs[library_key].cat.codes.to_numpy()
 
     def _compute_perms() -> dict[str, NDArrayA]:
-        keys = spawn_keys(seed, n_perms)
-        if lib_codes is not None:
-            shuffled = shuffle_group_batch(keys, labels_dev, lib_codes)
-        else:
-            shuffled = permutation_batch(keys, labels_dev)
-        from squidpy_tpu.parallel.sharded import auto_permuted_pair_counts
+        from squidpy_tpu.parallel.sharded import auto_permuted_pair_counts_cols
 
-        return {
-            "perms": to_host(
-                auto_permuted_pair_counts(graph.indices, graph.mask, shuffled, n_cls),
-                dtype=np.float64,
-            )
-        }
+        # Shuffles are generated AND counted in column layout (perm axis
+        # minor): generation is one payload-carrying sort per permutation and
+        # counting gathers shared-index label rows — see ops/nhood.py and
+        # _core/rng.py. Chunking bounds the sort/gather working set; every
+        # chunk reuses one compiled kernel (the tail chunk is padded with
+        # repeated keys and its extra counts dropped).
+        keys = spawn_keys(seed, n_perms)
+        chunk = min(n_perms, 250)
+        parts: list[NDArrayA] = []
+        for c0 in range(0, n_perms, chunk):
+            kc = keys[c0 : c0 + chunk]
+            n_real = kc.shape[0]
+            if n_real < chunk:
+                kc = jnp.concatenate([kc, jnp.broadcast_to(kc[-1:], (chunk - n_real, *kc.shape[1:]))])
+            if lib_codes is not None:
+                cols = shuffle_group_columns(kc, labels_dev, lib_codes)
+            else:
+                cols = permutation_columns(kc, labels_dev)
+            counts_c = auto_permuted_pair_counts_cols(graph.indices, graph.mask, cols, n_cls)
+            parts.append(to_host(counts_c, dtype=np.float64)[:n_real])
+        return {"perms": np.concatenate(parts, axis=0)}
 
     if cache and seed is None:
         logg.warning("`cache` requires an explicit `seed`; caching is disabled for this call")

@@ -33,6 +33,7 @@ from squidpy_tpu.ops.autocorr import (
     geary_scores,
     moran_perm_scores,
     moran_scores,
+    moran_scores_from_u,
     spmv_genes,
 )
 from squidpy_tpu.ops.cooccur import co_occurrence_counts, co_occurrence_probs
@@ -157,11 +158,12 @@ def spatial_autocorr(
     s0 = float(g_csr.sum())
     n_cells, n_feats = np.asarray(vals).shape if not sp.issparse(vals) else vals.shape
     if gene_block_size is None:
-        # keep the (n_cells, block) expression buffer + SpMV accumulator
-        # within ~2.5 GB of HBM; measured on the v5e at 1M cells: 512-wide
-        # blocks are the sweet spot (3.86 s / 15k genes vs 4.58 s at 256 —
-        # wider rows amortize gather issue cost; 1024 regresses on HBM
-        # pressure), so prefer 512 whenever memory allows
+        # keep the (n_cells, block) expression buffer + grouped-unroll gather
+        # slabs within ~2.5 GB of HBM; measured on the v5e at 1M cells with
+        # forced readbacks: 512-wide blocks are the sweet spot (0.095 s/block
+        # fused score kernel → 2.75 s / 15k genes; wider rows amortize gather
+        # issue cost, 1024 OOMs the unrolled gathers), so prefer 512 whenever
+        # memory allows
         gene_block_size = int(np.clip(2.5e9 // max(4 * n_cells, 1), 64, 512))
 
     start = logg.info(f"Calculating {mode}'s statistic for `{n_perms}` permutations on device")
@@ -205,18 +207,22 @@ def spatial_autocorr(
             def _strip(arr: np.ndarray) -> np.ndarray:
                 return arr[..., :n_block] if pad_g else arr
 
-            if mode == SpatialAutocorr.MORAN:
-                score_parts.append(_strip(np.asarray(moran_scores(graph.indices, graph.weights, xb, s0))))
-            else:
-                score_parts.append(_strip(np.asarray(geary_scores(graph.indices, graph.weights, graph.mask, xb, s0))))
             if perms_idx is not None:
+                # the permutation identities need u = W z anyway — pay the
+                # SpMV once and derive the observed score from it
                 zb = xb - jnp.mean(xb, axis=0, keepdims=True)
                 ub = spmv_genes(graph.indices, graph.weights, zb)
                 if mode == SpatialAutocorr.MORAN:
+                    score_parts.append(_strip(np.asarray(moran_scores_from_u(zb, ub, s0))))
                     sims_parts.append(_strip(np.asarray(moran_perm_scores(zb, ub, perms_idx, s0))))
                 else:
+                    score_parts.append(_strip(np.asarray(geary_scores(graph.indices, graph.weights, xb, s0))))
                     vb = spmv_genes(graph.indices, graph.weights, zb * zb)
                     sims_parts.append(_strip(np.asarray(geary_perm_scores(zb, ub, vb, row_sums_dev, perms_idx, s0))))
+            elif mode == SpatialAutocorr.MORAN:
+                score_parts.append(_strip(np.asarray(moran_scores(graph.indices, graph.weights, xb, s0))))
+            else:
+                score_parts.append(_strip(np.asarray(geary_scores(graph.indices, graph.weights, xb, s0))))
         out = {"score": np.concatenate(score_parts) if score_parts else np.empty(0)}
         if sims_parts:
             out["sims"] = np.concatenate(sims_parts, axis=1)

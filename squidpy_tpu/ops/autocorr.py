@@ -4,9 +4,17 @@ The reference delegates scoring to scanpy's numba CSR kernels and runs each
 permutation as a full SpMV over the row-permuted weight matrix
 (/root/reference/src/squidpy/gr/_ppatterns.py:200-280). Here:
 
-- scores run as one batched ELL SpMV over a gene block — a ``lax.scan`` over
-  the padded neighbor axis of gather + FMA steps, so memory stays at
-  ``O(n * gene_block)`` regardless of degree;
+- scores run as one batched ELL pass over a gene block. The neighbor axis is
+  walked as a ``lax.scan`` whose step issues ``group`` gathers back-to-back
+  (grouped unroll): XLA overlaps the independent gathers, which measures ~1.3x
+  faster than one gather per step on the v5e at (1M, 512) — the per-step
+  accumulator round-trip through HBM disappears — while live gather temps stay
+  bounded at ``group``  ``(n, g)`` buffers (a full unroll is marginally faster
+  but holds every gather live and OOMs at wide blocks);
+- score-only mode never materializes ``u = W z``: the Moran numerator
+  ``Σ_i z_i (Wz)_i`` and the Geary numerator ``Σ_ij w_ij (x_i - x_j)²`` are
+  accumulated per neighbor slot directly into a ``(g,)`` vector, so the only
+  ``(n, g)``-sized traffic is the gathers themselves;
 - permutations exploit the algebra of row-permuted weights: with
   ``u = W z``, ``zᵀ P W z = Σ_i z_i u_{p(i)}`` (and the analogous 3-term
   expansion for Geary), so each permutation is an O(n) gather-dot on
@@ -25,50 +33,127 @@ from squidpy_tpu.utils import chunked_vmap
 
 __all__ = ["spmv_genes", "moran_scores", "geary_scores", "moran_perm_scores", "geary_perm_scores"]
 
+# Gathers issued per scan step. Measured at (1M cells, k=6, 512 genes) on one
+# v5e: group=1 → 140 ms, group=3 → 107 ms, full unroll → 96 ms but with all
+# k gather temps live (OOM at g=1024). 3 is the bandwidth/memory sweet spot.
+DEFAULT_GATHER_GROUP = 3
 
-def spmv_genes(indices: jax.Array, weights: jax.Array, x: jax.Array) -> jax.Array:
-    """``W @ x`` for ``x`` of shape ``(n, g)`` over a padded ELL graph.
 
-    Sequential scan over the (small) neighbor axis keeps peak memory at one
-    ``(n, g)`` gather instead of materializing ``(n, k_max, g)``.
+def _slot(indices: jax.Array, weights: jax.Array, k: jax.Array) -> tuple[jax.Array, jax.Array]:
+    idx = jax.lax.dynamic_index_in_dim(indices, k, axis=1, keepdims=False)
+    w = jax.lax.dynamic_index_in_dim(weights, k, axis=1, keepdims=False)
+    return idx, w
+
+
+def _grouped_neighbor_sum(
+    indices: jax.Array,
+    weights: jax.Array,
+    contrib,
+    init: jax.Array,
+    *,
+    group: int,
+) -> jax.Array:
+    """Accumulate ``contrib(idx_k, w_k)`` over the padded neighbor axis.
+
+    Scans over ``k_max // group`` steps of ``group`` statically-unrolled
+    contributions each (so XLA overlaps the gathers inside a step), with a
+    statically-unrolled epilogue for the remainder.
     """
     k_max = indices.shape[1]
+    if k_max == 0:
+        return init
+    group = max(1, min(int(group), k_max))
+    n_full = k_max // group
 
-    def step(acc: jax.Array, k: jax.Array) -> tuple[jax.Array, None]:
-        idx = jax.lax.dynamic_index_in_dim(indices, k, axis=1, keepdims=False)
-        w = jax.lax.dynamic_index_in_dim(weights, k, axis=1, keepdims=False)
-        return acc + w[:, None] * x[idx, :], None
+    def step(acc: jax.Array, s: jax.Array):
+        for j in range(group):
+            idx, w = _slot(indices, weights, s * group + j)
+            acc = acc + contrib(idx, w)
+        return acc, None
 
-    acc0 = jnp.zeros_like(x)
-    acc, _ = jax.lax.scan(step, acc0, jnp.arange(k_max))
+    acc = init
+    if n_full:
+        acc, _ = jax.lax.scan(step, acc, jnp.arange(n_full))
+    for k in range(n_full * group, k_max):
+        idx, w = _slot(indices, weights, jnp.asarray(k))
+        acc = acc + contrib(idx, w)
     return acc
 
 
-@jax.jit
-def moran_scores(indices: jax.Array, weights: jax.Array, x: jax.Array, s0: jax.Array) -> jax.Array:
-    """Moran's I per gene: ``I_g = (n / S0) * (zᵀ W z) / (zᵀ z)``; ``x`` is ``(n, g)``."""
+@partial(jax.jit, static_argnames=("group",))
+def spmv_genes(
+    indices: jax.Array,
+    weights: jax.Array,
+    x: jax.Array,
+    *,
+    group: int = DEFAULT_GATHER_GROUP,
+) -> jax.Array:
+    """``W @ x`` for ``x`` of shape ``(n, g)`` over a padded ELL graph.
+
+    Peak memory is ``group + 1`` buffers of ``(n, g)`` (the in-flight gathers
+    plus the accumulator), independent of ``k_max``.
+    """
+    return _grouped_neighbor_sum(
+        indices, weights, lambda idx, w: w[:, None] * x[idx, :], jnp.zeros_like(x), group=group
+    )
+
+
+@partial(jax.jit, static_argnames=("group",))
+def moran_scores(
+    indices: jax.Array,
+    weights: jax.Array,
+    x: jax.Array,
+    s0: jax.Array,
+    *,
+    group: int = DEFAULT_GATHER_GROUP,
+) -> jax.Array:
+    """Moran's I per gene: ``I_g = (n / S0) * (zᵀ W z) / (zᵀ z)``; ``x`` is ``(n, g)``.
+
+    The numerator accumulates per neighbor slot directly into ``(g,)`` —
+    ``u = W z`` is never materialized.
+    """
     n = x.shape[0]
     z = x - jnp.mean(x, axis=0, keepdims=True)
-    u = spmv_genes(indices, weights, z)
-    num = jnp.sum(z * u, axis=0)
+    num = _grouped_neighbor_sum(
+        indices,
+        weights,
+        lambda idx, w: jnp.sum((w[:, None] * z) * z[idx, :], axis=0),
+        jnp.zeros((x.shape[1],), x.dtype),
+        group=group,
+    )
     den = jnp.sum(z * z, axis=0)
     return (n / s0) * num / den
 
 
-@jax.jit
-def geary_scores(indices: jax.Array, weights: jax.Array, mask: jax.Array, x: jax.Array, s0: jax.Array) -> jax.Array:
+def moran_scores_from_u(z: jax.Array, u: jax.Array, s0: jax.Array) -> jax.Array:
+    """Moran's I from precomputed centered values and ``u = W z``.
+
+    Used by the permutation path so the SpMV that produces ``u`` is paid once
+    for both the observed score and the null.
+    """
+    n = z.shape[0]
+    return (n / s0) * jnp.sum(z * u, axis=0) / jnp.sum(z * z, axis=0)
+
+
+@partial(jax.jit, static_argnames=("group",))
+def geary_scores(
+    indices: jax.Array,
+    weights: jax.Array,
+    x: jax.Array,
+    s0: jax.Array,
+    *,
+    group: int = DEFAULT_GATHER_GROUP,
+) -> jax.Array:
     """Geary's C per gene: ``C_g = ((n-1) / (2 S0)) * Σ w_ij (x_i - x_j)² / Σ (x_i - x̄)²``."""
     n = x.shape[0]
-    k_max = indices.shape[1]
 
-    def step(acc: jax.Array, k: jax.Array) -> tuple[jax.Array, None]:
-        idx = jax.lax.dynamic_index_in_dim(indices, k, axis=1, keepdims=False)
-        w = jax.lax.dynamic_index_in_dim(weights, k, axis=1, keepdims=False)
+    def contrib(idx: jax.Array, w: jax.Array) -> jax.Array:
         diff = x - x[idx, :]
-        return acc + w[:, None] * (diff * diff), None
+        return jnp.sum(w[:, None] * (diff * diff), axis=0)
 
-    acc, _ = jax.lax.scan(step, jnp.zeros_like(x), jnp.arange(k_max))
-    num = jnp.sum(acc, axis=0)
+    num = _grouped_neighbor_sum(
+        indices, weights, contrib, jnp.zeros((x.shape[1],), x.dtype), group=group
+    )
     z = x - jnp.mean(x, axis=0, keepdims=True)
     den = jnp.sum(z * z, axis=0)
     return ((n - 1) / (2.0 * s0)) * num / den

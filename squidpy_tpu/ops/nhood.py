@@ -21,7 +21,12 @@ import jax.numpy as jnp
 
 from squidpy_tpu.utils import chunked_vmap
 
-__all__ = ["cluster_pair_counts", "permuted_pair_counts", "exact_pair_counts"]
+__all__ = [
+    "cluster_pair_counts",
+    "permuted_pair_counts",
+    "permuted_pair_counts_cols",
+    "exact_pair_counts",
+]
 
 
 # Per-bucket f32 integer accumulation is exact only below 2^24; chunks stay
@@ -107,6 +112,106 @@ def cluster_pair_counts(
     acc_t = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     w = jnp.where(mask, weights, 0.0).astype(acc_t)
     return _pair_counts_block(indices, w, labels, labels, n_cls, acc_t)
+
+
+@partial(jax.jit, static_argnames=("n_cls",))
+def _pair_counts_cols_kernel(
+    indices: jax.Array,
+    mask: jax.Array,
+    src_cols: jax.Array,
+    table_cols: jax.Array,
+    n_cls: int,
+) -> jax.Array:
+    """Exact int32 pair counts for a batch of label columns.
+
+    ``src_cols``/``table_cols`` are ``(n, P)`` — one label assignment per
+    COLUMN. The column-minor layout makes every neighbor gather a shared-index
+    row gather moving ``4P``-byte rows (measured ~20× faster than per-perm
+    4-byte label gathers at 1M cells on one v5e: the scalar gather is
+    issue-rate limited, the row gather is bandwidth limited). Counting is one
+    batched MXU contraction per neighbor slot,
+    ``counts[p,a,b] += Σ_i onehot(src)[i,p,a]·onehot(nbr)[i,p,b]``, with the
+    one-hots fused into the einsum by XLA. Masked slots map the neighbor label
+    out of range, which one-hots to a zero row.
+
+    Exactness: rows are chunked so each f32 partial accumulates < 2^23 edges
+    (integers exact in f32), then summed in int32 — no silent saturation past
+    2^24 edges per bucket.
+    """
+    n, k = indices.shape
+    p = src_cols.shape[1]
+
+    def block(idx_b, mask_b, src_b):
+        src_oh = jax.nn.one_hot(src_b, n_cls, dtype=jnp.float32)  # (rows, P, C)
+
+        def step(kk):
+            ik = jax.lax.dynamic_index_in_dim(idx_b, kk, axis=1, keepdims=False)
+            mk = jax.lax.dynamic_index_in_dim(mask_b, kk, axis=1, keepdims=False)
+            nbr = table_cols[ik, :]  # (rows, P) shared-index row gather
+            nbr = jnp.where(mk[:, None], nbr, n_cls)  # out of range -> zero one-hot row
+            nbr_oh = jax.nn.one_hot(nbr, n_cls, dtype=jnp.float32)
+            return jnp.einsum("ipa,ipb->pab", src_oh, nbr_oh, preferred_element_type=jnp.float32)
+
+        # lax.map rather than a scan carry: the (k, P, C, C) stack is tiny and
+        # a carry-free loop stays valid inside shard_map (an unvarying zeros
+        # carry would clash with the varying per-shard partials). Summing k
+        # integer-valued f32 partials stays exact: the total is bounded by the
+        # block's edge count < 2^23.
+        parts = jax.lax.map(step, jnp.arange(k))
+        return jnp.sum(parts, axis=0)
+
+    if n * k <= _EXACT_F32_EDGES:
+        return block(indices, mask, src_cols).astype(jnp.int32)
+
+    rows_per_chunk = max(1, _EXACT_F32_EDGES // max(k, 1))
+    n_chunks = -(-n // rows_per_chunk)
+    pad = n_chunks * rows_per_chunk - n
+    idx_c = jnp.pad(indices, ((0, pad), (0, 0))).reshape(n_chunks, rows_per_chunk, k)
+    mask_c = jnp.pad(mask, ((0, pad), (0, 0))).reshape(n_chunks, rows_per_chunk, k)
+    src_c = jnp.pad(src_cols, ((0, pad), (0, 0))).reshape(n_chunks, rows_per_chunk, p)
+
+    def outer(xs):
+        idx_b, mask_b, src_b = xs
+        return block(idx_b, mask_b, src_b).astype(jnp.int32)
+
+    chunk_counts = jax.lax.map(outer, (idx_c, mask_c, src_c))  # (n_chunks, P, C, C) int32
+    return jnp.sum(chunk_counts, axis=0, dtype=jnp.int32)
+
+
+def permuted_pair_counts_cols(
+    indices: jax.Array,
+    mask: jax.Array,
+    shuffled_cols: jax.Array,
+    n_cls: int,
+    *,
+    chunk_size: int | None = None,
+) -> jax.Array:
+    """Batched pair counts over ``(n, n_perms)`` column-layout shuffled labels.
+
+    Returns ``(n_perms, n_cls, n_cls)`` exact int32 counts. Columns are
+    processed in chunks (padded to equal width so every chunk reuses one
+    compiled kernel); ``chunk_size=None`` bounds the per-chunk gather/one-hot
+    working set.
+    """
+    n, k = indices.shape
+    n_perms = shuffled_cols.shape[1]
+    if chunk_size is None:
+        # ~250 columns keeps the (rows, P) gather slabs and fused one-hot
+        # contractions in the measured sweet spot (0.55 ms/perm at 1M x k=6)
+        chunk_size = max(1, min(n_perms, 250))
+
+    if chunk_size >= n_perms:
+        return _pair_counts_cols_kernel(indices, mask, shuffled_cols, shuffled_cols, n_cls)
+
+    pad = (-n_perms) % chunk_size
+    if pad:
+        shuffled_cols = jnp.pad(shuffled_cols, ((0, 0), (0, pad)))
+    parts = []
+    for c0 in range(0, n_perms + pad, chunk_size):
+        cols = jax.lax.slice_in_dim(shuffled_cols, c0, c0 + chunk_size, axis=1)
+        parts.append(_pair_counts_cols_kernel(indices, mask, cols, cols, n_cls))
+    out = jnp.concatenate(parts, axis=0)
+    return out[:n_perms] if pad else out
 
 
 def permuted_pair_counts(

@@ -26,6 +26,8 @@ from squidpy_tpu.utils import chunked_vmap
 __all__ = [
     "sharded_pair_counts",
     "sharded_permuted_pair_counts",
+    "sharded_permuted_pair_counts_cols",
+    "auto_permuted_pair_counts_cols",
     "sharded_moran_scores",
     "sharded_ligrec_counts",
     "sharded_cooccur_counts",
@@ -108,6 +110,62 @@ def sharded_permuted_pair_counts(
         return jax.lax.psum(parts, axis)
 
     return f(indices, mask, shuffled_labels, shuffled_labels)
+
+
+def sharded_permuted_pair_counts_cols(
+    mesh: Mesh,
+    indices: jax.Array,
+    mask: jax.Array,
+    shuffled_cols: jax.Array,
+    n_cls: int,
+) -> jax.Array:
+    """Column-layout batched permutation counts with the cell axis sharded.
+
+    ``shuffled_cols`` is ``(n, n_perms)``; each device holds its row shard as
+    the source labels plus the full replicated table for neighbor gathers, and
+    one int32 psum merges the shards — bitwise equal to the single-device
+    kernel (:func:`squidpy_tpu.ops.nhood.permuted_pair_counts_cols`).
+    """
+    from squidpy_tpu.ops.nhood import _pair_counts_cols_kernel
+
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(None, None)),
+        out_specs=P(),
+    )
+    def f(idx_s, mask_s, src_cols_s, table_cols):
+        part = _pair_counts_cols_kernel(idx_s, mask_s, src_cols_s, table_cols, n_cls)
+        return jax.lax.psum(part, axis)
+
+    return f(indices, mask, shuffled_cols, shuffled_cols)
+
+
+def auto_permuted_pair_counts_cols(
+    indices: jax.Array,
+    mask: jax.Array,
+    shuffled_cols: jax.Array,
+    n_cls: int,
+) -> jax.Array:
+    """Column-layout permutation counts, cell-sharded over all local devices
+    when more than one is available (padded rows are mask-false and contribute
+    nothing). Bitwise equal to the single-device kernel."""
+    from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
+    from squidpy_tpu.parallel.mesh import cell_mesh
+
+    n_dev = jax.device_count()
+    if n_dev <= 1:
+        return permuted_pair_counts_cols(indices, mask, shuffled_cols, n_cls)
+
+    n = indices.shape[0]
+    pad = (-n) % n_dev
+    if pad:
+        indices = jnp.pad(indices, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        shuffled_cols = jnp.pad(shuffled_cols, ((0, pad), (0, 0)))
+    return sharded_permuted_pair_counts_cols(cell_mesh(), indices, mask, shuffled_cols, n_cls)
 
 
 def auto_permuted_pair_counts(

@@ -241,3 +241,99 @@ class TestExactCountsAtScale:
         pair_ids = labels[:, None] * n_cls + labels[indices]
         want = np.bincount(pair_ids[mask].ravel(), minlength=n_cls * n_cls).reshape(n_cls, n_cls)
         np.testing.assert_array_equal(got.astype(np.int64), want)
+
+
+class TestColumnLayoutKernels:
+    """The column-layout permutation pipeline (perm axis minor): shuffle
+    generation as payload-carrying sorts and counting as shared-index row
+    gathers + batched one-hot contractions (ops/nhood.py, _core/rng.py)."""
+
+    def test_cols_kernel_matches_naive(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
+
+        rng = np.random.default_rng(3)
+        n, k, n_cls, n_perms = 300, 5, 4, 7
+        indices = rng.integers(0, n, size=(n, k), dtype=np.int32)
+        mask = rng.random((n, k)) < 0.8
+        cols = rng.integers(0, n_cls, size=(n, n_perms), dtype=np.int32)
+        got = np.asarray(
+            permuted_pair_counts_cols(jnp.asarray(indices), jnp.asarray(mask), jnp.asarray(cols), n_cls)
+        )
+        assert got.shape == (n_perms, n_cls, n_cls)
+        for p in range(n_perms):
+            lab = cols[:, p]
+            pair_ids = lab[:, None] * n_cls + lab[indices]
+            want = np.bincount(pair_ids[mask].ravel(), minlength=n_cls * n_cls).reshape(n_cls, n_cls)
+            np.testing.assert_array_equal(got[p].astype(np.int64), want)
+
+    def test_cols_kernel_column_chunking_invariant(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
+
+        rng = np.random.default_rng(4)
+        n, k, n_cls, n_perms = 200, 4, 3, 11
+        indices = jnp.asarray(rng.integers(0, n, size=(n, k), dtype=np.int32))
+        mask = jnp.ones((n, k), bool)
+        cols = jnp.asarray(rng.integers(0, n_cls, size=(n, n_perms), dtype=np.int32))
+        whole = np.asarray(permuted_pair_counts_cols(indices, mask, cols, n_cls))
+        chunked = np.asarray(permuted_pair_counts_cols(indices, mask, cols, n_cls, chunk_size=4))
+        np.testing.assert_array_equal(whole, chunked)  # tail chunk padded + sliced
+
+    def test_cols_kernel_row_chunked_exact_past_2pow24(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
+
+        n, k = 1 << 21, 10  # 20.97M edges, all into bucket (0, 0)
+        indices = jnp.zeros((n, k), jnp.int32)
+        mask = jnp.ones((n, k), bool)
+        cols = jnp.zeros((n, 2), jnp.int32)
+        got = np.asarray(permuted_pair_counts_cols(indices, mask, cols, 2))
+        assert got.dtype == np.int32
+        assert (got[:, 0, 0] == n * k).all()  # f32 would have saturated at 2^24
+
+    def test_permutation_columns_are_permutations(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.rng import permutation_columns, spawn_keys
+
+        values = jnp.asarray(np.arange(500, dtype=np.int32))
+        keys = spawn_keys(0, 6)
+        cols = np.asarray(permutation_columns(keys, values))
+        assert cols.shape == (500, 6)
+        for p in range(6):
+            np.testing.assert_array_equal(np.sort(cols[:, p]), np.arange(500))
+        assert not np.array_equal(cols[:, 0], cols[:, 1])  # independent draws
+
+    def test_permutation_columns_chunk_invariant(self):
+        """Column p depends only on keys[p] — the spawn_generators contract."""
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.rng import permutation_columns, spawn_keys
+
+        values = jnp.asarray(np.arange(300, dtype=np.int32))
+        keys = spawn_keys(7, 8)
+        whole = np.asarray(permutation_columns(keys, values))
+        first = np.asarray(permutation_columns(keys[:3], values))
+        rest = np.asarray(permutation_columns(keys[3:], values))
+        np.testing.assert_array_equal(whole, np.concatenate([first, rest], axis=1))
+
+    def test_shuffle_group_columns_stratified(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.rng import shuffle_group_columns, spawn_keys
+
+        rng = np.random.default_rng(0)
+        groups = rng.integers(0, 3, size=400)
+        values = jnp.asarray(np.arange(400, dtype=np.int32))
+        cols = np.asarray(shuffle_group_columns(spawn_keys(1, 5), values, groups))
+        assert cols.shape == (400, 5)
+        for p in range(5):
+            for g in range(3):
+                sel = groups == g
+                # values only move within their group segment
+                np.testing.assert_array_equal(np.sort(cols[sel, p]), np.sort(np.arange(400)[sel]))
+            assert not np.array_equal(cols[:, p], np.arange(400))  # actually shuffled

@@ -194,3 +194,37 @@ class TestShardedTileQC:
         np.testing.assert_allclose(
             adata.X[:, 0], tiles.mean(axis=(1, 2)), rtol=1e-5
         )
+
+
+class TestShardedColumnCounts:
+    """Column-layout permutation counts must be bitwise device-count invariant
+    (int32 psum of exact per-shard counts)."""
+
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_cols_invariant(self, graph_and_labels, n_dev):
+        from squidpy_tpu._core.rng import permutation_columns
+        from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
+        from squidpy_tpu.parallel.sharded import sharded_permuted_pair_counts_cols
+
+        g, labels = graph_and_labels
+        cols = permutation_columns(spawn_keys(0, 9), labels)
+        mesh = cell_mesh(n_dev)
+        got = np.asarray(sharded_permuted_pair_counts_cols(mesh, g.indices, g.mask, cols, 6))
+        want = np.asarray(permuted_pair_counts_cols(g.indices, g.mask, cols, 6))
+        np.testing.assert_array_equal(got, want)
+
+    def test_auto_pads_non_divisible_rows(self):
+        from squidpy_tpu._core.rng import permutation_columns
+        from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
+        from squidpy_tpu.parallel.sharded import auto_permuted_pair_counts_cols
+
+        rng = np.random.default_rng(2)
+        n = 501  # not divisible by 8
+        adj = sp.random(n, n, density=0.03, format="csr", random_state=1)
+        adj.data[:] = 1.0
+        g = SpatialGraph.from_csr(adj)
+        labels = jnp.asarray(rng.integers(0, 4, n).astype(np.int32))
+        cols = permutation_columns(spawn_keys(3, 5), labels)
+        got = np.asarray(auto_permuted_pair_counts_cols(g.indices, g.mask, cols, 4))
+        want = np.asarray(permuted_pair_counts_cols(g.indices, g.mask, cols, 4))
+        np.testing.assert_array_equal(got, want)
