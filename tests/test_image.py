@@ -560,3 +560,99 @@ class TestCropGeometry:
         assert CropCoords.from_tuple(composed.to_tuple()) == composed
         p = CropPadding(1, 2, 3, 4)
         assert CropPadding.from_tuple(p.to_tuple()) == p
+
+
+class TestDtypeChannelZEdges:
+    """dtype/channel/z edge behaviors from the reference container suite
+    (/root/reference/tests/image/test_container.py): crop dtype preservation,
+    cval casting, per-channel featurization, z-stack crop geometry."""
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+    def test_crop_preserves_dtype(self, dtype):
+        rng = np.random.default_rng(0)
+        arr = (rng.random((40, 40, 2)) * 100).astype(dtype)
+        cont = ImageContainer(arr, layer="image")
+        crop = cont.crop_corner(5, 5, size=20)
+        assert crop["image"].dtype == dtype
+
+    def test_padded_crop_preserves_dtype_and_cval(self):
+        arr = np.full((30, 30, 1), 7, dtype=np.uint8)
+        cont = ImageContainer(arr, layer="image")
+        crop = cont.crop_corner(-10, -10, size=20)  # top-left out of bounds
+        out = np.asarray(crop["image"])
+        assert out.dtype == np.uint8
+        assert (out[:10, :10] == 0).all()  # cval default
+        assert (out[10:, 10:] == 7).all()
+
+    def test_float_cval_on_int_image(self):
+        arr = np.full((30, 30, 1), 7, dtype=np.uint8)
+        cont = ImageContainer(arr, layer="image")
+        # default preserve_dtypes=True: unsafe cval resets to 0, dtype kept
+        # (reference semantics, im/_container.py:551-553)
+        crop = cont.crop_corner(-10, -10, size=20, cval=0.5)
+        out = np.asarray(crop["image"])
+        assert out.dtype == np.uint8
+        assert (out[:10, :10] == 0).all()
+        # preserve_dtypes=False: crop promoted to cval's dtype
+        crop = cont.crop_corner(-10, -10, size=20, cval=0.5, preserve_dtypes=False)
+        out = np.asarray(crop["image"])
+        assert out.dtype.kind == "f"
+        assert np.allclose(out[:10, :10], 0.5)
+
+    def test_mask_circle_cval(self):
+        arr = np.full((40, 40, 1), 9, dtype=np.float32)
+        cont = ImageContainer(arr, layer="image")
+        crop = cont.crop_corner(0, 0, size=40, mask_circle=True)
+        out = np.asarray(crop["image"])
+        assert out[0, 0, 0, 0] == 0  # corner outside the inscribed circle
+        assert out[20, 20, 0, 0] == 9
+
+    def test_features_channel_subset(self, cont):
+        crop = cont.crop_corner(0, 0, size=50)
+        all_ch = crop.features_summary("image")
+        one_ch = crop.features_summary("image", channels=[1])
+        assert len(one_ch) * 3 == len(all_ch)
+        for k, v in one_ch.items():
+            assert "ch-1" in k
+            assert np.isclose(v, all_ch[k])
+
+    def test_histogram_channel_subset(self, cont):
+        crop = cont.crop_corner(0, 0, size=50)
+        one = crop.features_histogram("image", channels=(0,))
+        assert all("ch-0" in k for k in one)
+
+    def test_z_stack_crop_shapes(self):
+        rng = np.random.default_rng(1)
+        a = ImageContainer(rng.random((50, 50, 1)).astype(np.float32), layer="image", library_id="l1")
+        b = ImageContainer(rng.random((50, 50, 1)).astype(np.float32), layer="image", library_id="l2")
+        stacked = ImageContainer.concat([a, b])
+        assert stacked["image"].shape[2] == 2  # z axis
+        crop = stacked.crop_corner(10, 10, size=20)
+        assert crop["image"].shape == (20, 20, 2, 1)
+
+    def test_z_stack_library_selection(self):
+        a = ImageContainer(np.zeros((30, 30, 1), np.float32), layer="image", library_id="l1")
+        b = ImageContainer(np.ones((30, 30, 1), np.float32), layer="image", library_id="l2")
+        stacked = ImageContainer.concat([a, b])
+        crop = stacked.crop_corner(0, 0, size=10, library_id="l2")
+        out = np.asarray(crop["image"])
+        assert out.shape[2] == 1 and (out == 1).all()
+
+    def test_spot_crops_dtype_and_order(self, cont):
+        import pandas as pd
+
+        from squidpy_tpu._core.anndata import AnnData
+
+        n = 5
+        rng = np.random.default_rng(2)
+        adata = AnnData(
+            X=rng.random((n, 3)),
+            obs=pd.DataFrame(index=[f"s{i}" for i in range(n)]),
+        )
+        adata.obsm["spatial"] = rng.uniform(20, 80, size=(n, 2))
+        adata.uns["spatial"] = {"lib": {"scalefactors": {"spot_diameter_fullres": 10.0}}}
+        names = ["s3", "s1"]
+        crops = list(cont.generate_spot_crops(adata, obs_names=names, return_obs=True))
+        assert [o for _, o in crops] == names
+        for c, _ in crops:
+            assert c["image"].dtype == np.uint8

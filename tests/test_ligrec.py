@@ -262,3 +262,69 @@ class TestKernelChunking:
             groups = (onehot.T @ xs) / np.where(counts == 0, 1, counts)[:, None]
             want += (groups[c1[None, :], rec[:, None]] + groups[c2[None, :], lig[:, None]]) > m_sum
         np.testing.assert_array_equal(got, want)
+
+
+class TestReferenceBehaviors:
+    """Behavior cases ported from the reference suite
+    (/root/reference/tests/graph/test_ligrec.py:52-250): fdr method/axis
+    combinations, interaction input forms, capitalization, result anatomy."""
+
+    @pytest.mark.parametrize("corr_method", [None, "fdr_bh", "bonferroni"])
+    @pytest.mark.parametrize("corr_axis", ["interactions", "clusters"])
+    def test_pvals_in_correct_range(self, adata_raw, interactions, corr_method, corr_axis):
+        res = sq.gr.ligrec(
+            adata_raw, _CK, interactions=interactions, n_perms=5, seed=0,
+            corr_method=corr_method, corr_axis=corr_axis, copy=True,
+        )
+        p = np.asarray(res["pvalues"].astype(float))
+        finite = p[np.isfinite(p)]
+        assert finite.min() >= 0.0 - 1e-12
+        assert finite.max() <= 1.0 + 1e-12
+
+    def test_invalid_corr_axis(self, adata_raw, interactions):
+        with pytest.raises(ValueError):
+            sq.gr.ligrec(
+                adata_raw, _CK, interactions=interactions, n_perms=5, seed=0,
+                corr_method="fdr_bh", corr_axis="foobar", copy=True,
+            )
+
+    def test_too_few_permutations(self, adata_raw, interactions):
+        with pytest.raises(ValueError):
+            sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=0, seed=0, copy=True)
+
+    def test_interactions_dict_form(self, adata_raw):
+        g = list(adata_raw.raw.var_names[:4])
+        res = sq.gr.ligrec(
+            adata_raw, _CK,
+            interactions={"source": [g[0], g[1]], "target": [g[2], g[3]]},
+            n_perms=5, seed=0, copy=True,
+        )
+        assert len(res["means"]) == 2
+
+    def test_all_genes_capitalized(self, adata_raw, interactions):
+        """Interactions given in lowercase must still match (reference
+        uppercases both sides before filtering)."""
+        lower = tuple((s.lower(), t.lower()) for s, t in interactions)
+        res = sq.gr.ligrec(adata_raw, _CK, interactions=lower, n_perms=5, seed=0, copy=True)
+        upper = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=5, seed=0, copy=True)
+        pd.testing.assert_frame_equal(res["means"], upper["means"])
+
+    def test_result_correct_index(self, adata_raw, interactions):
+        res = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=5, seed=0, copy=True)
+        for frame in (res["means"], res["pvalues"]):
+            assert frame.index.names == ["source", "target"]
+            assert frame.columns.nlevels == 2  # (cluster_1, cluster_2) pairs
+        pd.testing.assert_index_equal(res["means"].index, res["pvalues"].index)
+        pd.testing.assert_index_equal(res["means"].columns, res["pvalues"].columns)
+
+    def test_return_no_write(self, adata_raw, interactions):
+        _ = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=5, seed=0, copy=True)
+        assert f"{_CK}_ligrec" not in adata_raw.uns
+
+    def test_seed_changes_pvalues_not_means(self, adata_raw, interactions):
+        r1 = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=30, seed=0, copy=True)
+        r2 = sq.gr.ligrec(adata_raw, _CK, interactions=interactions, n_perms=30, seed=1, copy=True)
+        pd.testing.assert_frame_equal(r1["means"], r2["means"])
+        p1 = np.asarray(r1["pvalues"].astype(float))
+        p2 = np.asarray(r2["pvalues"].astype(float))
+        assert not np.allclose(np.nan_to_num(p1), np.nan_to_num(p2))

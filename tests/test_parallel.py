@@ -228,3 +228,53 @@ class TestShardedColumnCounts:
         got = np.asarray(auto_permuted_pair_counts_cols(g.indices, g.mask, cols, 4))
         want = np.asarray(permuted_pair_counts_cols(g.indices, g.mask, cols, 4))
         np.testing.assert_array_equal(got, want)
+
+
+class TestPublicAutocorrSharded:
+    """Public-path gene sharding: on this 8-device test mesh,
+    ``spatial_autocorr`` device_puts each gene block with a NamedSharding over
+    the gene axis — its scores must equal the unsharded kernel on the full
+    matrix (VERDICT r1 item 10)."""
+
+    def test_public_moran_matches_unsharded_kernel(self):
+        import pandas as pd
+
+        import squidpy_tpu as sq
+        from squidpy_tpu._core.anndata import AnnData
+        from squidpy_tpu._core.graph import SpatialGraph
+
+        rng = np.random.default_rng(0)
+        n, g = 300, 23  # gene count NOT divisible by 8 -> exercises padding
+        adata = AnnData(
+            X=rng.random((n, g)),
+            obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+        )
+        adata.var_names = [f"g{i}" for i in range(g)]
+        adata.obsm["spatial"] = rng.uniform(0, 100, size=(n, 2))
+        sq.gr.spatial_neighbors_knn(adata, n_neighs=6)
+        df = sq.gr.spatial_autocorr(adata, mode="moran", copy=True, seed=0)
+
+        adj = sp.csr_matrix(adata.obsp["spatial_connectivities"], copy=True)
+        rs = np.asarray(adj.sum(axis=1)).ravel()
+        adj = sp.diags(np.where(rs > 0, 1.0 / rs, 0.0)) @ adj
+        graph = SpatialGraph.from_csr(sp.csr_matrix(adj))
+        x = jnp.asarray(np.asarray(adata.X, dtype=np.float64))
+        want = np.asarray(moran_scores(graph.indices, graph.weights, x, jnp.asarray(adj.sum())))
+        got = df.loc[[f"g{i}" for i in range(g)], "I"].to_numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-6)  # block path rounds via f32 once
+
+    @pytest.mark.parametrize("n_dev", [1, 2, 8])
+    def test_sharded_moran_gene_padding(self, n_dev):
+        """Gene counts not divisible by the mesh width must round-trip."""
+        rng = np.random.default_rng(1)
+        n, g = 256, 13
+        adj = sp.random(n, n, density=0.05, format="csr", random_state=0)
+        adj.data[:] = 1.0
+        gr = SpatialGraph.from_csr(adj)
+        x_np = rng.random((n, g))
+        pad = (-g) % n_dev
+        x = jnp.asarray(np.pad(x_np, ((0, 0), (0, pad))))
+        mesh = cell_mesh(n_dev)  # reuse as a 1-axis gene mesh
+        got = np.asarray(sharded_moran_scores(mesh, gr.indices, gr.weights, x, float(adj.sum())))[:g]
+        want = np.asarray(moran_scores(gr.indices, gr.weights, jnp.asarray(x_np), jnp.asarray(float(adj.sum()))))
+        np.testing.assert_allclose(got, want, rtol=1e-12)

@@ -300,3 +300,38 @@ class TestCooccurExactCounts:
         counts = co_occurrence_counts(coords, labs, thresholds, 1)
         assert counts.shape == (1, 1, 1)
         assert int(counts[0, 0, 0]) == n * (n - 1)
+
+
+class TestCoOccurrenceLiteral:
+    def test_hand_computed_four_points(self):
+        """Literal ground truth, worked by hand.
+
+        Points on a line at x = 0, 1, 2, 10 with labels a, a, b, b and one
+        distance bin d <= 1.5. Qualifying ordered pairs: (0,1), (1,0), (1,2),
+        (2,1) -> counts[a,a]=2, counts[a,b]=1, counts[b,a]=1, counts[b,b]=0.
+        Second-label totals: a: 3, b: 1 (of 4) -> P(a)=3/4, P(b)=1/4.
+        occ[i, c] = (counts[c,i]/rowsum[c]) / P(i):
+          occ[a,a] = (2/3)/(3/4) = 8/9     occ[a,b] = (1/1)/(3/4) = 4/3
+          occ[b,a] = (1/3)/(1/4) = 4/3     occ[b,b] = 0
+        (reference semantics: _occur_count + _co_occurrence_helper,
+        /root/reference/src/squidpy/gr/_ppatterns.py:283-358)
+        """
+        import pandas as pd
+
+        from squidpy_tpu._core.anndata import AnnData
+
+        adata = AnnData(
+            X=np.zeros((4, 1)),
+            obs=pd.DataFrame(
+                {"cl": pd.Categorical(["a", "a", "b", "b"])},
+                index=[f"c{i}" for i in range(4)],
+            ),
+        )
+        adata.obsm["spatial"] = np.array([[0.0, 0], [1.0, 0], [2.0, 0], [10.0, 0]])
+        occ, interval = sq.gr.co_occurrence(
+            adata, cluster_key="cl", interval=np.array([0.0, 1.5]), copy=True
+        )
+        assert occ.shape == (2, 2, 1)
+        np.testing.assert_allclose(
+            occ[:, :, 0], np.array([[8 / 9, 4 / 3], [4 / 3, 0.0]]), rtol=1e-6
+        )
