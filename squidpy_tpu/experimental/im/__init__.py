@@ -18,6 +18,7 @@ from squidpy_tpu.experimental.im._tiling import (
     TileSpec,
     build_tile_specs,
     compute_cell_info,
+    compute_cell_info_multiscale,
     compute_cell_info_tiled,
     extract_labels_tile,
     extract_tile,
@@ -42,6 +43,7 @@ __all__ = [
     "TileSpec",
     "build_tile_specs",
     "compute_cell_info",
+    "compute_cell_info_multiscale",
     "compute_cell_info_tiled",
     "extract_tile",
     "extract_labels_tile",

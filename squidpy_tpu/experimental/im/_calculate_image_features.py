@@ -23,6 +23,7 @@ from squidpy_tpu._core.anndata import AnnData
 from squidpy_tpu.experimental.im._tiling import (
     TileSpec,
     build_tile_specs,
+    compute_cell_info_multiscale,
     compute_cell_info_tiled,
     extract_tile,
     run_tiled,
@@ -364,12 +365,34 @@ def calculate_image_features(
     if not intensity:
         parsed = parsed._replace(intensity_props=None, summary=False, texture=False, histogram=False)
 
+    # multiscale label pyramid (mapping of scale -> array, or sequence of
+    # arrays): featurize at the finest level, but take the centroid pass from
+    # the coarsest (reference compute_cell_info_multiscale semantics,
+    # /root/reference/src/squidpy/experimental/im/_tiling.py:115-155)
+    pyramid = None
+    if hasattr(labels, "keys"):
+        keys = list(labels.keys())
+        finest = max(keys, key=lambda k: int(np.prod(labels[k].shape[-2:])))
+        pyramid, labels = labels, labels[finest]
+        pyramid_target = finest
+    elif isinstance(labels, (list, tuple)):
+        levels = list(labels)
+        finest_i = max(range(len(levels)), key=lambda i: int(np.prod(levels[i].shape[-2:])))
+        pyramid, labels = levels, levels[finest_i]
+        pyramid_target = finest_i
+
     if tuple(labels_translation) != (0, 0):
+        if pyramid is not None:
+            raise ValueError("labels_translation is not supported with a multiscale pyramid.")
         image, labels = align_to_image_grid(image, labels, labels_translation, align_mode)
 
     lab_shape = labels.shape[-2:]
-    start = logg.info("Computing cell centroids (streaming pass)")
-    cell_info = compute_cell_info_tiled(labels, chunk_size=max(tile_size, 2048))
+    if pyramid is not None:
+        start = logg.info("Computing cell centroids (multiscale pass on the coarsest level)")
+        cell_info = compute_cell_info_multiscale(pyramid, target_scale=pyramid_target)
+    else:
+        start = logg.info("Computing cell centroids (streaming pass)")
+        cell_info = compute_cell_info_tiled(labels, chunk_size=max(tile_size, 2048))
     logg.info(f"Found `{len(cell_info)}` cells", time=start)
     if not cell_info:
         raise ValueError("No cells found in the label image.")

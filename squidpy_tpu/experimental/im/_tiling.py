@@ -26,6 +26,7 @@ __all__ = [
     "TileSpec",
     "compute_cell_info",
     "compute_cell_info_tiled",
+    "compute_cell_info_multiscale",
     "build_tile_specs",
     "extract_tile",
     "extract_labels_tile",
@@ -137,6 +138,69 @@ def compute_cell_info_tiled(labels: Any, chunk_size: int = 4096) -> dict[int, Ce
             chunk = _as_2d(np.asarray(labels[..., y0 : y0 + chunk_size, x0 : x0 + chunk_size]))
             _accumulate_chunk(chunk, y0, x0, acc)
     return _acc_to_info(acc)
+
+
+def _yx_size(arr: Any) -> tuple[int, int]:
+    shape = tuple(arr.shape)
+    return int(shape[-2]), int(shape[-1])
+
+
+def compute_cell_info_multiscale(
+    pyramid: Any,
+    target_scale: str | int = "scale0",
+) -> dict[int, CellInfo]:
+    """Centroids/bboxes from the COARSEST level of a multiscale label pyramid,
+    rescaled to ``target_scale`` coordinates.
+
+    Mirrors the reference's ``compute_cell_info_multiscale``
+    (/root/reference/src/squidpy/experimental/im/_tiling.py:115-155) but
+    duck-typed instead of xarray-DataTree-bound: ``pyramid`` is either a
+    mapping of scale name → 2D sliceable label array or a sequence of such
+    arrays (``target_scale`` then being an index). Only the smallest level is
+    materialized — the cheap pass for WSI pyramids whose full resolution never
+    fits in memory.
+
+    Centroid coordinates scale exactly; bbox corners are floored and extents
+    ceiled so the scaled box always covers the cell.
+    """
+    if hasattr(pyramid, "keys"):
+        keys = list(pyramid.keys())
+        if not keys:
+            return {}
+        get = pyramid.__getitem__
+        target = get(target_scale)
+        coarsest_key = min(keys, key=lambda k: int(np.prod(_yx_size(get(k)))))
+        coarse = get(coarsest_key)
+    else:
+        levels = list(pyramid)
+        if not levels:
+            return {}
+        if isinstance(target_scale, str):
+            target_scale = int(target_scale.removeprefix("scale"))
+        target = levels[target_scale]
+        coarse = min(levels, key=lambda a: int(np.prod(_yx_size(a))))
+
+    coarse_arr = _as_2d(np.asarray(coarse))
+    if coarse_arr.ndim != 2:
+        raise ValueError(f"Expected 2D labels at the coarsest scale, got shape {coarse_arr.shape}")
+    target_h, target_w = _yx_size(target)
+    coarse_h, coarse_w = coarse_arr.shape
+    sy = target_h / coarse_h
+    sx = target_w / coarse_w
+
+    info = compute_cell_info(coarse_arr)
+    return {
+        lid: CellInfo(
+            label=lid,
+            centroid_y=c.centroid_y * sy,
+            centroid_x=c.centroid_x * sx,
+            bbox_h=int(np.ceil(c.bbox_h * sy)),
+            bbox_w=int(np.ceil(c.bbox_w * sx)),
+            bbox_y0=int(np.floor(c.bbox_y0 * sy)),
+            bbox_x0=int(np.floor(c.bbox_x0 * sx)),
+        )
+        for lid, c in info.items()
+    }
 
 
 def _auto_margin(cell_info: dict[int, CellInfo]) -> int:

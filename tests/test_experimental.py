@@ -454,3 +454,60 @@ def test_tiled_featurization_channel_layouts():
     oa = np.argsort(a.obs["label"].to_numpy())
     ob = np.argsort(b.obs["label"].to_numpy())
     np.testing.assert_allclose(np.asarray(a.X)[oa], np.asarray(b.X)[ob])
+
+
+class TestMultiscaleCellInfo:
+    """compute_cell_info_multiscale: centroid pass on the coarsest pyramid
+    level, coordinates rescaled to the target scale (reference
+    /root/reference/src/squidpy/experimental/im/_tiling.py:115-155)."""
+
+    @staticmethod
+    def _pyramid():
+        labels, image = _synthetic_cells()
+        coarse = labels[::2, ::2]
+        coarser = labels[::4, ::4]
+        return labels, image, {"scale0": labels, "scale1": coarse, "scale2": coarser}
+
+    def test_mapping_pyramid_centroids_close_to_full(self):
+        labels, _, pyr = self._pyramid()
+        full = exp_im.compute_cell_info(labels)
+        multi = exp_im.compute_cell_info_multiscale(pyr, target_scale="scale0")
+        assert set(multi) == set(full)
+        for lid, c in multi.items():
+            # coarse centroid scaled back: within a few pixels of the truth
+            assert abs(c.centroid_y - full[lid].centroid_y) < 4
+            assert abs(c.centroid_x - full[lid].centroid_x) < 4
+            # scaled bbox must cover the true one
+            assert c.bbox_h >= full[lid].bbox_h - 4
+
+    def test_sequence_pyramid(self):
+        labels, _, pyr = self._pyramid()
+        seq = [pyr["scale0"], pyr["scale1"], pyr["scale2"]]
+        multi = exp_im.compute_cell_info_multiscale(seq, target_scale=0)
+        full = exp_im.compute_cell_info(labels)
+        assert set(multi) == set(full)
+
+    def test_reads_only_coarsest(self):
+        """The fine levels must never be materialized."""
+        labels, _, pyr = self._pyramid()
+
+        class Booby:
+            shape = labels.shape
+
+            def __array__(self, dtype=None, copy=None):
+                raise AssertionError("fine level materialized")
+
+        pyr_guarded = {"scale0": Booby(), "scale2": labels[::4, ::4]}
+        multi = exp_im.compute_cell_info_multiscale(pyr_guarded, target_scale="scale0")
+        assert len(multi) > 0
+
+    def test_featurization_accepts_pyramid(self):
+        labels, image, pyr = self._pyramid()
+        a_multi = exp_im.calculate_image_features(
+            image, pyr, features="skimage:morphology:area", intensity=False, tile_size=96
+        )
+        a_full = exp_im.calculate_image_features(
+            image, labels, features="skimage:morphology:area", intensity=False, tile_size=96
+        )
+        assert a_multi.shape == a_full.shape
+        np.testing.assert_allclose(np.asarray(a_multi.X), np.asarray(a_full.X))
