@@ -511,3 +511,177 @@ class TestMultiscaleCellInfo:
         )
         assert a_multi.shape == a_full.shape
         np.testing.assert_allclose(np.asarray(a_multi.X), np.asarray(a_full.X))
+
+
+class TestStainConversion:
+    """OD / LAB conversion invariants from the reference's stain conversion
+    suite (/root/reference/tests/experimental/test_stain_conversion.py,
+    test_stain_white_point.py, test_stain_validation.py)."""
+
+    @staticmethod
+    def _rgb_patch(seed=0, lo=30, hi=250):
+        rng = np.random.default_rng(seed)
+        return rng.uniform(lo, hi, size=(32, 32, 3)).astype(np.float32)
+
+    def test_od_round_trip(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.experimental.im._stain import _od_to_rgb, _rgb_to_od
+
+        rgb = self._rgb_patch()
+        wp = np.array([255.0, 255.0, 255.0])
+        back = np.asarray(_od_to_rgb(_rgb_to_od(jnp.asarray(rgb), jnp.asarray(wp)), jnp.asarray(wp)))
+        np.testing.assert_allclose(back, rgb, rtol=1e-4, atol=0.05)
+
+    def test_white_maps_to_zero_od(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.experimental.im._stain import _rgb_to_od
+
+        wp = np.array([255.0, 255.0, 255.0])
+        od = np.asarray(_rgb_to_od(jnp.asarray(np.full((4, 4, 3), 255.0, np.float32)), jnp.asarray(wp)))
+        np.testing.assert_allclose(od, 0.0, atol=1e-6)
+
+    def test_od_non_negative_below_white_point(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.experimental.im._stain import _rgb_to_od
+
+        rgb = self._rgb_patch(hi=240)
+        wp = np.array([250.0, 250.0, 250.0])
+        od = np.asarray(_rgb_to_od(jnp.asarray(rgb), jnp.asarray(wp)))
+        assert (od >= -1e-6).all()
+
+    def test_off_white_background_round_trip(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.experimental.im._stain import _od_to_rgb, _rgb_to_od
+
+        rgb = self._rgb_patch(seed=1, hi=235)
+        wp = np.array([240.0, 238.0, 242.0])  # off-white scanner background
+        back = np.asarray(_od_to_rgb(_rgb_to_od(jnp.asarray(rgb), jnp.asarray(wp)), jnp.asarray(wp)))
+        np.testing.assert_allclose(back, rgb, rtol=1e-4, atol=0.05)
+
+    def test_uint8_input_promoted(self):
+        rgb8 = (self._rgb_patch() + 0.5).astype(np.uint8)
+        conc = exp_im.decompose_stains(rgb8)
+        assert conc.dtype.kind == "f"
+
+    def test_rgba_rejected(self):
+        with pytest.raises(ValueError, match="RGB"):
+            exp_im.decompose_stains(np.zeros((8, 8, 4), np.uint8))
+
+    def test_grayscale_rejected(self):
+        with pytest.raises(ValueError, match="RGB"):
+            exp_im.decompose_stains(np.zeros((8, 8), np.uint8))
+
+    def test_lab_round_trip(self):
+        from squidpy_tpu.experimental.im._stain import _lab_to_rgb_host, _rgb_to_lab_host
+
+        rgb = self._rgb_patch(seed=2, lo=10, hi=250)
+        back = _lab_to_rgb_host(_rgb_to_lab_host(rgb.copy()))
+        np.testing.assert_allclose(back, rgb, rtol=1e-3, atol=0.5)
+
+
+class TestStainCanonicalize:
+    def test_swapped_columns_restored(self):
+        from squidpy_tpu.experimental.im._stain import RUIFROK_E, RUIFROK_H, _canonicalize, _unit_columns
+
+        swapped = _unit_columns(np.stack([RUIFROK_E, RUIFROK_H], axis=1))
+        fixed = _canonicalize(swapped)
+        h_unit = RUIFROK_H / np.linalg.norm(RUIFROK_H)
+        assert abs(fixed[:, 0] @ h_unit) > abs(fixed[:, 1] @ h_unit)
+
+    def test_canonical_order_preserved(self):
+        from squidpy_tpu.experimental.im._stain import RUIFROK_E, RUIFROK_H, _canonicalize, _unit_columns
+
+        he = _unit_columns(np.stack([RUIFROK_H, RUIFROK_E], axis=1))
+        fixed = _canonicalize(he)
+        np.testing.assert_allclose(fixed[:, :2], he, atol=1e-12)
+
+    def test_residual_column_unit_orthogonal(self):
+        from squidpy_tpu.experimental.im._stain import RUIFROK_E, RUIFROK_H, _canonicalize, _unit_columns
+
+        fixed = _canonicalize(_unit_columns(np.stack([RUIFROK_H, RUIFROK_E], axis=1)))
+        third = fixed[:, 2]
+        np.testing.assert_allclose(np.linalg.norm(third), 1.0, rtol=1e-9)
+        np.testing.assert_allclose(fixed[:, 0] @ third, 0.0, atol=1e-9)
+        np.testing.assert_allclose(fixed[:, 1] @ third, 0.0, atol=1e-9)
+
+
+class TestStainBehaviors:
+    @staticmethod
+    def _two_stain_image(seed=0):
+        """Synthetic slide mixing two known absorbance vectors."""
+        from squidpy_tpu.experimental.im._stain import RUIFROK_E, RUIFROK_H, _unit_columns
+
+        rng = np.random.default_rng(seed)
+        n = 96
+        stains = _unit_columns(np.stack([RUIFROK_H, RUIFROK_E], axis=1))  # (3,2)
+        conc = rng.gamma(2.0, 0.25, size=(n, n, 2))
+        conc[: n // 3] *= [2.0, 0.3]   # H-dominant band
+        conc[-n // 3 :] *= [0.3, 2.0]  # E-dominant band
+        od = conc @ stains.T
+        rgb = 255.0 * np.power(10.0, -od)
+        return np.clip(rgb, 1, 255), stains
+
+    def test_macenko_recovers_generating_vectors(self):
+        img, true_stains = self._two_stain_image()
+        ref = exp_im.fit_stain_reference(img, method="macenko", white_point=np.array([255.0] * 3))
+        got = ref.stain_matrix[:, :2]
+        for j in range(2):
+            cos = abs(got[:, j] @ true_stains[:, j])
+            assert cos > 0.98, (j, cos)
+
+    def test_decompose_reconstructs_od(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.experimental.im._stain import _rgb_to_od
+
+        img, _ = self._two_stain_image(seed=3)
+        ref = exp_im.fit_stain_reference(img, method="macenko", white_point=np.array([255.0] * 3))
+        conc = exp_im.decompose_stains(img, reference=ref)
+        od_back = conc.reshape(-1, 3) @ ref.stain_matrix.T
+        od_true = np.asarray(_rgb_to_od(jnp.asarray(img.astype(np.float32)), jnp.asarray(ref.white_point)))
+        np.testing.assert_allclose(od_back.reshape(img.shape), od_true, atol=5e-3)
+
+    def test_normalize_identity_near_noop(self):
+        img, _ = self._two_stain_image(seed=4)
+        ref = exp_im.fit_stain_reference(img, method="macenko", white_point=np.array([255.0] * 3))
+        out = exp_im.normalize_stains(img, ref)
+        assert np.abs(out.astype(float) - img).mean() < 3.0  # self-normalization ~ identity
+
+    def test_normalize_background_stays_white(self):
+        img, _ = self._two_stain_image(seed=5)
+        img[:8, :8] = 255.0  # white background patch
+        ref = exp_im.fit_stain_reference(img, method="macenko", white_point=np.array([255.0] * 3))
+        out = exp_im.normalize_stains(img, ref)
+        assert out[:4, :4].astype(float).min() > 245
+
+    def test_reinhard_exact_stats_transfer(self):
+        from squidpy_tpu.experimental.im._stain import _rgb_to_lab_host
+
+        rng = np.random.default_rng(6)
+        src = np.clip(rng.normal(120, 30, (64, 64, 3)), 5, 250).astype(np.float32)
+        ref = np.clip(rng.normal(150, 20, (64, 64, 3)), 5, 250).astype(np.float32)
+        out = exp_im.reinhard_normalize(
+            src, reference_image=ref, luminosity_threshold=2.0, out_dtype=np.float32
+        )
+        lab_out = _rgb_to_lab_host(np.asarray(out, dtype=np.float32)).reshape(-1, 3)
+        lab_ref = _rgb_to_lab_host(ref.copy()).reshape(-1, 3)
+        # whole image is "tissue" (threshold 2.0): in-gamut transfer ->
+        # output LAB stats land on the reference's
+        np.testing.assert_allclose(lab_out.mean(axis=0), lab_ref.mean(axis=0), atol=0.02)
+        np.testing.assert_allclose(lab_out.std(axis=0), lab_ref.std(axis=0), rtol=0.05)
+
+    def test_reinhard_requires_reference_or_targets(self):
+        with pytest.raises(ValueError, match="reference_image"):
+            exp_im.reinhard_normalize(np.full((8, 8, 3), 100, np.uint8))
+
+    def test_estimate_white_point_recovers_background(self):
+        rng = np.random.default_rng(7)
+        img = np.full((60, 60, 3), 40.0)          # dark tissue
+        img[:30] = [236.0, 234.0, 238.0]          # bright background half
+        img += rng.normal(0, 1.0, img.shape)
+        wp = exp_im.estimate_white_point(img)
+        np.testing.assert_allclose(wp, [236, 234, 238], atol=2.0)
