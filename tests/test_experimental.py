@@ -685,3 +685,151 @@ class TestStainBehaviors:
         img += rng.normal(0, 1.0, img.shape)
         wp = exp_im.estimate_white_point(img)
         np.testing.assert_allclose(wp, [236, 234, 238], atol=2.0)
+
+
+class TestStitchedLabelsBehaviors:
+    """make_stitched_labels behaviors from the reference suite
+    (/root/reference/tests/experimental/test_stitched_labels.py)."""
+
+    @staticmethod
+    def _qc_and_cut(min_confidence=0.3):
+        labels, _ = _synthetic_cells(size=200, n_side=4, spacing=35)
+        cut = labels.copy()
+        next_id = labels.max() + 1
+        for lid in np.unique(labels):
+            if lid and (labels[:, :100] == lid).any() and (labels[:, 100:] == lid).any():
+                right = cut == lid
+                right[:, :100] = False
+                cut[right] = next_id
+                next_id += 1
+        qc = exp_tl.calculate_tiling_qc(cut, tile_size=100)
+        exp_tl.assign_stitch_groups(cut, qc, tile_size=100, min_confidence=min_confidence)
+        return cut, qc
+
+    def test_original_labels_unchanged(self):
+        cut, qc = self._qc_and_cut()
+        before = cut.copy()
+        exp_im.make_stitched_labels(cut, qc)
+        np.testing.assert_array_equal(cut, before)
+
+    def test_remap_unifies_stitched_pieces(self):
+        cut, qc = self._qc_and_cut()
+        res = exp_im.make_stitched_labels(cut, qc)
+        obs = qc.obs
+        for gid, grp in obs.groupby("stitch_group_id"):
+            if len(grp) < 2:
+                continue
+            for lab in grp["label"]:
+                # every member's pixels now carry the group id
+                assert (res["labels"][cut == int(lab)] == int(gid)).all()
+
+    def test_unstitched_pieces_keep_their_id(self):
+        cut, qc = self._qc_and_cut()
+        res = exp_im.make_stitched_labels(cut, qc)
+        obs = qc.obs
+        singles = obs.groupby("stitch_group_id").filter(lambda g: len(g) == 1)
+        for lab in singles["label"]:
+            assert (res["labels"][cut == int(lab)] == int(lab)).all()
+
+    def test_collapsed_table_one_row_per_group(self):
+        cut, qc = self._qc_and_cut()
+        res = exp_im.make_stitched_labels(cut, qc)
+        n_groups = qc.obs["stitch_group_id"].nunique()
+        assert res["table"].shape[0] == n_groups
+
+    @pytest.mark.parametrize("strategy", ["sum", "mean"])
+    def test_merge_strategies(self, strategy):
+        cut, qc = self._qc_and_cut()
+        qc.obs["metric"] = np.arange(len(qc.obs), dtype=float)
+        res = exp_im.make_stitched_labels(cut, qc, merge_strategy=strategy)
+        tab = res["table"]
+        col = list(tab.var_names).index("metric")
+        want = qc.obs.groupby("stitch_group_id")["metric"].agg(strategy)
+        got = dict(zip(tab.obs["stitch_group_id"], np.asarray(tab.X)[:, col]))
+        for gid, v in want.items():
+            np.testing.assert_allclose(got[int(gid)], v)
+
+    def test_merge_strategy_callable(self):
+        cut, qc = self._qc_and_cut()
+        qc.obs["metric"] = np.arange(len(qc.obs), dtype=float)
+        res = exp_im.make_stitched_labels(cut, qc, merge_strategy=lambda s: s.max())
+        tab = res["table"]
+        col = list(tab.var_names).index("metric")
+        want = qc.obs.groupby("stitch_group_id")["metric"].max()
+        got = dict(zip(tab.obs["stitch_group_id"], np.asarray(tab.X)[:, col]))
+        for gid, v in want.items():
+            np.testing.assert_allclose(got[int(gid)], v)
+
+    def test_missing_groups_raises(self):
+        labels, _ = _synthetic_cells(size=120, n_side=2)
+        qc = exp_tl.calculate_tiling_qc(labels, tile_size=60)
+        with pytest.raises(KeyError, match="stitch_group_id"):
+            exp_im.make_stitched_labels(labels, qc)
+
+    def test_idempotent(self):
+        cut, qc = self._qc_and_cut()
+        res1 = exp_im.make_stitched_labels(cut, qc)
+        stitched = res1["labels"]
+        qc2 = exp_tl.calculate_tiling_qc(stitched, tile_size=100)
+        exp_tl.assign_stitch_groups(stitched, qc2, tile_size=100, min_confidence=0.3)
+        res2 = exp_im.make_stitched_labels(stitched, qc2)
+        # re-running on the stitched output leaves label count stable or lower
+        assert len(np.unique(res2["labels"])) <= len(np.unique(stitched))
+
+    def test_unmapped_label_passes_through(self):
+        from squidpy_tpu.experimental.im._stitched_labels import _apply_lut
+
+        arr = np.array([[0, 5, 9], [9, 5, 0]])
+        out = _apply_lut(arr, {5: 2})
+        np.testing.assert_array_equal(out, np.array([[0, 2, 9], [9, 2, 0]]))
+
+
+class TestTilingQCBehaviors:
+    def test_returns_anndata_with_scores(self):
+        labels, _ = _synthetic_cells(size=200, n_side=4, spacing=35)
+        qc = exp_tl.calculate_tiling_qc(labels, tile_size=100)
+        for col in ("label", "tile_cut", "cut_score", "straight_v", "straight_h"):
+            assert col in qc.obs
+        assert "spatial" in qc.obsm
+        cent = np.asarray(qc.obsm["spatial"])
+        assert (cent >= 0).all() and (cent <= 200).all()
+
+    def test_clean_dataset_few_flags(self):
+        """Intact cells away from borders: nothing (or nearly nothing) is cut."""
+        labels, _ = _synthetic_cells(size=200, n_side=3, spacing=50)
+        qc = exp_tl.calculate_tiling_qc(labels, tile_size=200)  # one tile, no borders
+        assert np.asarray(qc.obs["tile_cut"], dtype=bool).mean() < 0.2
+
+    def test_tiled_vs_single_tile_same_cells(self):
+        labels, _ = _synthetic_cells(size=200, n_side=4, spacing=35)
+        qc_one = exp_tl.calculate_tiling_qc(labels, tile_size=200)
+        qc_four = exp_tl.calculate_tiling_qc(labels, tile_size=100)
+        assert set(qc_one.obs["label"]) == set(qc_four.obs["label"])
+
+
+class TestMakeTilesBehaviors:
+    def test_tile_size_respected(self):
+        mask = np.zeros((300, 300), bool)
+        mask[:150, :150] = True
+        tiles = exp_im.make_tiles(np.zeros((300, 300)), tissue_mask=mask, tile_size=(150, 100))
+        assert (tiles["pixel_y1"] - tiles["pixel_y0"]).max() == 150
+        assert (tiles["pixel_x1"] - tiles["pixel_x0"]).max() == 100
+
+    def test_min_tissue_fraction_moves_boundary(self):
+        mask = np.zeros((200, 200), bool)
+        mask[:100, :150] = True  # covers 1.5 of the two top tiles
+        strict = exp_im.make_tiles(np.zeros((200, 200)), tissue_mask=mask, tile_size=(100, 100),
+                                   min_tissue_fraction=1.0)
+        lax = exp_im.make_tiles(np.zeros((200, 200)), tissue_mask=mask, tile_size=(100, 100),
+                                min_tissue_fraction=0.4)
+        n_tissue_strict = (strict["tile_classification"] == "tissue").sum()
+        n_tissue_lax = (lax["tile_classification"] == "tissue").sum()
+        assert n_tissue_lax > n_tissue_strict
+
+    def test_from_spots_tile_centers_on_spots(self):
+        spots = np.array([[40.0, 40.0], [40.0, 80.0], [80.0, 40.0], [80.0, 80.0]])
+        tiles = exp_im.make_tiles_from_spots(spots)
+        cy = (tiles["pixel_y0"] + tiles["pixel_y1"]) / 2
+        cx = (tiles["pixel_x0"] + tiles["pixel_x1"]) / 2
+        got = np.sort(np.stack([cy, cx], axis=1), axis=0)
+        np.testing.assert_allclose(got, np.sort(spots, axis=0))
