@@ -833,3 +833,148 @@ class TestMakeTilesBehaviors:
         cx = (tiles["pixel_x0"] + tiles["pixel_x1"]) / 2
         got = np.sort(np.stack([cy, cx], axis=1), axis=0)
         np.testing.assert_allclose(got, np.sort(spots, axis=0))
+
+
+class TestDeriveMpp:
+    """derive_mpp methods + validation, ported from the reference's
+    tests/experimental/test_derive_mpp.py (16 cases adapted to the
+    array-first API)."""
+
+    @staticmethod
+    def _hex_lattice(pitch=50.0, n=12):
+        pts = []
+        for r in range(n):
+            for c in range(n):
+                x = c * pitch + (pitch / 2 if r % 2 else 0.0)
+                y = r * pitch * np.sqrt(3) / 2
+                pts.append((x, y))
+        return np.asarray(pts)
+
+    @staticmethod
+    def _squares(edge=8.0, n=16, rot=0.0):
+        rng = np.random.default_rng(0)
+        base = np.array([[0, 0], [edge, 0], [edge, edge], [0, edge]], float)
+        c, s = np.cos(rot), np.sin(rot)
+        base = base @ np.array([[c, -s], [s, c]]).T
+        return [base + rng.uniform(0, 500, 2) for _ in range(n)]
+
+    from squidpy_tpu.experimental.utils import derive_mpp as _dm
+
+    def test_pitch_identity_transform(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        pts = self._hex_lattice(pitch=50.0)
+        got = derive_mpp(pts, um_between_centers=100.0)
+        np.testing.assert_allclose(got, 2.0, rtol=1e-9)  # 100 um / 50 px
+
+    def test_pitch_with_scale_transform(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        pts = self._hex_lattice(pitch=50.0)
+        got = derive_mpp(pts, um_between_centers=100.0, transform=np.diag([0.5, 0.5]))
+        np.testing.assert_allclose(got, 4.0, rtol=1e-9)
+
+    def test_pitch_rotation_preserved(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        pts = self._hex_lattice(pitch=40.0)
+        th = 0.3
+        rot = np.array([[np.cos(th), -np.sin(th), 7.0], [np.sin(th), np.cos(th), -3.0]])
+        got = derive_mpp(pts, um_between_centers=100.0, transform=rot)
+        np.testing.assert_allclose(got, 2.5, rtol=1e-9)
+
+    def test_pitch_large_grid_subsampled(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        n = 80  # 6400 > 5000 sample cap
+        yy, xx = np.mgrid[0:n, 0:n].astype(float)
+        pts = np.stack([xx.ravel() * 10, yy.ravel() * 10], axis=1)
+        got = derive_mpp(pts, um_between_centers=20.0)
+        np.testing.assert_allclose(got, 2.0, rtol=1e-9)
+
+    def test_diameter_points(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        pts = self._hex_lattice()
+        radii = np.full(len(pts), 27.5)
+        got = derive_mpp(pts, um_diameter=55.0, radii=radii)
+        np.testing.assert_allclose(got, 1.0, rtol=1e-9)
+
+    def test_diameter_with_scale(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        pts = self._hex_lattice()
+        got = derive_mpp(pts, um_diameter=55.0, radii=np.full(len(pts), 27.5), transform=np.diag([2.0, 2.0]))
+        np.testing.assert_allclose(got, 0.5, rtol=1e-9)
+
+    def test_square_edge_polygons(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        got = derive_mpp(self._squares(edge=8.0), um_square_edge=16.0)
+        np.testing.assert_allclose(got, 2.0, rtol=1e-9)
+
+    def test_square_edge_rotated_squares_ok(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        got = derive_mpp(self._squares(edge=10.0, rot=0.4), um_square_edge=10.0)
+        np.testing.assert_allclose(got, 1.0, rtol=1e-9)
+
+    def test_diameter_on_polygons_rejected(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        with pytest.raises(ValueError, match="um_square_edge"):
+            derive_mpp(self._squares(), um_diameter=55.0, radii=[1.0])
+
+    def test_square_edge_on_points_rejected(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        with pytest.raises(ValueError, match="polygon"):
+            derive_mpp(self._hex_lattice(), um_square_edge=16.0)
+
+    def test_non_square_polygons_rejected(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        tri = [np.array([[0, 0], [10, 0], [5, 9.0]]) + off for off in np.random.default_rng(1).uniform(0, 100, (12, 2))]
+        with pytest.raises(ValueError, match="square/rectangular"):
+            derive_mpp(tri, um_square_edge=10.0)
+
+    def test_anisotropy_rejected(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        with pytest.raises(ValueError, match="anisotropic"):
+            derive_mpp(self._hex_lattice(), um_between_centers=100.0, transform=np.diag([1.0, 2.0]))
+
+    def test_three_d_rejected(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        with pytest.raises(ValueError, match="3D"):
+            derive_mpp(np.zeros((5, 3)), um_between_centers=100.0)
+
+    def test_single_shape_pitch_rejected(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        with pytest.raises(ValueError, match="single shape"):
+            derive_mpp(np.array([[1.0, 2.0]]), um_between_centers=100.0)
+
+    def test_single_shape_diameter_works(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        got = derive_mpp(np.array([[1.0, 2.0]]), um_diameter=55.0, radii=[27.5])
+        np.testing.assert_allclose(got, 1.0)
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [{}, {"um_between_centers": 1.0, "um_diameter": 1.0},
+         {"um_between_centers": 1.0, "um_diameter": 1.0, "um_square_edge": 1.0}],
+    )
+    def test_mutex_args_rejected(self, kwargs):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        with pytest.raises(ValueError, match="exactly one"):
+            derive_mpp(self._hex_lattice(), **kwargs)
+
+    def test_empty_rejected(self):
+        from squidpy_tpu.experimental.utils import derive_mpp
+
+        with pytest.raises(ValueError, match="empty"):
+            derive_mpp(np.zeros((0, 2)), um_between_centers=100.0)
