@@ -300,6 +300,7 @@ def run_tiled(
     n_jobs: int = 1,
     scatter: Sequence[Any] = (),
     desc: str = "tiles",
+    devices: Literal["auto", "single"] | Sequence[Any] = "auto",
 ) -> list[Any]:
     """Run ``process_fn(spec, *scatter)`` over tiles, preserving spec order.
 
@@ -308,12 +309,39 @@ def run_tiled(
     batched device kernels, so threads are the right concurrency primitive
     here (unlike the reference's GIL-bound per-tile python,
     _tiling.py:443-498).
+
+    On a multi-device mesh, tiles are round-robined across the local devices
+    (each worker thread runs its tile under ``jax.default_device``), so tile
+    kernels execute on the whole mesh concurrently — the TPU counterpart of
+    the reference's dask ``LocalCluster`` tile execution. Pass
+    ``devices="single"`` to pin everything to the default device, or an
+    explicit device sequence to control placement.
     """
     n = len(specs)
     if n == 0:
         return []
-    logg.info(f"Processing `{n}` {desc} with `{max(n_jobs, 1)}` worker(s)")
+    if devices == "auto":
+        import jax
+
+        dev_list = jax.local_devices()
+    elif devices == "single":
+        dev_list = []
+    else:
+        dev_list = list(devices)
+
+    def run_one(i: int, spec: TileSpec) -> Any:
+        if len(dev_list) > 1:
+            import jax
+
+            with jax.default_device(dev_list[i % len(dev_list)]):
+                return process_fn(spec, *scatter)
+        return process_fn(spec, *scatter)
+
+    logg.info(
+        f"Processing `{n}` {desc} with `{max(n_jobs, 1)}` worker(s)"
+        + (f" over `{len(dev_list)}` devices" if len(dev_list) > 1 else "")
+    )
     if n_jobs <= 1 or n == 1:
-        return [process_fn(spec, *scatter) for spec in specs]
+        return [run_one(i, spec) for i, spec in enumerate(specs)]
     with ThreadPoolExecutor(max_workers=min(n_jobs, n)) as pool:
-        return list(pool.map(lambda s: process_fn(s, *scatter), specs))
+        return list(pool.map(run_one, range(n), specs))
