@@ -178,13 +178,21 @@ def qc_image(
     metrics: Sequence[str | QCMetric] | None = None,
     outlier_percentile: float = 2.0,
     key_added: str | None = None,
+    detect_tissue: bool = False,
+    detect_outliers: bool = True,
     **kwargs: Any,
 ) -> AnnData:
     """Tile the image and compute per-tile QC metric scores.
 
     Returns an AnnData with one obs per tile (grid position + pixel bounds in
     ``obs``, tile-center coordinates in ``obsm['spatial']``), one var per
-    metric, and per-metric low/high outlier flags at ``outlier_percentile``.
+    metric, and — with ``detect_outliers`` — per-metric low/high outlier flags
+    at ``outlier_percentile`` plus an ``unfocus_score`` (1 − the tile's worst
+    percentile rank across the gradient-based sharpness metrics; reference
+    ``_compute_unfocus_scores``, _qc_image.py:394-440). ``detect_tissue`` adds
+    ``is_tissue``/``is_background`` from per-tile tissue coverage (> 0.5 of
+    the tile; reference ``_classify_tiles_by_tissue``, _qc_image.py:353-392)
+    and restricts the unfocus ranking to tissue tiles (background gets NaN).
     """
     arr = np.asarray(image).squeeze()
     if arr.ndim == 3 and arr.shape[-1] not in (1, 3):
@@ -196,6 +204,9 @@ def qc_image(
         gray = gray / 255.0
 
     metrics = [QCMetric(m) for m in (metrics if metrics is not None else _DEFAULT_METRICS)]
+    compute_metrics = list(metrics)
+    if detect_tissue and QCMetric.TISSUE_FRACTION not in compute_metrics:
+        compute_metrics.append(QCMetric.TISSUE_FRACTION)
     h, w = gray.shape
     ny, nx = (h + tile_size - 1) // tile_size, (w + tile_size - 1) // tile_size
     pad_h, pad_w = ny * tile_size - h, nx * tile_size - w
@@ -222,7 +233,7 @@ def qc_image(
     tiles_gray_d, _ = batch0_sharded(jnp.asarray(tiles_gray))
     if tiles_rgb is not None:
         tiles_rgb, _ = batch0_sharded(tiles_rgb)
-    scores = _batched_metrics(tiles_gray_d, tiles_rgb, metrics, tissue_thr=float(gray.mean()))
+    scores = _batched_metrics(tiles_gray_d, tiles_rgb, compute_metrics, tissue_thr=float(gray.mean()))
     X = np.column_stack([np.asarray(scores[m.value], dtype=np.float64)[:n_true] for m in metrics])
 
     rows, cols = np.divmod(np.arange(ny * nx), nx)
@@ -241,10 +252,46 @@ def qc_image(
     adata.obsm["spatial"] = np.column_stack([(obs["x0"] + obs["x1"]) / 2, (obs["y0"] + obs["y1"]) / 2])
     adata.uns["qc_image"] = {"tile_size": tile_size, "grid_shape": (ny, nx), "image_shape": (h, w)}
 
-    for m in metrics:
-        col = adata.obs_vector(m.value)
-        lo, hi = np.percentile(col, [outlier_percentile, 100 - outlier_percentile])
-        adata.obs[f"{m.value}_outlier_low"] = col < lo
-        adata.obs[f"{m.value}_outlier_high"] = col > hi
+    if detect_tissue:
+        tf = np.asarray(scores[QCMetric.TISSUE_FRACTION.value], dtype=np.float64)[:n_true]
+        adata.obs["is_tissue"] = tf > 0.5
+        adata.obs["is_background"] = ~adata.obs["is_tissue"].to_numpy()
+
+    if detect_outliers:
+        for m in metrics:
+            col = adata.obs_vector(m.value)
+            lo, hi = np.percentile(col, [outlier_percentile, 100 - outlier_percentile])
+            adata.obs[f"{m.value}_outlier_low"] = col < lo
+            adata.obs[f"{m.value}_outlier_high"] = col > hi
+        adata.obs["unfocus_score"] = _unfocus_scores(
+            X,
+            [m.value for m in metrics],
+            within=adata.obs["is_tissue"].to_numpy() if detect_tissue else None,
+        )
     logg.info("Finish", time=start)
     return adata
+
+
+def _unfocus_scores(X: np.ndarray, var_names: list[str], within: np.ndarray | None = None) -> np.ndarray:
+    """``1 − min percentile rank`` across the gradient-based sharpness metrics
+    (tenengrad / laplacian); other metrics track tissue structure rather than
+    optical focus and are excluded (reference _qc_image.py:394-440). With
+    ``within`` (tissue mask), ranking is restricted to those tiles and the
+    rest get NaN.
+    """
+    from scipy.stats import rankdata
+
+    cols = [i for i, name in enumerate(var_names) if "tenengrad" in name or "laplacian" in name]
+    if not cols:
+        cols = list(range(X.shape[1]))
+    out = np.full(X.shape[0], np.nan)
+    sel = np.ones(X.shape[0], dtype=bool) if within is None else np.asarray(within, dtype=bool)
+    n = int(sel.sum())
+    if n == 0:
+        return out
+    if n == 1:
+        out[sel] = 0.0
+        return out
+    ranks = np.column_stack([(rankdata(X[sel, c], method="average") - 1) / (n - 1) for c in cols])
+    out[sel] = 1.0 - ranks.min(axis=1)
+    return out

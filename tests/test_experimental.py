@@ -1025,3 +1025,50 @@ class TestRunTiledDevices:
         a4 = exp_im.calculate_image_features(image, labels, tile_size=60, n_jobs=4)
         assert list(a1.var_names) == list(a4.var_names)
         np.testing.assert_allclose(np.asarray(a1.X), np.asarray(a4.X), rtol=1e-6)
+
+
+class TestQCImageBehaviors:
+    """Tissue classification + unfocus scoring parity with the reference's
+    qc_image (tests/experimental/test_qc_image.py:86-210)."""
+
+    @staticmethod
+    def _slide():
+        rng = np.random.default_rng(0)
+        img = np.full((256, 512), 0.95, np.float32)           # bright background
+        img[:, 256:] = rng.uniform(0.2, 0.6, (256, 256))      # textured tissue right half
+        return img
+
+    def test_detect_tissue_columns(self):
+        qc = exp_im.qc_image(self._slide(), tile_size=128, detect_tissue=True)
+        assert "is_tissue" in qc.obs and "is_background" in qc.obs
+        tiss = qc.obs["is_tissue"].to_numpy()
+        assert tiss.any() and (~tiss).any()
+        # right-half tiles are the tissue ones
+        assert (qc.obs.loc[tiss, "x0"] >= 256).all()
+
+    def test_unfocus_score_with_tissue_restricted(self):
+        qc = exp_im.qc_image(self._slide(), tile_size=128, detect_tissue=True)
+        uf = qc.obs["unfocus_score"].to_numpy(dtype=float)
+        tiss = qc.obs["is_tissue"].to_numpy()
+        assert np.isnan(uf[~tiss]).all()
+        assert np.isfinite(uf[tiss]).all()
+        assert (uf[tiss] >= 0).all() and (uf[tiss] <= 1).all()
+
+    def test_unfocus_blurry_tile_scores_worst(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(0, 1, (128, 512)).astype(np.float32)
+        img[:, 384:] = 0.5  # constant (perfectly blurry) last tile
+        qc = exp_im.qc_image(img, tile_size=128, metrics=["tenengrad", "var_of_laplacian"])
+        uf = qc.obs["unfocus_score"].to_numpy(dtype=float)
+        assert np.argmax(uf) == 3
+        np.testing.assert_allclose(uf[3], 1.0)
+
+    def test_detect_outliers_false_skips_columns(self):
+        qc = exp_im.qc_image(self._slide(), tile_size=128, detect_outliers=False)
+        assert "unfocus_score" not in qc.obs
+        assert not any(c.endswith("_outlier_low") for c in qc.obs.columns)
+
+    def test_tissue_fraction_not_added_to_X_when_unrequested(self):
+        qc = exp_im.qc_image(self._slide(), tile_size=128, metrics=["tenengrad"], detect_tissue=True)
+        assert list(qc.var_names) == ["tenengrad"]
+        assert "is_tissue" in qc.obs
