@@ -656,3 +656,127 @@ class TestDtypeChannelZEdges:
         assert [o for _, o in crops] == names
         for c, _ in crops:
             assert c["image"].dtype == np.uint8
+
+
+class TestContainerReferenceBehaviors:
+    """Container behaviors from the reference's tests/image/test_container.py
+    (padding directions, crop geometry chains, spot-crop options, apply,
+    copy/delete semantics)."""
+
+    @pytest.fixture()
+    def cont1c(self):
+        rng = np.random.default_rng(3)
+        return ImageContainer(rng.random((50, 50, 1)).astype(np.float32), layer="image")
+
+    @pytest.mark.parametrize(
+        "y,x,pads",
+        [
+            (-10, -10, ("top", "left")),
+            (-10, 30, ("top", "right")),
+            (30, -10, ("bottom", "left")),
+            (30, 30, ("bottom", "right")),
+        ],
+    )
+    def test_padding_directions(self, cont1c, y, x, pads):
+        crop = cont1c.crop_corner(y, x, size=30)
+        arr = np.asarray(crop["image"])
+        assert arr.shape[:2] == (30, 30)
+        if "top" in pads:
+            assert (arr[:10] == 0).all()
+        if "bottom" in pads:
+            assert (arr[-10:] == 0).all()
+        if "left" in pads:
+            assert (arr[:, :10] == 0).all()
+        if "right" in pads:
+            assert (arr[:, -10:] == 0).all()
+        pad = crop.attrs["padding"]
+        assert (pad.y_pre if "top" in pads else pad.y_post) == 10
+        assert (pad.x_pre if "left" in pads else pad.x_post) == 10
+
+    def test_padding_all(self, cont1c):
+        crop = cont1c.crop_corner(-10, -10, size=70)
+        arr = np.asarray(crop["image"])
+        assert arr.shape[:2] == (70, 70)
+        assert (arr[:10] == 0).all() and (arr[-10:] == 0).all()
+        assert (arr[:, :10] == 0).all() and (arr[:, -10:] == 0).all()
+
+    def test_crop_center_equals_offset_corner(self, cont1c):
+        center = np.asarray(cont1c.crop_center(25, 25, radius=10)["image"])
+        corner = np.asarray(cont1c.crop_corner(15, 15, size=21)["image"])
+        np.testing.assert_array_equal(center, corner)
+
+    def test_uncrop_preserves_shape(self, cont1c):
+        crops = list(cont1c.generate_equal_crops(size=25))
+        merged = ImageContainer.uncrop(crops)
+        assert merged["image"].shape == cont1c["image"].shape
+        np.testing.assert_array_equal(np.asarray(merged["image"]), np.asarray(cont1c["image"]))
+
+    def test_uncrop_too_small_shape_raises(self, cont1c):
+        crops = list(cont1c.generate_equal_crops(size=25))
+        with pytest.raises(ValueError):
+            ImageContainer.uncrop(crops, shape=(10, 10))
+
+    def test_chain_cropping_metadata(self, cont1c):
+        c1 = cont1c.crop_corner(10, 10, size=30)
+        c2 = c1.crop_corner(5, 5, size=10)
+        coords = c2.attrs["coords"]
+        # coordinates compose back into the original frame
+        assert coords.y0 == 15 and coords.x0 == 15
+        np.testing.assert_array_equal(
+            np.asarray(c2["image"]), np.asarray(cont1c["image"])[15:25, 15:25]
+        )
+
+    def test_copy_deep_vs_shallow(self, cont1c):
+        shallow = cont1c.copy(deep=False)
+        deep = cont1c.copy(deep=True)
+        arr = np.asarray(cont1c["image"])
+        assert np.shares_memory(np.asarray(shallow["image"]), arr)
+        assert not np.shares_memory(np.asarray(deep["image"]), arr)
+
+    def test_delete_layer(self, cont1c):
+        del cont1c["image"]
+        assert "image" not in cont1c
+        with pytest.raises(KeyError):
+            cont1c["image"]
+
+    def test_add_img_channel_counts(self):
+        cont = ImageContainer()
+        for n_ch, name in [(1, "a"), (3, "b"), (5, "c")]:
+            cont.add_img(np.zeros((20, 20, n_ch), np.float32), layer=name)
+            assert cont[name].shape[-1] == n_ch
+
+    @pytest.mark.parametrize("spot_scale", [1.0, 2.0])
+    def test_spot_crops_spot_scale(self, cont, spot_scale):
+        import pandas as pd
+
+        from squidpy_tpu._core.anndata import AnnData
+
+        adata = AnnData(X=np.zeros((1, 1)), obs=pd.DataFrame(index=["s0"]))
+        adata.obsm["spatial"] = np.array([[60.0, 50.0]])
+        adata.uns["spatial"] = {"lib": {"scalefactors": {"spot_diameter_fullres": 20.0}}}
+        crop = next(cont.generate_spot_crops(adata, spot_scale=spot_scale))
+        side = crop["image"].shape[0]
+        assert side == int(round(10 * spot_scale)) * 2 + 1
+
+    def test_spot_crops_as_array(self, cont):
+        import pandas as pd
+
+        from squidpy_tpu._core.anndata import AnnData
+
+        adata = AnnData(X=np.zeros((3, 1)), obs=pd.DataFrame(index=["a", "b", "c"]))
+        adata.obsm["spatial"] = np.array([[30.0, 30.0], [60.0, 40.0], [80.0, 50.0]])
+        adata.uns["spatial"] = {"lib": {"scalefactors": {"spot_diameter_fullres": 10.0}}}
+        arrs = list(cont.generate_spot_crops(adata, as_array="image"))
+        assert all(isinstance(a, np.ndarray) for a in arrs)
+        assert all(a.shape == arrs[0].shape for a in arrs)
+
+    def test_apply_channel_subset(self, cont):
+        out = cont.apply(lambda a: a + 1.0, channel=1, copy=True)
+        got = np.asarray(out["image"])
+        assert got.shape[-1] == 1
+        np.testing.assert_allclose(got[..., 0], np.asarray(cont["image"])[..., 1, None][..., 0] + 1.0)
+
+    def test_apply_new_layer_no_copy(self, cont):
+        cont.apply(lambda a: a * 0, new_layer="zeros", copy=False)
+        assert "zeros" in cont
+        assert np.asarray(cont["zeros"]).max() == 0
