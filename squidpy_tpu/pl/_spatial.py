@@ -86,10 +86,70 @@ def _apply_crop(ax: Any, crop_coord: tuple[float, float, float, float]) -> None:
     ax.set_ylim(y1, y0)
 
 
+_SHAPE_VERTS: dict[str, np.ndarray] = {}
+
+
+def _unit_shape(shape: str) -> np.ndarray:
+    """Unit-radius polygon vertices for a spot shape (reference shapes:
+    circle/square/hex, /root/reference/src/squidpy/pl/_spatial_utils.py)."""
+    if shape not in _SHAPE_VERTS:
+        if shape == "circle":
+            th = np.linspace(0, 2 * np.pi, 33)
+            _SHAPE_VERTS[shape] = np.stack([np.cos(th), np.sin(th)], axis=1)
+        elif shape == "hex":
+            th = np.linspace(np.pi / 6, 2 * np.pi + np.pi / 6, 7)
+            _SHAPE_VERTS[shape] = np.stack([np.cos(th), np.sin(th)], axis=1)
+        elif shape == "square":
+            # half-edge = radius, so a square bin covers the same extent as a
+            # circle spot of that radius
+            _SHAPE_VERTS[shape] = np.array([[1.0, 1.0], [-1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]])
+        else:
+            raise ValueError(f"Invalid shape `{shape}`. Valid options: 'circle', 'square', 'hex' or None.")
+    return _SHAPE_VERTS[shape]
+
+
+def _shaped_collection(
+    coords: np.ndarray,
+    radius: float,
+    shape: str,
+    facecolors: Any,
+    alpha: float,
+) -> Any:
+    """One PolyCollection of identically shaped spots in DATA units."""
+    from matplotlib.collections import PolyCollection
+
+    verts = _unit_shape(shape)[None, :, :] * radius + coords[:, None, :]
+    return PolyCollection(verts, facecolors=facecolors, alpha=alpha, linewidths=0)
+
+
+def _build_norm(vals: np.ndarray, vmin: float | None, vmax: float | None, vcenter: float | None) -> Any:
+    import matplotlib as mpl
+
+    lo = np.nanmin(vals) if vmin is None else vmin
+    hi = np.nanmax(vals) if vmax is None else vmax
+    if vcenter is not None:
+        return mpl.colors.TwoSlopeNorm(vmin=lo, vcenter=vcenter, vmax=hi)
+    return mpl.colors.Normalize(vmin=lo, vmax=hi)
+
+
+def _draw_edges(ax: Any, adata: Any, coords: np.ndarray, obs_mask: np.ndarray, connectivity_key: str, scale: float, edges_width: float, edges_color: str) -> None:
+    """Overlay the spatial graph's edges (reference _plot_edges,
+    /root/reference/src/squidpy/pl/_spatial_utils.py)."""
+    from matplotlib.collections import LineCollection
+
+    adj = sp.coo_matrix(adata.obsp[connectivity_key])
+    keep = obs_mask[adj.row] & obs_mask[adj.col] & (adj.row < adj.col)
+    segs = np.stack(
+        [coords[adj.row[keep]] * scale, coords[adj.col[keep]] * scale], axis=1
+    )
+    ax.add_collection(LineCollection(segs, colors=edges_color, linewidths=edges_width, zorder=1))
+
+
 def spatial_scatter(
     adata: Any,
     shape: str | None = "circle",
     color: str | Sequence[str] | None = None,
+    groups: Sequence[str] | str | None = None,
     library_id: str | None = None,
     library_key: str | None = None,
     spatial_key: str = Key.obsm.spatial,
@@ -98,6 +158,10 @@ def spatial_scatter(
     layer: str | None = None,
     size: float | None = None,
     cmap: str = "viridis",
+    norm: Any = None,
+    vmin: float | None = None,
+    vmax: float | None = None,
+    vcenter: float | None = None,
     palette: Any = None,
     alpha: float = 1.0,
     legend_loc: str = "right margin",
@@ -109,8 +173,12 @@ def spatial_scatter(
     outline: bool = False,
     outline_color: tuple[str, str] = ("black", "white"),
     outline_width: tuple[float, float] = (0.3, 0.05),
+    connectivity_key: str | None = None,
+    edges_width: float = 0.5,
+    edges_color: str = "grey",
     colorbar: bool = True,
     na_color: str = "lightgrey",
+    frameon: bool = True,
     figsize: tuple[float, float] | None = None,
     dpi: int | None = None,
     ax: Any = None,
@@ -121,8 +189,13 @@ def spatial_scatter(
 
     Reference feature set (/root/reference/src/squidpy/pl/_spatial_utils.py:59-1030):
     multi-panel over ``color`` × libraries (``library_key``), image background
-    with scale factors, ``crop_coord`` view windows, spot ``outline`` rings,
-    a native ``scalebar_dx`` scale bar, NaN handling via ``na_color``.
+    with scale factors, true data-unit spot ``shape`` rendering
+    (circle/square/hex, sized by the library's spot diameter × ``size``;
+    ``shape=None`` falls back to point scatter), ``groups`` category
+    subsetting, ``vmin``/``vmax``/``vcenter`` (or an explicit ``norm``) for
+    continuous colors, spatial-graph edge overlay via ``connectivity_key``,
+    ``crop_coord`` view windows, spot ``outline`` rings, a native
+    ``scalebar_dx`` scale bar, NaN handling via ``na_color``.
     """
     adata = extract_adata_if_sdata(adata)
     if spatial_key not in adata.obsm:
@@ -154,53 +227,91 @@ def spatial_scatter(
     if len(axes) < n_panels:
         raise ValueError(f"Expected at least `{n_panels}` axes, got `{len(axes)}`.")
 
+    if groups is not None and isinstance(groups, str):
+        groups = [groups]
+
     for a, (col_name, lib) in zip(axes, panels):
         obs_mask = np.ones(len(coords), dtype=bool) if lib is None else np.asarray(adata.obs[library_key] == lib)
-        background, scalef, spot_diam = (
-            _get_image_and_scale(adata, lib if lib is not None else library_id, img_res_key)
-            if img
-            else (None, 1.0, 10.0)
+        background, scalef, spot_diam = _get_image_and_scale(
+            adata, lib if lib is not None else library_id, img_res_key
         )
-        plot_coords = coords[obs_mask] * (scalef if background is not None else 1.0)
+        if not img:
+            # full-res coordinates, true spot diameter, no image underlay
+            background, scalef = None, 1.0
+        has_spot_geometry = Key.uns.spatial in adata.uns and bool(adata.uns[Key.uns.spatial])
+        draw_scale = scalef if (background is not None or has_spot_geometry) else 1.0
+        plot_coords = coords[obs_mask] * draw_scale
+        use_shapes = shape is not None and has_spot_geometry
+        radius = spot_diam * scalef / 2.0 * (size if size is not None else 1.0)
         pt_size = size
         if pt_size is None:
             pt_size = max((spot_diam * scalef / 2.0) ** 2 * np.pi / 20.0, 4.0) if background is not None else 8.0
 
         if background is not None:
             a.imshow(np.asarray(background))
+        if connectivity_key is not None:
+            _draw_edges(a, adata, coords, obs_mask, connectivity_key, draw_scale, edges_width, edges_color)
         values, is_cat = _get_color_vector(adata, col_name, layer)
 
-        def _outlined_scatter(x: Any, y: Any, **sc_kwargs: Any) -> Any:
+        def _draw(pc: np.ndarray, facecolors: Any, **sc_kwargs: Any) -> Any:
+            """Spots as data-unit shapes, or points when no geometry is known."""
+            if use_shapes:
+                if outline:
+                    r_gap = radius * (1.0 + outline_width[1])
+                    r_bg = r_gap * (1.0 + outline_width[0])
+                    a.add_collection(_shaped_collection(pc, r_bg, shape, outline_color[0], alpha))
+                    a.add_collection(_shaped_collection(pc, r_gap, shape, outline_color[1], alpha))
+                coll = _shaped_collection(pc, radius, shape, facecolors, alpha)
+                a.add_collection(coll)
+                a.autoscale_view()
+                return coll
             if outline:
                 gap = pt_size * (1.0 + outline_width[1])
                 bg = gap * (1.0 + outline_width[0])
-                a.scatter(x, y, s=bg, c=outline_color[0], alpha=alpha, linewidths=0)
-                a.scatter(x, y, s=gap, c=outline_color[1], alpha=alpha, linewidths=0)
-            return a.scatter(x, y, s=pt_size, alpha=alpha, **sc_kwargs)
+                a.scatter(pc[:, 0], pc[:, 1], s=bg, c=outline_color[0], alpha=alpha, linewidths=0)
+                a.scatter(pc[:, 0], pc[:, 1], s=gap, c=outline_color[1], alpha=alpha, linewidths=0)
+            return a.scatter(pc[:, 0], pc[:, 1], s=pt_size, alpha=alpha, **sc_kwargs)
 
         if values is None:
-            _outlined_scatter(plot_coords[:, 0], plot_coords[:, 1], **kwargs)
+            _draw(plot_coords, "tab:blue", color="tab:blue", **kwargs)
         elif is_cat:
             vals = values[obs_mask] if lib is not None else values
             palette_map = _get_palette(adata, col_name, palette=palette)
+            shown = list(vals.cat.categories) if groups is None else [c for c in vals.cat.categories if c in groups]
             na_mask = np.asarray(pd.isnull(vals))
+            if groups is not None:
+                na_mask = na_mask | ~np.asarray(vals.isin(shown))
             if na_mask.any():
-                a.scatter(plot_coords[na_mask, 0], plot_coords[na_mask, 1], s=pt_size, alpha=alpha,
-                          color=na_color, label="NaN", **kwargs)
-            for cat in vals.cat.categories:
-                m = np.asarray(vals == cat)
+                _draw(plot_coords[na_mask], na_color, color=na_color, label="NaN" if groups is None else None)
+            handles = []
+            import matplotlib.lines as mlines
+
+            for cat in shown:
+                m = np.asarray(vals == cat) & ~na_mask
                 if not m.any():
                     continue
-                _outlined_scatter(plot_coords[m, 0], plot_coords[m, 1],
-                                  color=palette_map.get(cat), label=str(cat), **kwargs)
+                c = palette_map.get(cat)
+                _draw(plot_coords[m], c, color=c, label=str(cat), **kwargs)
+                handles.append(mlines.Line2D([], [], color=c, marker="o", linestyle="", label=str(cat)))
             if legend_loc:
-                a.legend(fontsize=7, loc="center left", bbox_to_anchor=(1.0, 0.5), frameon=False)
+                a.legend(handles=handles or None, fontsize=7, loc="center left",
+                         bbox_to_anchor=(1.0, 0.5), frameon=False)
         else:
+            import matplotlib as mpl
+
             vals = np.asarray(values, dtype=float)[obs_mask]
-            scp = _outlined_scatter(plot_coords[:, 0], plot_coords[:, 1], c=vals, cmap=cmap,
-                                    plotnonfinite=True, **kwargs)
+            the_norm = norm if norm is not None else _build_norm(vals, vmin, vmax, vcenter)
+            cmap_obj = plt.get_cmap(cmap)
+            if use_shapes:
+                fc = cmap_obj(the_norm(vals))
+                fc[~np.isfinite(vals)] = mpl.colors.to_rgba(na_color)
+                scp = _draw(plot_coords, fc)
+                mappable = mpl.cm.ScalarMappable(norm=the_norm, cmap=cmap_obj)
+            else:
+                scp = _draw(plot_coords, None, c=vals, cmap=cmap, norm=the_norm, plotnonfinite=True, **kwargs)
+                mappable = scp
             if colorbar:
-                fig.colorbar(scp, ax=a)
+                fig.colorbar(mappable, ax=a)
         if background is None:
             a.invert_yaxis()
         if crop_coord is not None:
@@ -214,6 +325,8 @@ def spatial_scatter(
         a.set_xlabel("spatial1" if axis_label is None else axis_label[0])
         a.set_ylabel("spatial2" if axis_label is None else axis_label[1])
         a.set_aspect("equal")
+        if not frameon:
+            a.axis("off")
     if save is not None:
         save_fig(fig, save)
 

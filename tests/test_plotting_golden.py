@@ -169,3 +169,51 @@ class TestGoldenOtherPlots:
         sq.tl.var_by_distance(adata, groups="0", cluster_key="leiden")
         sq.pl.var_by_distance(adata, var=str(adata.var_names[0]), anchor_key="0")
         compare_figure("var_by_distance")
+
+
+class TestGoldenScatterFeatures:
+    """New reference-parity scatter features: data-unit shapes, graph edges,
+    category subsetting, diverging norms."""
+
+    def test_scatter_hex_shape(self, golden_adata):
+        sq.pl.spatial_scatter(golden_adata, color="leiden", img=False, shape="hex")
+        compare_figure("spatial_scatter_hex")
+
+    def test_scatter_square_shape(self, golden_adata):
+        sq.pl.spatial_scatter(golden_adata, color="leiden", img=False, shape="square")
+        compare_figure("spatial_scatter_square")
+
+    def test_scatter_points_no_shape(self, golden_adata):
+        sq.pl.spatial_scatter(golden_adata, color="leiden", img=False, shape=None)
+        compare_figure("spatial_scatter_points")
+
+    def test_scatter_edges(self, golden_adata):
+        sq.pl.spatial_scatter(
+            golden_adata, color="leiden", img=False,
+            connectivity_key="spatial_connectivities", edges_width=0.8,
+        )
+        compare_figure("spatial_scatter_edges")
+
+    def test_scatter_groups_subset(self, golden_adata):
+        cats = list(golden_adata.obs["leiden"].cat.categories[:2])
+        sq.pl.spatial_scatter(golden_adata, color="leiden", img=False, groups=cats)
+        compare_figure("spatial_scatter_groups")
+
+    def test_scatter_vcenter(self, golden_adata):
+        from scipy import sparse as sp
+
+        X = golden_adata.X
+        dense = np.asarray(X.todense() if sp.issparse(X) else X, dtype=float)
+        gene = str(golden_adata.var_names[int(np.argmax(dense.var(axis=0)))])
+        vals = dense[:, int(np.argmax(dense.var(axis=0)))]
+        center = float((vals.min() + vals.max()) / 2.0)
+        sq.pl.spatial_scatter(golden_adata, color=gene, img=False, vcenter=center, cmap="coolwarm")
+        compare_figure("spatial_scatter_vcenter")
+
+    def test_scatter_over_image(self, golden_adata):
+        sq.pl.spatial_scatter(golden_adata, color="leiden", img=True, img_res_key="hires")
+        compare_figure("spatial_scatter_image")
+
+    def test_scatter_frameoff(self, golden_adata):
+        sq.pl.spatial_scatter(golden_adata, color="leiden", img=False, frameon=False)
+        compare_figure("spatial_scatter_frameoff")
