@@ -1,11 +1,19 @@
 """Experimental image pipeline (tiled WSI processing)."""
 
 from squidpy_tpu.experimental.im._calculate_image_features import calculate_image_features
-from squidpy_tpu.experimental.im._detect_tissue import detect_tissue
+from squidpy_tpu.experimental.im._detect_tissue import (
+    BackgroundDetectionParams,
+    FelzenszwalbParams,
+    WekaParams,
+    detect_tissue,
+)
 from squidpy_tpu.experimental.im._make_tiles import make_tiles, make_tiles_from_spots
 from squidpy_tpu.experimental.im._qc import QCMetric, qc_image
 from squidpy_tpu.experimental.im._stain import (
+    MacenkoParams,
+    ReinhardParams,
     StainReference,
+    VahadaneParams,
     decompose_stains,
     estimate_white_point,
     fit_stain_reference,
@@ -26,6 +34,12 @@ from squidpy_tpu.experimental.im._tiling import (
 )
 
 __all__ = [
+    "BackgroundDetectionParams",
+    "FelzenszwalbParams",
+    "MacenkoParams",
+    "ReinhardParams",
+    "VahadaneParams",
+    "WekaParams",
     "calculate_image_features",
     "detect_tissue",
     "qc_image",

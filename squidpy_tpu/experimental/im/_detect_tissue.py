@@ -11,6 +11,7 @@ upscale the mask back to full resolution with nearest-neighbor interpolation
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, Literal
 
 import jax
@@ -18,11 +19,98 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import ndimage as ndi
 
+from squidpy_tpu.experimental._params import resolve_params
 from squidpy_tpu.im._segment import threshold_otsu
 from squidpy_tpu.ops.filters import gaussian_blur
 from squidpy_tpu.utils import logg
 
-__all__ = ["detect_tissue"]
+__all__ = [
+    "BackgroundDetectionParams",
+    "FelzenszwalbParams",
+    "WekaParams",
+    "detect_tissue",
+]
+
+
+@dataclass(frozen=True)
+class BackgroundDetectionParams:
+    """Which image corners are background priors, and how large the corner
+    boxes are (fraction of each side). If no corner is flagged, orientation
+    falls back to treating the brightest pixels as background (bright-field
+    convention). Reference: experimental/im/_detect_tissue.py:37-59."""
+
+    ymin_xmin_is_bg: bool = True
+    ymax_xmin_is_bg: bool = True
+    ymin_xmax_is_bg: bool = True
+    ymax_xmax_is_bg: bool = True
+    corner_size_pct: float = 0.04
+
+    @property
+    def any_corner(self) -> bool:
+        return (
+            self.ymin_xmin_is_bg
+            or self.ymax_xmin_is_bg
+            or self.ymin_xmax_is_bg
+            or self.ymax_xmax_is_bg
+        )
+
+    def __post_init__(self) -> None:
+        if not 0.0 < self.corner_size_pct <= 0.5:
+            raise ValueError(f"`corner_size_pct` must be in (0, 0.5], got {self.corner_size_pct}.")
+
+
+@dataclass(frozen=True)
+class FelzenszwalbParams:
+    """Superpixel sizing for the felzenszwalb method. ``grid_rows × grid_cols``
+    sets the target superpixel count; ``scale_coef`` multiplies the image's
+    intensity range to give the merge threshold k (intensity units — unlike
+    the reference's area-based coefficient, see the k discussion in
+    ``_segment_felzenszwalb_mask``); ``min_size_coef`` × target area is the
+    minimum region size. Reference: experimental/im/_detect_tissue.py:62-72."""
+
+    grid_rows: int = 8
+    grid_cols: int = 8
+    scale_coef: float = 2.0
+    min_size_coef: float = 0.05
+
+    def __post_init__(self) -> None:
+        if self.grid_rows < 1 or self.grid_cols < 1:
+            raise ValueError("`grid_rows`/`grid_cols` must be >= 1.")
+        if self.min_size_coef < 0 or self.scale_coef <= 0:
+            raise ValueError("`scale_coef` must be > 0 and `min_size_coef` >= 0.")
+
+
+@dataclass(frozen=True)
+class WekaParams:
+    """Knobs for the trainable (Weka-style) method: the multiscale feature
+    ladder (geometric sigmas from ``sigma_min`` to ``sigma_max``; ``edges``
+    adds gradient-magnitude channels), pseudo-label seeding, and the
+    RandomForest. Reference: experimental/im/_detect_tissue.py:75-92."""
+
+    sigma_min: float = 1.0
+    sigma_max: float = 8.0
+    edges: bool = True
+    pseudo_tissue_percentile: float = 95.0
+    pseudo_min_pixels: int = 200
+    rf_estimators: int = 50
+    rf_max_depth: int | None = 10
+    random_state: int = 0
+
+    @property
+    def sigmas(self) -> tuple[float, ...]:
+        out, s = [], float(self.sigma_min)
+        while s <= self.sigma_max * (1 + 1e-9):
+            out.append(s)
+            s *= 2.0
+        return tuple(out)
+
+    def __post_init__(self) -> None:
+        if not 0 < self.sigma_min <= self.sigma_max:
+            raise ValueError("need 0 < sigma_min <= sigma_max.")
+        if not 0.0 < self.pseudo_tissue_percentile < 100.0:
+            raise ValueError("`pseudo_tissue_percentile` must be in (0, 100).")
+        if self.rf_estimators < 1 or self.pseudo_min_pixels < 1:
+            raise ValueError("`rf_estimators` and `pseudo_min_pixels` must be >= 1.")
 
 
 def _downscale(gray: np.ndarray, max_side: int) -> tuple[np.ndarray, float]:
@@ -35,89 +123,107 @@ def _downscale(gray: np.ndarray, max_side: int) -> tuple[np.ndarray, float]:
     return small, scale
 
 
-def _corner_background_stats(small: np.ndarray, frac: float = 0.04) -> tuple[np.ndarray, float, float]:
-    """Corner seed mask + background mean/std (corners are background priors,
-    the reference's BackgroundDetectionParams default)."""
+def _corner_background_stats(
+    small: np.ndarray, bg: BackgroundDetectionParams | None = None
+) -> tuple[np.ndarray, float, float]:
+    """Background-prior seed mask + its mean/std. The flagged corners are the
+    prior; with no corner flagged, the brightest 5% of pixels stand in
+    (bright-field fallback, reference BackgroundDetectionParams docstring)."""
+    bg = bg or BackgroundDetectionParams()
     h, w = small.shape
-    ch, cw = max(1, int(h * frac)), max(1, int(w * frac))
-    corners = np.zeros((h, w), dtype=bool)
-    corners[:ch, :cw] = corners[:ch, -cw:] = corners[-ch:, :cw] = corners[-ch:, -cw:] = True
-    vals = small[corners]
-    return corners, float(vals.mean()), float(max(vals.std(), 1e-6))
+    seeds = np.zeros((h, w), dtype=bool)
+    if bg.any_corner:
+        ch = max(1, int(h * bg.corner_size_pct))
+        cw = max(1, int(w * bg.corner_size_pct))
+        if bg.ymin_xmin_is_bg:
+            seeds[:ch, :cw] = True
+        if bg.ymin_xmax_is_bg:
+            seeds[:ch, -cw:] = True
+        if bg.ymax_xmin_is_bg:
+            seeds[-ch:, :cw] = True
+        if bg.ymax_xmax_is_bg:
+            seeds[-ch:, -cw:] = True
+    else:
+        seeds = small >= np.percentile(small, 95.0)
+    vals = small[seeds]
+    return seeds, float(vals.mean()), float(max(vals.std(), 1e-6))
 
 
-def _segment_felzenszwalb_mask(small: np.ndarray, **params: Any) -> np.ndarray:
+def _segment_felzenszwalb_mask(
+    small: np.ndarray, fp: FelzenszwalbParams, bg: BackgroundDetectionParams | None
+) -> np.ndarray:
     """Superpixels → tissue mask: Otsu over per-superpixel mean intensity,
     oriented by the corner-background brightness (reference
     ``_mask_from_labels_via_corners``, _detect_tissue.py:560-600)."""
     from squidpy_tpu.native import felzenszwalb
 
     h, w = small.shape
-    target_regions = params.get("target_regions", 64)
-    target_area = h * w / target_regions
+    target_area = h * w / (fp.grid_rows * fp.grid_cols)
     # k is in intensity units: a few times the image's dynamic range keeps
     # genuine tissue/background boundaries while merging noise (measured on
     # the synthetic H&E: k ~= 2x range gives clean superpixels on [0, 1] data)
     span = float(small.max() - small.min()) or 1.0
-    scale = float(params.get("scale", 2.0 * span))
-    min_size = int(params.get("min_size", 0.05 * target_area))
-    labels = felzenszwalb(small, scale=scale, min_size=min_size)
+    labels = felzenszwalb(small, scale=fp.scale_coef * span, min_size=int(fp.min_size_coef * target_area))
 
     n = int(labels.max()) + 1
     counts = np.bincount(labels.ravel(), minlength=n).astype(np.float64)
     sums = np.bincount(labels.ravel(), weights=small.ravel().astype(np.float64), minlength=n)
     means = sums / np.maximum(counts, 1)
     thr = threshold_otsu(means.astype(np.float32)) if n > 1 else means[0] - 1.0
-    _, bg_mean, _ = _corner_background_stats(small)
+    _, bg_mean, _ = _corner_background_stats(small, bg)
     bright_bg = bg_mean > float(small.mean())
     keep = (means <= thr) if bright_bg else (means >= thr)
     return keep[labels]
 
 
-def _multiscale_pixel_features(small: np.ndarray, sigmas: tuple[float, ...]) -> np.ndarray:
+def _multiscale_pixel_features(
+    small: np.ndarray, sigmas: tuple[float, ...], edges: bool = True
+) -> np.ndarray:
     """WEKA-style per-pixel feature stack: intensity plus, per scale,
-    gaussian-smoothed intensity, gradient magnitude and laplacian — all
-    through the device convolution kernel. (n_pixels, n_features)."""
+    gaussian-smoothed intensity, gradient magnitude (when ``edges``) and
+    laplacian — all through the device convolution kernel.
+    (n_pixels, n_features)."""
     feats = [small.ravel()]
     for s in sigmas:
         sm = np.asarray(gaussian_blur(small, s), dtype=np.float32)
-        gy, gx = np.gradient(sm)
         lap = np.asarray(gaussian_blur(sm, s), dtype=np.float32) - sm
-        feats += [sm.ravel(), np.hypot(gy, gx).ravel(), lap.ravel()]
+        feats += [sm.ravel(), lap.ravel()]
+        if edges:
+            gy, gx = np.gradient(sm)
+            feats.append(np.hypot(gy, gx).ravel())
     return np.column_stack(feats).astype(np.float32)
 
 
-def _segment_weka_mask(small: np.ndarray, rng_seed: int = 0, **params: Any) -> np.ndarray:
+def _segment_weka_mask(
+    small: np.ndarray, wp: WekaParams, bg: BackgroundDetectionParams | None
+) -> np.ndarray:
     """Trainable segmentation: corner background seeds + pseudo tissue seeds
     from a background z-score map, a RandomForest on multiscale pixel
     features, prediction over every pixel (reference ``_segment_weka``,
     _detect_tissue.py:626-760)."""
     from sklearn.ensemble import RandomForestClassifier
 
-    corners, bg_mean, bg_std = _corner_background_stats(small)
+    corners, bg_mean, bg_std = _corner_background_stats(small, bg)
     zmap = np.abs((small - bg_mean) / bg_std)
     non_bg = ~corners
-    perc = float(params.get("pseudo_tissue_percentile", 95.0))
-    min_seeds = int(params.get("pseudo_min_pixels", 200))
-    thr = np.percentile(zmap[non_bg], perc)
+    thr = np.percentile(zmap[non_bg], wp.pseudo_tissue_percentile)
     tissue_seeds = (zmap >= thr) & non_bg
-    if tissue_seeds.sum() < min_seeds:
+    if tissue_seeds.sum() < wp.pseudo_min_pixels:
         order = np.argsort(zmap.ravel())[::-1]
-        take = order[np.isin(order, np.flatnonzero(non_bg))][:min_seeds]
+        take = order[np.isin(order, np.flatnonzero(non_bg))][: wp.pseudo_min_pixels]
         tissue_seeds = np.zeros_like(tissue_seeds)
         tissue_seeds.ravel()[take] = True
 
-    sigmas = tuple(params.get("sigmas", (1.0, 2.0, 4.0, 8.0)))
-    feats = _multiscale_pixel_features(small, sigmas)
+    feats = _multiscale_pixel_features(small, wp.sigmas, wp.edges)
     y = np.zeros(small.size, dtype=np.int8)
     y[corners.ravel()] = 1
     y[tissue_seeds.ravel()] = 2
     seeded = y > 0
     clf = RandomForestClassifier(
-        n_estimators=int(params.get("n_estimators", 50)),
-        max_depth=int(params.get("max_depth", 10)),
+        n_estimators=wp.rf_estimators,
+        max_depth=wp.rf_max_depth,
         n_jobs=-1,
-        random_state=rng_seed,
+        random_state=wp.random_state,
     )
     clf.fit(feats[seeded], y[seeded])
     pred = clf.predict(feats)
@@ -133,7 +239,8 @@ def detect_tissue(
     close_holes: bool = True,
     border_margin: int = 0,
     invert: bool | None = None,
-    method_params: dict[str, Any] | None = None,
+    method_params: Any = None,
+    background_params: Any = None,
     **kwargs: Any,
 ) -> np.ndarray:
     """Detect tissue; returns a full-resolution boolean mask.
@@ -151,6 +258,11 @@ def detect_tissue(
 
     ``invert=None`` auto-orients the mask so tissue is the darker phase
     (bright-field convention); pass False/True to force.
+
+    ``method_params`` takes a :class:`FelzenszwalbParams` / :class:`WekaParams`
+    instance or a mapping of field names (``method='otsu'``/``'kmeans'`` take
+    none); ``background_params`` takes a :class:`BackgroundDetectionParams`
+    controlling which corners seed the background prior.
     """
     arr = np.asarray(image).squeeze()
     gray = arr.mean(axis=-1) if arr.ndim == 3 else arr.astype(float)
@@ -160,15 +272,23 @@ def detect_tissue(
 
     small, scale = _downscale(gray, downscale_to)
     smooth = gaussian_blur(small, sigma) if sigma > 0 else small
-    method_params = dict(method_params or {})
+    bg = (
+        resolve_params(background_params, BackgroundDetectionParams, "background_params")
+        if background_params is not None
+        else None
+    )
+    if method_params is not None and method in ("otsu", "kmeans"):
+        raise ValueError(f"`method_params` is not supported for method `{method}`.")
 
     if method == "otsu":
         thr = threshold_otsu(smooth)
         mask = smooth < thr
     elif method == "felzenszwalb":
-        mask = _segment_felzenszwalb_mask(np.asarray(smooth, dtype=np.float32), **method_params)
+        fp = resolve_params(method_params, FelzenszwalbParams, "method_params")
+        mask = _segment_felzenszwalb_mask(np.asarray(smooth, dtype=np.float32), fp, bg)
     elif method == "weka":
-        mask = _segment_weka_mask(np.asarray(small, dtype=np.float32), **method_params)
+        wp = resolve_params(method_params, WekaParams, "method_params")
+        mask = _segment_weka_mask(np.asarray(small, dtype=np.float32), wp, bg)
     elif method == "kmeans":
         from sklearn.cluster import KMeans
 

@@ -20,7 +20,10 @@ import numpy as np
 from squidpy_tpu.utils import NDArrayA, logg
 
 __all__ = [
+    "MacenkoParams",
+    "ReinhardParams",
     "StainReference",
+    "VahadaneParams",
     "estimate_white_point",
     "fit_stain_reference",
     "normalize_stains",
@@ -32,6 +35,61 @@ __all__ = [
 RUIFROK_H = np.array([0.650, 0.704, 0.286])
 RUIFROK_E = np.array([0.072, 0.990, 0.105])
 DEFAULT_LUMINOSITY_THRESHOLD = 0.8
+
+
+@dataclass(frozen=True)
+class MacenkoParams:
+    """Tuning knobs for the Macenko stain-matrix fit.
+
+    ``alpha``: angular percentile (degrees) picking the two stain directions
+    from the OD angle distribution. ``beta``: mean-absorbance cutoff selecting
+    tissue pixels (reference: experimental/im/_stain/_decomposition.py:40-56).
+    """
+
+    alpha: float = 1.0
+    beta: float = 0.15
+
+    def __post_init__(self) -> None:
+        if not 0.0 < self.alpha < 50.0:
+            raise ValueError(f"`alpha` must be in (0, 50), got {self.alpha}.")
+        if self.beta < 0.0:
+            raise ValueError(f"`beta` must be >= 0, got {self.beta}.")
+
+
+@dataclass(frozen=True)
+class VahadaneParams:
+    """Tuning knobs for the Vahadane (sparse dictionary-learning) fit
+    (reference: experimental/im/_stain/_decomposition.py:59-80)."""
+
+    beta: float = 0.15
+    lambda1: float = 0.01
+    n_iter: int = 400
+    random_state: int = 0
+
+    def __post_init__(self) -> None:
+        if self.beta < 0.0:
+            raise ValueError(f"`beta` must be >= 0, got {self.beta}.")
+        if self.lambda1 < 0.0:
+            raise ValueError(f"`lambda1` must be >= 0, got {self.lambda1}.")
+        if self.n_iter < 1:
+            raise ValueError(f"`n_iter` must be >= 1, got {self.n_iter}.")
+
+
+@dataclass(frozen=True)
+class ReinhardParams:
+    """Tuning knobs for Reinhard normalization: the luminosity cutoff for the
+    tissue mask, and whether to mask at all (``mask_background=False`` fits
+    the channel statistics over every pixel — vanilla Reinhard; reference:
+    experimental/im/_stain/_reinhard.py:34-53)."""
+
+    luminosity_threshold: float = DEFAULT_LUMINOSITY_THRESHOLD
+    mask_background: bool = True
+
+    def __post_init__(self) -> None:
+        if not 0.0 < self.luminosity_threshold <= 1.0:
+            raise ValueError(
+                f"`luminosity_threshold` must be in (0, 1], got {self.luminosity_threshold}."
+            )
 
 
 def _unit_columns(m: NDArrayA) -> NDArrayA:
@@ -142,6 +200,7 @@ def fit_stain_reference(
     beta: float = 0.15,
     max_pixels: int | None = 200_000,
     seed: int = 0,
+    method_params: Any = None,
     **kwargs: Any,
 ) -> StainReference:
     """Fit a stain reference (matrix + robust max concentrations) on an image.
@@ -150,7 +209,20 @@ def fit_stain_reference(
     stain vectors and percentile statistics converge with a few 10⁵ pixels,
     so fitting on every pixel of a full slide only burns time (the apply
     step still runs on every pixel). ``None`` disables subsampling.
+
+    ``method_params`` takes a :class:`MacenkoParams` / :class:`VahadaneParams`
+    instance (or a mapping of field names) and overrides the per-method knobs.
     """
+    if method_params is not None:
+        from squidpy_tpu.experimental._params import resolve_params
+
+        if method == "macenko":
+            mp = resolve_params(method_params, MacenkoParams, "method_params")
+            alpha, beta = mp.alpha, mp.beta
+        elif method == "vahadane":
+            vp = resolve_params(method_params, VahadaneParams, "method_params")
+            beta = vp.beta
+            kwargs = {"lambda1": vp.lambda1, "n_iter": vp.n_iter, "random_state": vp.random_state}
     rgb = _as_float_rgb(image)
     n_px = rgb.shape[0] * rgb.shape[1]
     if max_pixels is not None and n_px > 4 * max_pixels:
@@ -321,15 +393,23 @@ def reinhard_normalize(
     target_stds: NDArrayA | None = None,
     luminosity_threshold: float = DEFAULT_LUMINOSITY_THRESHOLD,
     out_dtype: Any = np.uint8,
+    method_params: Any = None,
 ) -> np.ndarray:
     """Reinhard colour normalization: match per-channel LAB mean/std to a
     reference image (or explicit target statistics), computed over tissue
-    pixels (luminosity below the threshold)."""
+    pixels (luminosity below the threshold). ``method_params`` takes a
+    :class:`ReinhardParams` (or mapping) overriding the threshold/masking."""
+    mask_background = True
+    if method_params is not None:
+        from squidpy_tpu.experimental._params import resolve_params
+
+        rp = resolve_params(method_params, ReinhardParams, "method_params")
+        luminosity_threshold, mask_background = rp.luminosity_threshold, rp.mask_background
     rgb = _as_float_rgb(image)
     on_host = _apply_on_host(rgb)
     lab_np = _rgb_to_lab_host(rgb) if on_host else np.asarray(_rgb_to_lab(jnp.asarray(rgb)))
     lum = np.asarray(rgb.mean(axis=-1) / 255.0)
-    mask = lum < luminosity_threshold
+    mask = (lum < luminosity_threshold) if mask_background else np.ones(lum.shape, dtype=bool)
     if not mask.any():
         mask = np.ones_like(mask)
 
@@ -341,7 +421,7 @@ def reinhard_normalize(
         ref_rgb = _as_float_rgb(reference_image)
         ref_lab = _rgb_to_lab_host(ref_rgb) if _apply_on_host(ref_rgb) else np.asarray(_rgb_to_lab(jnp.asarray(ref_rgb)))
         ref_lum = ref_rgb.mean(axis=-1) / 255.0
-        ref_mask = ref_lum < luminosity_threshold
+        ref_mask = (ref_lum < luminosity_threshold) if mask_background else np.ones(ref_lum.shape, dtype=bool)
         if not ref_mask.any():
             ref_mask = np.ones_like(ref_mask)
         target_means = ref_lab[ref_mask].mean(axis=0)

@@ -1,6 +1,6 @@
 """Experimental tools."""
 
-from squidpy_tpu.experimental.tl._tiling_qc import calculate_tiling_qc
-from squidpy_tpu.experimental.tl._tiling_stitch import assign_stitch_groups
+from squidpy_tpu.experimental.tl._tiling_qc import TilingQCParams, calculate_tiling_qc
+from squidpy_tpu.experimental.tl._tiling_stitch import StitchParams, assign_stitch_groups
 
-__all__ = ["calculate_tiling_qc", "assign_stitch_groups"]
+__all__ = ["StitchParams", "TilingQCParams", "calculate_tiling_qc", "assign_stitch_groups"]

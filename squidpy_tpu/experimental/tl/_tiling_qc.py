@@ -10,6 +10,7 @@ tile's labels are resident at a time.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, Literal
 
 import numpy as np
@@ -23,9 +24,31 @@ from squidpy_tpu.experimental.im._tiling import (
     extract_labels_tile,
     run_tiled,
 )
+from squidpy_tpu.experimental._params import resolve_params
 from squidpy_tpu.utils import logg
 
-__all__ = ["calculate_tiling_qc"]
+__all__ = ["TilingQCParams", "calculate_tiling_qc"]
+
+
+@dataclass(frozen=True)
+class TilingQCParams:
+    """Advanced knobs for :func:`calculate_tiling_qc` (reference:
+    experimental/tl/_tiling_qc.py:61-91). ``min_area``: cells smaller than
+    this (pixels) get NaN scores and are never flagged; ``min_run_px``:
+    absolute floor on the straight-run length backing a cut flag;
+    ``nmads_cut``: MAD-rule outlier multiplier for the flag."""
+
+    min_area: int = 1
+    min_run_px: int = 8
+    nmads_cut: float = 1.5
+
+    def __post_init__(self) -> None:
+        if self.min_area < 1:
+            raise ValueError(f"`min_area` must be >= 1, got {self.min_area}.")
+        if self.min_run_px < 1:
+            raise ValueError(f"`min_run_px` must be >= 1, got {self.min_run_px}.")
+        if self.nmads_cut <= 0:
+            raise ValueError(f"`nmads_cut` must be > 0, got {self.nmads_cut}.")
 
 
 def _longest_run(mask_1d: np.ndarray) -> int:
@@ -112,13 +135,19 @@ def calculate_tiling_qc(
     sdata: Any = None,
     labels_key: str = "labels",
     table_key_added: str | None = None,
+    tiling_qc_params: Any = None,
 ) -> AnnData:
     """Score every cell for tile-boundary artifacts.
 
     Returns an AnnData with one obs per cell: straightness scores,
     ``cut_score`` and a ``tile_cut`` outlier flag (MAD rule at ``nmads_cut``).
     Attached to ``sdata.tables['{labels_key}_qc']`` when given.
+    ``tiling_qc_params`` takes a :class:`TilingQCParams` instance (or a
+    mapping of its field names) and overrides the individual knobs.
     """
+    qp = resolve_params(tiling_qc_params, TilingQCParams, "tiling_qc_params")
+    if tiling_qc_params is not None:
+        nmads_cut, min_run_px = qp.nmads_cut, qp.min_run_px
     start = logg.info("Computing cell centroids for tiling QC")
     cell_info = compute_cell_info_tiled(labels)
     if not cell_info:
@@ -135,6 +164,10 @@ def calculate_tiling_qc(
         & (df["cut_score"] > 0.5)
         & (df["straight_run_px"] >= min_run_px)
     )
+    if qp.min_area > 1:
+        tiny = df["area"].to_numpy() < qp.min_area
+        df.loc[tiny, ["straight_v", "straight_h", "cut_score"]] = np.nan
+        df.loc[tiny, "tile_cut"] = False
 
     obs = df.drop(columns=["centroid_y", "centroid_x"]).copy()
     obs.index = pd.Index([f"cell_{int(v)}" for v in df["label"]])

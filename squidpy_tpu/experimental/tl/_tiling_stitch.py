@@ -9,14 +9,36 @@ groups; the native union-find merge bounds group size transitively.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
 import pandas as pd
 
+from squidpy_tpu.experimental._params import resolve_params
 from squidpy_tpu.utils import logg
 
-__all__ = ["assign_stitch_groups"]
+__all__ = ["StitchParams", "assign_stitch_groups"]
+
+
+@dataclass(frozen=True)
+class StitchParams:
+    """Advanced knobs for :func:`assign_stitch_groups` (reference:
+    experimental/tl/_tiling_stitch.py:57-105). ``min_confidence``: pair-score
+    floor for a stitch; ``max_gap``: maximum pixel gap between the facing
+    straight edges; ``max_group_size``: transitive cap on merged group size."""
+
+    min_confidence: float = 0.7
+    max_gap: float = 3.0
+    max_group_size: int = 4
+
+    def __post_init__(self) -> None:
+        if not 0.0 <= self.min_confidence <= 1.0:
+            raise ValueError(f"`min_confidence` must be in [0, 1], got {self.min_confidence}.")
+        if self.max_gap < 0:
+            raise ValueError(f"`max_gap` must be >= 0, got {self.max_gap}.")
+        if self.max_group_size < 2:
+            raise ValueError(f"`max_group_size` must be >= 2, got {self.max_group_size}.")
 
 
 def _border_interval(mask: np.ndarray, axis: int, position: int) -> tuple[float, float] | None:
@@ -41,6 +63,7 @@ def assign_stitch_groups(
     max_gap: float = 3.0,
     max_group_size: int = 4,
     inplace: bool = True,
+    stitch_params: Any = None,
 ) -> pd.DataFrame:
     """Pair tile-cut cells across tile borders into stitch groups.
 
@@ -48,8 +71,12 @@ def assign_stitch_groups(
     :func:`squidpy_tpu.experimental.tl.calculate_tiling_qc`. Adds
     ``stitch_group_id`` (original label for unstitched cells, the minimum
     member label for stitched groups) and ``stitch_confidence`` to its obs;
-    returns the obs DataFrame.
+    returns the obs DataFrame. ``stitch_params`` takes a :class:`StitchParams`
+    instance (or a mapping of its field names) and overrides the knobs.
     """
+    if stitch_params is not None:
+        sp = resolve_params(stitch_params, StitchParams, "stitch_params")
+        min_confidence, max_gap, max_group_size = sp.min_confidence, sp.max_gap, sp.max_group_size
     labels_arr = np.asarray(labels).squeeze()
     obs = qc_table.obs
     cut = obs[obs["tile_cut"].astype(bool)]
