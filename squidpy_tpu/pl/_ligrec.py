@@ -87,14 +87,39 @@ def ligrec(
     if means.empty:
         raise ValueError("After filtering, no interactions remain.")
 
+    # dendrogram-order rows (interactions) and/or columns (cluster pairs) by
+    # Ward linkage over the mean-expression matrix (reference delegates to
+    # scanpy's dendrogram machinery, /root/reference/src/squidpy/pl/_ligrec.py:229-265)
+    if dendrogram is not None:
+        valid = {"interacting_molecules", "interacting_clusters", "both"}
+        if dendrogram not in valid:
+            raise ValueError(f"Invalid `dendrogram` `{dendrogram}`. Valid: {sorted(valid)}.")
+        from scipy.cluster import hierarchy as sch
+
+        filled = np.nan_to_num(means.values.astype(float), nan=0.0)
+
+        def _leaf_order(m: np.ndarray) -> np.ndarray:
+            if m.shape[0] < 3:
+                return np.arange(m.shape[0])
+            return np.asarray(sch.leaves_list(sch.linkage(m, method="ward")))
+
+        if dendrogram in ("interacting_molecules", "both"):
+            order_r = _leaf_order(filled)
+            means, pvalues, mask = means.iloc[order_r], pvalues.iloc[order_r], mask.iloc[order_r]
+        if dendrogram in ("interacting_clusters", "both"):
+            order_c = _leaf_order(np.nan_to_num(means.values.astype(float), nan=0.0).T)
+            means, pvalues, mask = means.iloc[:, order_c], pvalues.iloc[:, order_c], mask.iloc[:, order_c]
+
     neglog = -np.log10(np.clip(pvalues.values, 1e-4, None))
     neglog = np.nan_to_num(neglog, nan=0.0)
+    significant = np.nan_to_num(pvalues.values, nan=1.0) <= alpha
 
     n_rows, n_cols = means.shape
     if swap_axes:
         means = means.T
         mask = mask.T
         neglog = neglog.T
+        significant = significant.T
         n_rows, n_cols = n_cols, n_rows
 
     fig, ax = plt.subplots(
@@ -104,11 +129,16 @@ def ligrec(
     vals = means.values
     sizes = neglog
     shown = np.asarray(mask.values if hasattr(mask, "values") else mask, dtype=bool)
+    # significant dots (p <= alpha) get a black outline, the reference
+    # CustomDotplot's significance mark (/root/reference/src/squidpy/pl/_ligrec.py:70-96)
+    edge = np.where(significant[shown], "black", "none")
     sc = ax.scatter(
         xx[shown], yy[shown],
         c=vals[shown],
         s=20 + 40 * sizes[shown],
         cmap=cmap,
+        edgecolors=edge,
+        linewidths=0.8,
         **kwargs,
     )
     ax.set_xticks(range(n_cols))

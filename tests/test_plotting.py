@@ -86,6 +86,23 @@ class TestLigrecPlot:
         with pytest.raises(ValueError, match="cluster_key"):
             sq.pl.ligrec(adata_ref.copy())
 
+    def test_invalid_dendrogram(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.raw = Raw(adata)
+        inter = tuple(product(adata.raw.var_names[:3], adata.raw.var_names[:3]))
+        res = sq.gr.ligrec(adata, "leiden", interactions=inter, n_perms=5, seed=0, copy=True)
+        with pytest.raises(ValueError, match="Invalid `dendrogram`"):
+            sq.pl.ligrec(res, dendrogram="bananas")
+
+    def test_dendrogram_orders(self, adata_ref, tmp_path):
+        adata = adata_ref.copy()
+        adata.raw = Raw(adata)
+        inter = tuple(product(adata.raw.var_names[:4], adata.raw.var_names[:4]))
+        res = sq.gr.ligrec(adata, "leiden", interactions=inter, n_perms=10, seed=0, copy=True)
+        for mode in ("interacting_molecules", "interacting_clusters", "both"):
+            sq.pl.ligrec(res, dendrogram=mode, save=str(tmp_path / f"lig_{mode}.png"))
+            assert (tmp_path / f"lig_{mode}.png").exists()
+
 
 class TestSpatialPlots:
     def test_scatter_categorical(self, adata_ref, tmp_path):
@@ -143,6 +160,30 @@ class TestVarByDistancePlot:
         gene = adata.var_names[0]
         sq.pl.var_by_distance(adata, var=gene, anchor_key="0", save=str(tmp_path / "vbd.png"))
         assert (tmp_path / "vbd.png").exists()
+
+    def test_stack_vars_and_covariate_exclusive(self, adata_ref):
+        adata = adata_ref.copy()
+        sq.tl.var_by_distance(adata, groups="0", cluster_key="leiden")
+        with pytest.raises(ValueError, match="cannot be combined"):
+            sq.pl.var_by_distance(
+                adata, var=[str(v) for v in adata.var_names[:2]], anchor_key="0",
+                stack_vars=True, covariate="leiden",
+            )
+
+    def test_covariate_missing(self, adata_ref):
+        adata = adata_ref.copy()
+        sq.tl.var_by_distance(adata, groups="0", cluster_key="leiden")
+        with pytest.raises(KeyError, match="Covariate"):
+            sq.pl.var_by_distance(adata, var=str(adata.var_names[0]), anchor_key="0", covariate="nope")
+
+    def test_return_ax(self, adata_ref):
+        adata = adata_ref.copy()
+        sq.tl.var_by_distance(adata, groups="0", cluster_key="leiden")
+        ax = sq.pl.var_by_distance(
+            adata, var=str(adata.var_names[0]), anchor_key="0",
+            stack_vars=False, covariate="leiden", return_ax=True,
+        )
+        assert ax is not None and ax.get_legend() is not None
 
 
 class TestALayer:

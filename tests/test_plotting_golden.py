@@ -164,11 +164,40 @@ class TestGoldenOtherPlots:
         sq.pl.ligrec(res, alpha=1.0)
         compare_figure("ligrec")
 
+    def test_ligrec_dendrogram(self, golden_adata):
+        adata = golden_adata.copy()
+        genes = list(adata.var_names[:8])
+        res = sq.gr.ligrec(
+            adata, "leiden",
+            interactions=[(genes[i], genes[i + 1]) for i in range(0, 8, 2)],
+            n_perms=50, seed=0, copy=True, threshold=0.0, use_raw=False,
+        )
+        sq.pl.ligrec(res, dendrogram="both", alpha=0.05)
+        compare_figure("ligrec_dendrogram")
+
     def test_var_by_distance(self, golden_adata):
         adata = golden_adata.copy()
         sq.tl.var_by_distance(adata, groups="0", cluster_key="leiden")
         sq.pl.var_by_distance(adata, var=str(adata.var_names[0]), anchor_key="0")
         compare_figure("var_by_distance")
+
+    def test_var_by_distance_stacked(self, golden_adata):
+        adata = golden_adata.copy()
+        sq.tl.var_by_distance(adata, groups="0", cluster_key="leiden")
+        sq.pl.var_by_distance(
+            adata, var=[str(v) for v in adata.var_names[:3]], anchor_key="0",
+            stack_vars=True, order=3,
+        )
+        compare_figure("var_by_distance_stacked")
+
+    def test_var_by_distance_covariate(self, golden_adata):
+        adata = golden_adata.copy()
+        sq.tl.var_by_distance(adata, groups="0", cluster_key="leiden")
+        sq.pl.var_by_distance(
+            adata, var=str(adata.var_names[0]), anchor_key="0",
+            covariate="leiden", order=3, line_palette="tab10",
+        )
+        compare_figure("var_by_distance_covariate")
 
 
 class TestGoldenScatterFeatures:
