@@ -47,9 +47,13 @@ def make_tiles(
     sdata: Any = None,
     image_key: str = "image",
     new_shapes_key: str | None = None,
+    preview: bool = False,
     **detect_kwargs: Any,
 ) -> pd.DataFrame:
     """Regular grid of tiles classified by tissue coverage.
+
+    ``preview=True`` renders the image with the tile grid overlaid, colored
+    by classification.
 
     Returns a DataFrame with one row per tile: ``pixel_y0/x0/y1/x1``,
     ``tile_row``/``tile_col``, ``tissue_fraction``, ``tile_classification``.
@@ -60,7 +64,7 @@ def make_tiles(
         tissue_mask = detect_tissue(arr, **detect_kwargs)
     tissue_mask = np.asarray(tissue_mask).squeeze().astype(bool)
 
-    ty, tx = tile_size
+    ty, tx = (tile_size, tile_size) if np.isscalar(tile_size) else tile_size
     off_y = off_x = 0
     if center_grid_on_tissue and tissue_mask.any():
         ys, xs = np.nonzero(tissue_mask)
@@ -86,7 +90,38 @@ def make_tiles(
     )
     if sdata is not None and hasattr(sdata, "shapes"):
         sdata.shapes[new_shapes_key or f"{image_key}_tiles"] = tiles
+    if preview:
+        _preview_tiles(arr, tiles)
     return tiles
+
+
+def _preview_tiles(image: np.ndarray | None, tiles: pd.DataFrame) -> None:
+    """Render the image with the tile grid colored by classification
+    (reference renders via sdata.pl, _make_tiles.py:219-221)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    if image is not None:
+        ax.imshow(image, cmap="gray" if image.ndim == 2 else None)
+    colors = {"tissue": "tab:green", "partial_tissue": "tab:orange", "background": "tab:red"}
+    classes = (
+        tiles["tile_classification"]
+        if "tile_classification" in tiles
+        else pd.Series("tissue", index=tiles.index)
+    )
+    for (_, t), cls in zip(tiles.iterrows(), classes):
+        ax.add_patch(
+            Rectangle(
+                (t["pixel_x0"], t["pixel_y0"]),
+                t["pixel_x1"] - t["pixel_x0"],
+                t["pixel_y1"] - t["pixel_y0"],
+                fill=False, edgecolor=colors.get(cls, "grey"), lw=0.8,
+            )
+        )
+    handles = [plt.Line2D([], [], color=c, label=k) for k, c in colors.items()]
+    ax.legend(handles=handles, fontsize=8, loc="upper right")
+    ax.set_title(f"{len(tiles)} tiles")
 
 
 def make_tiles_from_spots(
@@ -99,6 +134,7 @@ def make_tiles_from_spots(
     sdata: Any = None,
     spots_key: str = "spots",
     new_shapes_key: str | None = None,
+    preview: bool = False,
     **detect_kwargs: Any,
 ) -> pd.DataFrame:
     """One tile per Visium spot, sized from the vertical spot spacing.
@@ -129,4 +165,7 @@ def make_tiles_from_spots(
         tiles["tile_classification"] = _classify(tiles["tissue_fraction"].to_numpy(), min_tissue_fraction)
     if sdata is not None and hasattr(sdata, "shapes"):
         sdata.shapes[new_shapes_key or f"{spots_key}_tiles"] = tiles
+    if preview:
+        img_arr = np.asarray(image).squeeze() if image is not None else None
+        _preview_tiles(img_arr, tiles)
     return tiles

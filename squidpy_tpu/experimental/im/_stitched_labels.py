@@ -29,12 +29,32 @@ def _apply_lut(labels: np.ndarray, mapping: dict[int, int]) -> np.ndarray:
     return lut[labels]
 
 
+def _join_stitched_labels(labels: np.ndarray, group_ids: set[int], close_radius: int) -> np.ndarray:
+    """Close the cut stripe inside each stitched group: fill background pixels
+    covered by the binary closing of the group's mask — never another cell's."""
+    from scipy import ndimage as ndi
+
+    r = max(int(close_radius), 1)
+    yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+    disk = (yy * yy + xx * xx) <= r * r
+    out = labels.copy()
+    present = group_ids.intersection(np.unique(labels).tolist())
+    for gid in present:
+        mask = labels == gid
+        closed = ndi.binary_closing(mask, structure=disk)
+        fill = closed & ~mask & (labels == 0)
+        out[fill] = gid
+    return out
+
+
 def make_stitched_labels(
     labels: Any,
     qc_table: Any,
     *,
     merge_strategy: str | Callable[[pd.Series], Any] = "sum",
     write_table: bool = True,
+    join_labels: bool = False,
+    join_close_radius: int = 3,
     sdata: Any = None,
     labels_key: str = "labels",
     labels_key_added: str | None = None,
@@ -46,6 +66,12 @@ def make_stitched_labels(
     :func:`squidpy_tpu.experimental.tl.assign_stitch_groups`. Returns
     ``{'labels': stitched array, 'table': merged AnnData or None}``; also
     registered on ``sdata`` when given.
+
+    ``join_labels=True`` morphologically closes the cut stripe between the
+    pieces of each stitched group (disk radius ``join_close_radius``),
+    filling only genuine background pixels so each group becomes one
+    connected component (reference ``_join_stitched_labels``,
+    /root/reference/src/squidpy/experimental/im/_stitched_labels.py:99-137).
     """
     obs = qc_table.obs
     if "stitch_group_id" not in obs:
@@ -59,6 +85,8 @@ def make_stitched_labels(
     }
     stitched = _apply_lut(labels_arr, mapping)
     logg.info(f"Stitched `{len(mapping)}` labels into their groups")
+    if join_labels and mapping:
+        stitched = _join_stitched_labels(stitched, set(mapping.values()), join_close_radius)
 
     table = None
     if write_table:

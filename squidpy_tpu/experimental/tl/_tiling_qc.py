@@ -136,12 +136,22 @@ def calculate_tiling_qc(
     labels_key: str = "labels",
     table_key_added: str | None = None,
     tiling_qc_params: Any = None,
+    n_neighbors: int = 10,
+    nmads_smoothed: float = 3.0,
+    outlier_use_cut: bool = True,
+    outlier_use_smoothed: bool = True,
 ) -> AnnData:
     """Score every cell for tile-boundary artifacts.
 
     Returns an AnnData with one obs per cell: straightness scores,
-    ``cut_score`` and a ``tile_cut`` outlier flag (MAD rule at ``nmads_cut``).
-    Attached to ``sdata.tables['{labels_key}_qc']`` when given.
+    ``cut_score`` and a ``tile_cut`` outlier flag (MAD rule at ``nmads_cut``),
+    plus the reference's spatially smoothed columns
+    (/root/reference/src/squidpy/experimental/tl/_tiling_qc.py:13-19,439-494):
+    ``smoothed_cut_score`` (cut_score × mean cut_score of the ``n_neighbors``
+    nearest cells — amplifies boundary clusters of cut cells), ``is_outlier``
+    (cut and/or smoothed MAD gates per ``outlier_use_*``) and
+    ``nhood_outlier_fraction`` (fraction of neighbors that are smoothed
+    outliers). Attached to ``sdata.tables['{labels_key}_qc']`` when given.
     ``tiling_qc_params`` takes a :class:`TilingQCParams` instance (or a
     mapping of its field names) and overrides the individual knobs.
     """
@@ -168,6 +178,31 @@ def calculate_tiling_qc(
         tiny = df["area"].to_numpy() < qp.min_area
         df.loc[tiny, ["straight_v", "straight_h", "cut_score"]] = np.nan
         df.loc[tiny, "tile_cut"] = False
+
+    # spatially smoothed score + combined outlier gates (reference columns)
+    cut = np.nan_to_num(df["cut_score"].to_numpy(), nan=0.0)
+    if len(df) > 1 and n_neighbors > 0:
+        from scipy.spatial import cKDTree
+
+        xy = df[["centroid_x", "centroid_y"]].to_numpy()
+        k = min(n_neighbors + 1, len(df))
+        _, nn = cKDTree(xy).query(xy, k=k)
+        nbr = nn[:, 1:] if k > 1 else nn
+        smoothed = cut * cut[nbr].mean(axis=1)
+    else:
+        nbr = np.zeros((len(df), 1), dtype=int)
+        smoothed = cut * cut
+    df["smoothed_cut_score"] = smoothed
+
+    def _mad_gate(v: np.ndarray, nmads: float) -> np.ndarray:
+        med = np.median(v)
+        mad = np.median(np.abs(v - med)) or 1e-9
+        return v > med + nmads * mad * 1.4826
+
+    cut_out = _mad_gate(cut, nmads_cut)
+    smooth_out = _mad_gate(smoothed, nmads_smoothed)
+    df["is_outlier"] = (outlier_use_cut & cut_out) | (outlier_use_smoothed & smooth_out)
+    df["nhood_outlier_fraction"] = smooth_out[nbr].mean(axis=1)
 
     obs = df.drop(columns=["centroid_y", "centroid_x"]).copy()
     obs.index = pd.Index([f"cell_{int(v)}" for v in df["label"]])

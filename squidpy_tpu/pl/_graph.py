@@ -40,6 +40,7 @@ def nhood_enrichment(
     annotate: bool = False,
     method: str | None = None,
     title: str | None = None,
+    palette: Any = None,
     cmap: str = "viridis",
     cbar_kwargs: dict[str, Any] | None = None,
     figsize: tuple[float, float] | None = None,
@@ -54,7 +55,7 @@ def nhood_enrichment(
     data = _get_data(adata, cluster_key, "nhood_enrichment")
     arr = np.asarray(data[mode if mode in data else "zscore"])
     cats = adata.obs[cluster_key].cat.categories
-    palette_map = _get_palette(adata, cluster_key)
+    palette_map = _get_palette(adata, cluster_key, palette=palette)
     fig = _heatmap(
         arr, cats, cats,
         title=title if title is not None else f"Neighborhood enrichment ({mode})",
@@ -72,6 +73,7 @@ def interaction_matrix(
     annotate: bool = False,
     method: str | None = None,
     title: str | None = None,
+    palette: Any = None,
     cmap: str = "viridis",
     cbar_kwargs: dict[str, Any] | None = None,
     figsize: tuple[float, float] | None = None,
@@ -85,7 +87,7 @@ def interaction_matrix(
     _assert_categorical_obs(adata, key=cluster_key)
     arr = np.asarray(_get_data(adata, cluster_key, "interaction_matrix"))
     cats = adata.obs[cluster_key].cat.categories
-    palette_map = _get_palette(adata, cluster_key)
+    palette_map = _get_palette(adata, cluster_key, palette=palette)
     fig = _heatmap(
         arr, cats, cats,
         title=title if title is not None else "Interaction matrix",
@@ -133,6 +135,7 @@ def ripley(
     mode: Literal["F", "G", "L"] = "F",
     plot_sims: bool = True,
     palette: Any = None,
+    legend_kwargs: dict[str, Any] | None = None,
     figsize: tuple[float, float] | None = None,
     dpi: int | None = None,
     ax: Any = None,
@@ -160,7 +163,7 @@ def ripley(
     ax.set_xlabel("distance")
     ax.set_ylabel(f"{mode}(t)")
     ax.set_title(f"Ripley's {mode}")
-    ax.legend(fontsize=8)
+    ax.legend(**{"fontsize": 8, **(legend_kwargs or {})})
     if save is not None:
         save_fig(fig, save)
 

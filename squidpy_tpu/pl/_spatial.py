@@ -350,6 +350,7 @@ def spatial_segment(
     seg: bool = True,
     seg_key: str = Key.uns.image_seg_key,
     seg_outline: bool = False,
+    seg_contourpx: int | None = None,
     spatial_key: str = Key.obsm.spatial,
     img_res_key: str = "hires",
     cmap: str = "viridis",
@@ -403,8 +404,17 @@ def spatial_segment(
             for cid, val in zip(cell_ids, np.asarray(values, dtype=float)):
                 if cid <= max_label:
                     lut[cid] = mapper(norm(val))
-        rgba = lut[np.clip(seg_img, 0, max_label)]
-        rgba[seg_img == 0] = (0, 0, 0, 1)
+        shown_seg = seg_img
+        if seg_contourpx is not None and seg_contourpx > 0:
+            # keep only a contour ring of each segment: zero the pixels that
+            # survive a grayscale erosion of the label image (the reference's
+            # seg_erosionpx path, /root/reference/src/squidpy/pl/_spatial_utils.py:720-721)
+            from scipy import ndimage as ndi
+
+            eroded = ndi.grey_erosion(seg_img, size=(seg_contourpx, seg_contourpx))
+            shown_seg = np.where(seg_img == eroded, 0, seg_img)
+        rgba = lut[np.clip(shown_seg, 0, max_label)]
+        rgba[shown_seg == 0] = (0, 0, 0, 1)
         if seg_outline:
             rgba[_label_boundaries(seg_img)] = (1.0, 1.0, 1.0, 1.0)
         a.imshow(rgba, **kwargs)

@@ -32,11 +32,14 @@ def _var_values(adata: Any, v: str) -> np.ndarray:
     raise KeyError(f"Unable to find `{v}` in `adata.obs` or `adata.var_names`.")
 
 
-def _trend_line(ax: Any, x: np.ndarray, y: np.ndarray, order: int, color: Any, label: str | None) -> None:
+def _trend_line(
+    ax: Any, x: np.ndarray, y: np.ndarray, order: int, color: Any, label: str | None,
+    **plot_kwargs: Any,
+) -> None:
     if len(x) > order + 1:
         coeffs = np.polyfit(x, y, deg=order)
         xs = np.linspace(np.nanmin(x), np.nanmax(x), 200)
-        ax.plot(xs, np.polyval(coeffs, xs), color=color, lw=2, label=label)
+        ax.plot(xs, np.polyval(coeffs, xs), **{"color": color, "lw": 2, "label": label, **plot_kwargs})
 
 
 def _line_colors(n: int, palette: Any) -> list[Any]:
@@ -68,6 +71,8 @@ def var_by_distance(
     title: str | None = None,
     axis_label: str | None = None,
     return_ax: bool = False,
+    regplot_kwargs: dict[str, Any] | None = None,
+    scatterplot_kwargs: dict[str, Any] | None = None,
     **kwargs: Any,
 ) -> Any:
     """Plot variables against distance to an anchor point with a spline trend.
@@ -86,6 +91,8 @@ def var_by_distance(
         raise KeyError(f"Anchor `{anchor_key}` not found in the design matrix.")
     if stack_vars and covariate is not None:
         raise ValueError("`stack_vars=True` cannot be combined with `covariate` — one legend axis at a time.")
+    reg_kw = dict(regplot_kwargs or {})
+    sc_kw = {**(scatterplot_kwargs or {}), **kwargs}
     variables = [var] if isinstance(var, str) else list(var)
     if covariate is not None and covariate not in adata.obs.columns:
         raise KeyError(f"Covariate `{covariate}` not found in `adata.obs`.")
@@ -101,8 +108,8 @@ def var_by_distance(
             values = _var_values(adata, v)
             ok = np.isfinite(dist) & np.isfinite(values)
             if show_scatter:
-                ax.scatter(dist[ok], values[ok], s=6, alpha=0.25, color=c, **kwargs)
-            _trend_line(ax, dist[ok], values[ok], order, c, v)
+                ax.scatter(dist[ok], values[ok], **{"s": 6, "alpha": 0.25, "color": c, **sc_kw})
+            _trend_line(ax, dist[ok], values[ok], order, c, v, **reg_kw)
         ax.legend(frameon=False, fontsize=8)
         ax.set_xlabel(axis_label or f"distance to {anchor_key}")
         ax.set_ylabel("value")
@@ -117,14 +124,14 @@ def var_by_distance(
                 for cat, c in zip(cats.categories, colors):
                     sel = ok & np.asarray(cats == cat)
                     if show_scatter:
-                        ax.scatter(dist[sel], values[sel], s=6, alpha=0.25, color=c, **kwargs)
-                    _trend_line(ax, dist[sel], values[sel], order, c, str(cat))
+                        ax.scatter(dist[sel], values[sel], **{"s": 6, "alpha": 0.25, "color": c, **sc_kw})
+                    _trend_line(ax, dist[sel], values[sel], order, c, str(cat), **reg_kw)
                 ax.legend(title=covariate, frameon=False, fontsize=8)
             else:
                 if show_scatter:
                     cvals = _var_values(adata, color) if color is not None else values
-                    ax.scatter(dist[ok], values[ok], s=6, alpha=0.4, c=cvals[ok], cmap=scatter_palette, **kwargs)
-                _trend_line(ax, dist[ok], values[ok], order, "crimson", None)
+                    ax.scatter(dist[ok], values[ok], **{"s": 6, "alpha": 0.4, "c": cvals[ok], "cmap": scatter_palette, **sc_kw})
+                _trend_line(ax, dist[ok], values[ok], order, "crimson", None, **reg_kw)
             ax.set_xlabel(axis_label or f"distance to {anchor_key}")
             ax.set_ylabel(v)
             ax.set_title(title or v)

@@ -4,14 +4,20 @@ from squidpy_tpu.utils._utils import (
     NDArrayA,
     _ensure_dim_order,
     chunked_vmap,
+    deprecated,
     deprecated_params,
     to_host,
 )
 from squidpy_tpu.utils._validators import (
     assert_in_range,
+    assert_isinstance,
+    assert_key_in,
     assert_key_in_adata,
+    assert_non_empty_sequence,
     assert_non_negative,
+    assert_one_of,
     assert_positive,
+    get_valid_values,
     check_tuple_needles,
 )
 
@@ -22,12 +28,18 @@ __all__ = [
     "profile",
     "annotate",
     "chunked_vmap",
+    "deprecated",
     "deprecated_params",
     "to_host",
     "_ensure_dim_order",
     "assert_positive",
     "assert_non_negative",
     "assert_in_range",
+    "assert_isinstance",
+    "assert_one_of",
+    "assert_key_in",
     "assert_key_in_adata",
+    "assert_non_empty_sequence",
+    "get_valid_values",
     "check_tuple_needles",
 ]

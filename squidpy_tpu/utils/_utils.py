@@ -98,6 +98,25 @@ def deprecated_params(params: dict[str, str]):  # noqa: ANN201
     return decorator
 
 
+def deprecated(reason: str):  # noqa: ANN201
+    """Mark a whole function as deprecated: every call warns with ``reason``
+    (counterpart of the reference decorator, _utils.py:393-460)."""
+
+    def decorator(fn: Callable[..., T]) -> Callable[..., T]:
+        @wraps(fn)
+        def wrapper(*args: Any, **kwargs: Any) -> T:
+            warnings.warn(
+                f"`{fn.__name__}` is deprecated: {reason}",
+                FutureWarning,
+                stacklevel=2,
+            )
+            return fn(*args, **kwargs)
+
+        return wrapper
+
+    return decorator
+
+
 def _ensure_dim_order(arr: np.ndarray, dims: Sequence[str], target: Sequence[str]) -> np.ndarray:
     """Transpose ``arr`` whose axes are labelled ``dims`` into ``target`` order."""
     if list(dims) == list(target):

@@ -366,6 +366,22 @@ class TestMakeTiles:
         # inferred tile size equals vertical spacing (40)
         assert (tiles["pixel_y1"] - tiles["pixel_y0"] == 40).all()
 
+    def test_preview_renders(self):
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+        mask = np.zeros((200, 200), dtype=bool)
+        mask[:100, :100] = True
+        exp_im.make_tiles(np.zeros((200, 200)), tissue_mask=mask, tile_size=(100, 100), preview=True)
+        fig = plt.gcf()
+        # one rectangle patch per tile + legend drawn
+        from matplotlib.patches import Rectangle
+
+        n_rects = sum(isinstance(p, Rectangle) for p in fig.axes[0].patches)
+        assert n_rects == 4
+        assert fig.axes[0].get_legend() is not None
+        plt.close("all")
+
 
 class TestTilingQCStitch:
     @pytest.fixture()
@@ -730,6 +746,26 @@ class TestStitchedLabelsBehaviors:
         singles = obs.groupby("stitch_group_id").filter(lambda g: len(g) == 1)
         for lab in singles["label"]:
             assert (res["labels"][cut == int(lab)] == int(lab)).all()
+
+    def test_join_labels_closes_cut_stripe(self):
+        from scipy import ndimage as ndi
+
+        cut, qc = self._qc_and_cut()
+        plain = exp_im.make_stitched_labels(cut, qc)["labels"]
+        joined = exp_im.make_stitched_labels(cut, qc, join_labels=True, join_close_radius=3)["labels"]
+        multi = [
+            int(g) for g, grp in qc.obs.groupby("stitch_group_id") if len(grp) >= 2
+        ]
+        assert multi
+        for gid in multi:
+            # plain remap leaves the cut stripe: >1 connected component
+            _, n_plain = ndi.label(plain == gid)
+            _, n_joined = ndi.label(joined == gid)
+            assert n_joined <= n_plain
+            assert n_joined == 1
+        # joining only fills background: other cells' pixels never overwritten
+        changed = joined != plain
+        assert (plain[changed] == 0).all()
 
     def test_collapsed_table_one_row_per_group(self):
         cut, qc = self._qc_and_cut()

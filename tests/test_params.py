@@ -217,6 +217,23 @@ class TestTilingParams:
         got = df.loc[df["label"].isin([2, 3]), "stitch_group_id"].to_numpy()
         assert (got == 2).all()  # the two halves stitched under the min label
 
+    def test_smoothed_outlier_columns(self):
+        lab = _cut_cell_labels()
+        qc = exp_tl.calculate_tiling_qc(lab, tile_size=32, n_jobs=1, n_neighbors=3)
+        obs = qc.obs
+        for col in ("smoothed_cut_score", "is_outlier", "nhood_outlier_fraction"):
+            assert col in obs
+        # smoothed = cut_score x mean of neighbor cut_scores: bounded by max^2
+        mx = np.nan_to_num(obs["cut_score"].to_numpy()).max()
+        assert (obs["smoothed_cut_score"].to_numpy() <= mx * mx + 1e-9).all()
+        assert obs["nhood_outlier_fraction"].between(0, 1).all()
+        # gates off => nothing is an outlier
+        off = exp_tl.calculate_tiling_qc(
+            lab, tile_size=32, n_jobs=1,
+            outlier_use_cut=False, outlier_use_smoothed=False,
+        )
+        assert not off.obs["is_outlier"].any()
+
     def test_stitch_params_equivalent_to_kwargs(self):
         lab = _cut_cell_labels()
         qc = exp_tl.calculate_tiling_qc(lab, tile_size=32, n_jobs=1)

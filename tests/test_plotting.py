@@ -56,6 +56,17 @@ class TestGraphPlots:
         sq.pl.ripley(analyzed_adata, "leiden", mode="G", save=str(tmp_path / "rip.png"))
         assert (tmp_path / "rip.png").exists()
 
+    def test_ripley_legend_kwargs(self, analyzed_adata):
+        ax = plt.subplots()[1]
+        sq.pl.ripley(analyzed_adata, "leiden", mode="G", ax=ax, legend_kwargs={"loc": "lower right", "ncols": 2})
+        assert ax.get_legend() is not None
+
+    def test_heatmap_palette_override(self, analyzed_adata, tmp_path):
+        sq.pl.nhood_enrichment(analyzed_adata, "leiden", palette="Set2", save=str(tmp_path / "n1.png"))
+        sq.pl.interaction_matrix(analyzed_adata, "leiden", palette=["red", "green", "blue", "orange", "purple"],
+                                 save=str(tmp_path / "n2.png"))
+        assert (tmp_path / "n1.png").exists() and (tmp_path / "n2.png").exists()
+
     def test_co_occurrence(self, analyzed_adata, tmp_path):
         sq.pl.co_occurrence(analyzed_adata, "leiden", clusters="0", save=str(tmp_path / "co.png"))
         assert (tmp_path / "co.png").exists()

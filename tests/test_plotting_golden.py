@@ -151,6 +151,27 @@ class TestGoldenSpatialPlots:
         )
         compare_figure("spatial_segment")
 
+    def test_segment_contourpx(self):
+        rng = np.random.default_rng(0)
+        seg = np.zeros((64, 64), dtype=np.int32)
+        centers = [(10, 12, 1), (30, 40, 2), (50, 20, 3), (45, 52, 4)]
+        yy, xx = np.mgrid[:64, :64]
+        for cy, cx, lab in centers:
+            seg[(yy - cy) ** 2 + (xx - cx) ** 2 <= 36] = lab
+        adata = sq.AnnData(
+            X=rng.normal(size=(4, 2)),
+            obs=pd.DataFrame({
+                "cell_id": [1, 2, 3, 4],
+                "cl": pd.Categorical(["a", "b", "a", "b"]),
+            }),
+        )
+        adata.obsm["spatial"] = np.array([[12, 10], [40, 30], [20, 50], [52, 45]], dtype=float)
+        adata.uns["spatial"] = {"lib": {"images": {"segmentation": seg}, "scalefactors": {}}}
+        sq.pl.spatial_segment(
+            adata, color="cl", seg_cell_id="cell_id", seg_key="segmentation", seg_contourpx=3
+        )
+        compare_figure("spatial_segment_contourpx")
+
 
 class TestGoldenOtherPlots:
     def test_ligrec(self, golden_adata):
