@@ -135,6 +135,65 @@ class SpatialGraph:
             distances=distances,
         )
 
+    def degree_buckets(
+        self,
+        *,
+        pad_multiple: int = 8,
+        max_buckets: int = 4,
+        min_saving: float = 1.3,
+    ) -> list[tuple[jax.Array, jax.Array, jax.Array]] | None:
+        """Partition rows into degree buckets for skewed-degree graphs.
+
+        Radius graphs with dense cores pad every row to the global ``k_max``,
+        so a graph with mean degree 12 and one 300-neighbor hub pays 25× the
+        gather traffic in every ELL pass. This returns per-bucket compact
+        slices ``(rows, indices, weights)`` with bucket-local ``k_b`` —
+        consumers run the same neighbor-axis kernels per bucket and combine.
+        Returns ``None`` when the padded layout is already tight (slot saving
+        below ``min_saving``), including every kNN graph.
+
+        Relies on the ELL rows being left-packed (``from_csr`` construction),
+        verified per bucket before slicing.
+        """
+        deg = np.asarray(jnp.sum(self.mask, axis=1))
+        n, k_max = self.indices.shape
+        if n == 0 or k_max <= pad_multiple:
+            return None
+        nz = deg[deg > 0]
+        if not len(nz):
+            return None
+        qs = np.quantile(nz, [0.5, 0.75, 0.9][: max_buckets - 1])
+        edges = sorted(
+            {min(int(round_up(max(int(q), 1), pad_multiple)), k_max) for q in qs} | {k_max}
+        )
+        if (n * k_max) / max(
+            sum(
+                int((deg <= hi).sum() - (deg <= lo).sum()) * hi
+                for lo, hi in zip([-1] + edges[:-1], edges)
+            ),
+            1,
+        ) < min_saving:
+            return None
+
+        mask_np = np.asarray(self.mask)
+        out: list[tuple[jax.Array, jax.Array, jax.Array]] = []
+        lo = -1
+        for hi in edges:
+            rows = np.nonzero((deg > lo) & (deg <= hi))[0]
+            lo = hi
+            if not len(rows):
+                continue
+            if mask_np[np.ix_(rows, np.arange(hi, k_max))].any():
+                return None  # not left-packed: bucketing would drop entries
+            out.append(
+                (
+                    jnp.asarray(rows.astype(np.int32)),
+                    self.indices[rows, :hi],
+                    self.weights[rows, :hi],
+                )
+            )
+        return out if len(out) > 1 else None
+
     def to_csr(self) -> tuple[sp.csr_matrix, sp.csr_matrix | None]:
         """Convert back to scipy CSR (adjacency, distances)."""
         n, _ = self.indices.shape

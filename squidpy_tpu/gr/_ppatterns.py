@@ -31,10 +31,13 @@ from squidpy_tpu.gr._utils import (
 from squidpy_tpu.ops.autocorr import (
     geary_perm_scores,
     geary_scores,
+    geary_scores_bucketed,
     moran_perm_scores,
     moran_scores,
+    moran_scores_bucketed,
     moran_scores_from_u,
     spmv_genes,
+    spmv_genes_bucketed,
 )
 from squidpy_tpu.ops.cooccur import co_occurrence_counts, co_occurrence_probs
 from squidpy_tpu.utils import NDArrayA, assert_positive, deprecated_params, logg
@@ -155,6 +158,28 @@ def spatial_autocorr(
         g_csr = sp.csr_matrix(g_csr)
 
     graph = SpatialGraph.from_csr(g_csr)
+    # skewed-degree graphs (radius graphs with dense cores): run the ELL
+    # passes per degree bucket so rows only pay their own k_b, not the
+    # global k_max (None for kNN graphs and anything already tight)
+    buckets = graph.degree_buckets()
+    if buckets is not None:
+        logg.info(f"Using `{len(buckets)}` degree buckets for the skewed graph")
+
+    def _spmv(y: Any) -> Any:
+        if buckets is not None:
+            return spmv_genes_bucketed(buckets, y)
+        return spmv_genes(graph.indices, graph.weights, y)
+
+    def _moran(y: Any, s0_: Any) -> Any:
+        if buckets is not None:
+            return moran_scores_bucketed(buckets, y, s0_)
+        return moran_scores(graph.indices, graph.weights, y, s0_)
+
+    def _geary(y: Any, s0_: Any) -> Any:
+        if buckets is not None:
+            return geary_scores_bucketed(buckets, y, s0_)
+        return geary_scores(graph.indices, graph.weights, y, s0_)
+
     s0 = float(g_csr.sum())
     n_cells, n_feats = np.asarray(vals).shape if not sp.issparse(vals) else vals.shape
     if gene_block_size is None:
@@ -211,18 +236,18 @@ def spatial_autocorr(
                 # the permutation identities need u = W z anyway — pay the
                 # SpMV once and derive the observed score from it
                 zb = xb - jnp.mean(xb, axis=0, keepdims=True)
-                ub = spmv_genes(graph.indices, graph.weights, zb)
+                ub = _spmv(zb)
                 if mode == SpatialAutocorr.MORAN:
                     score_parts.append(_strip(np.asarray(moran_scores_from_u(zb, ub, s0))))
                     sims_parts.append(_strip(np.asarray(moran_perm_scores(zb, ub, perms_idx, s0))))
                 else:
-                    score_parts.append(_strip(np.asarray(geary_scores(graph.indices, graph.weights, xb, s0))))
-                    vb = spmv_genes(graph.indices, graph.weights, zb * zb)
+                    score_parts.append(_strip(np.asarray(_geary(xb, s0))))
+                    vb = _spmv(zb * zb)
                     sims_parts.append(_strip(np.asarray(geary_perm_scores(zb, ub, vb, row_sums_dev, perms_idx, s0))))
             elif mode == SpatialAutocorr.MORAN:
-                score_parts.append(_strip(np.asarray(moran_scores(graph.indices, graph.weights, xb, s0))))
+                score_parts.append(_strip(np.asarray(_moran(xb, s0))))
             else:
-                score_parts.append(_strip(np.asarray(geary_scores(graph.indices, graph.weights, xb, s0))))
+                score_parts.append(_strip(np.asarray(_geary(xb, s0))))
         out = {"score": np.concatenate(score_parts) if score_parts else np.empty(0)}
         if sims_parts:
             out["sims"] = np.concatenate(sims_parts, axis=1)

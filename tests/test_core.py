@@ -350,3 +350,28 @@ def test_analysis_results_h5ad_roundtrip(tmp_path):
         back.uns["cl_co_occurrence"]["occ"], ad.uns["cl_co_occurrence"]["occ"], equal_nan=True
     )
     assert (back.obsp["spatial_connectivities"] != ad.obsp["spatial_connectivities"]).nnz == 0
+
+
+class TestDeprecationHelpers:
+    def test_deprecated_params_warns_and_drops(self):
+        from squidpy_tpu.utils import deprecated_params
+
+        @deprecated_params({"old_kw": "1.0"})
+        def fn(a, **kwargs):
+            assert "old_kw" not in kwargs
+            return a
+
+        with pytest.warns(FutureWarning, match="old_kw.*deprecated"):
+            assert fn(3, old_kw=1) == 3
+
+    def test_deprecated_warns_every_call(self):
+        from squidpy_tpu.utils import deprecated
+
+        @deprecated("use new_fn instead")
+        def old_fn(x):
+            return x + 1
+
+        with pytest.warns(FutureWarning, match="old_fn.*use new_fn instead"):
+            assert old_fn(1) == 2
+        with pytest.warns(FutureWarning):
+            old_fn(2)

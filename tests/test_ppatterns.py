@@ -335,3 +335,112 @@ class TestCoOccurrenceLiteral:
         np.testing.assert_allclose(
             occ[:, :, 0], np.array([[8 / 9, 4 / 3], [4 / 3, 0.0]]), rtol=1e-6
         )
+
+
+def _skewed_graph(n: int = 400, seed: int = 0) -> sp.csr_matrix:
+    """Radius-graph-like adjacency with a dense hub core: most rows have ~6
+    neighbors, a few have ~10x that — the degree skew that makes padded ELL
+    wasteful."""
+    rng = np.random.default_rng(seed)
+    rows, cols = [], []
+    for i in range(n):
+        k = 60 if i < n // 20 else 6
+        nbrs = rng.choice(n - 1, size=k, replace=False)
+        nbrs = nbrs + (nbrs >= i)  # no self loops
+        rows += [i] * k
+        cols += list(nbrs)
+    g = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    g.sum_duplicates()
+    return g
+
+
+class TestDegreeBuckets:
+    """Degree-bucketed ELL passes (skewed radius graphs)."""
+
+    def test_knn_graph_has_no_buckets(self, graph_adata):
+        from squidpy_tpu._core.graph import SpatialGraph
+
+        g = SpatialGraph.from_csr(sp.csr_matrix(graph_adata.obsp["spatial_connectivities"]))
+        assert g.degree_buckets() is None
+
+    def test_buckets_partition_rows(self):
+        from squidpy_tpu._core.graph import SpatialGraph
+
+        g = SpatialGraph.from_csr(_skewed_graph())
+        buckets = g.degree_buckets()
+        assert buckets is not None and len(buckets) > 1
+        all_rows = np.concatenate([np.asarray(r) for r, _, _ in buckets])
+        assert sorted(all_rows.tolist()) == list(range(g.n_nodes))
+        # every bucket's slice is strictly narrower than or equal to k_max,
+        # and at least one is strictly narrower (that's the saving)
+        widths = [int(i.shape[1]) for _, i, _ in buckets]
+        assert max(widths) <= g.k_max and min(widths) < g.k_max
+
+    def test_bucketed_kernels_match_plain(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu._core.graph import SpatialGraph
+        from squidpy_tpu.ops.autocorr import (
+            geary_scores,
+            geary_scores_bucketed,
+            moran_scores,
+            moran_scores_bucketed,
+            spmv_genes,
+            spmv_genes_bucketed,
+        )
+
+        csr = _skewed_graph()
+        g = SpatialGraph.from_csr(csr)
+        buckets = g.degree_buckets()
+        assert buckets is not None
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(csr.shape[0], 5)))
+        s0 = jnp.asarray(float(csr.sum()))
+
+        np.testing.assert_allclose(
+            np.asarray(spmv_genes_bucketed(buckets, x)),
+            np.asarray(spmv_genes(g.indices, g.weights, x)),
+            rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(moran_scores_bucketed(buckets, x, s0)),
+            np.asarray(moran_scores(g.indices, g.weights, x, s0)),
+            rtol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(geary_scores_bucketed(buckets, x, s0)),
+            np.asarray(geary_scores(g.indices, g.weights, x, s0)),
+            rtol=1e-10,
+        )
+
+    @pytest.mark.parametrize("mode", ["moran", "geary"])
+    def test_public_autocorr_on_skewed_graph(self, dummy_adata, mode):
+        """spatial_autocorr silently takes the bucketed path on a skewed
+        radius-like graph and still matches the naive float64 statistic."""
+        n = dummy_adata.n_obs
+        g = _skewed_graph(n)
+        dummy_adata.obsp["spatial_connectivities"] = g
+        dummy_adata.uns["spatial_neighbors"] = {"connectivities_key": "spatial_connectivities"}
+        df = sq.gr.spatial_autocorr(dummy_adata, mode=mode, copy=True, transformation=False)
+        X = np.asarray(dummy_adata.X, dtype=float)
+        naive = naive_moran if mode == "moran" else naive_geary
+        col = "I" if mode == "moran" else "C"
+        for gene in ["gene_0", "gene_11"]:
+            j = list(dummy_adata.var_names).index(gene)
+            np.testing.assert_allclose(df.loc[gene, col], naive(sp.csr_matrix(g, dtype=float), X[:, j]), rtol=1e-8)
+
+    def test_perm_mode_on_skewed_graph(self, dummy_adata):
+        """The permutation path (bucketed u = Wz) stays consistent with the
+        score path on the same graph."""
+        n = dummy_adata.n_obs
+        g = _skewed_graph(n)
+        dummy_adata.obsp["spatial_connectivities"] = g
+        dummy_adata.uns["spatial_neighbors"] = {"connectivities_key": "spatial_connectivities"}
+        scores_only = sq.gr.spatial_autocorr(dummy_adata, mode="moran", copy=True, transformation=True)
+        with_perms = sq.gr.spatial_autocorr(
+            dummy_adata, mode="moran", n_perms=20, seed=0, copy=True, transformation=True
+        )
+        np.testing.assert_allclose(
+            with_perms["I"].to_numpy(), scores_only["I"].to_numpy(), rtol=1e-10
+        )
+        assert np.isfinite(with_perms["pval_sim"].to_numpy()).all()
