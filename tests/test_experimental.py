@@ -1108,3 +1108,163 @@ class TestQCImageBehaviors:
         qc = exp_im.qc_image(self._slide(), tile_size=128, metrics=["tenengrad"], detect_tissue=True)
         assert list(qc.var_names) == ["tenengrad"]
         assert "is_tissue" in qc.obs
+
+
+class TestStitchScoring:
+    """Cut-edge pairing + 5-feature scoring behaviors (reference:
+    /root/reference/tests/experimental/test_tiling_stitch.py)."""
+
+    @staticmethod
+    def _corner_cut(radius=30, extra_intact=True):
+        """Disk cut into 4 quarters at a (100,100) tile corner + an intact disk."""
+        lab = np.zeros((200, 200), np.int32)
+        yy, xx = np.mgrid[:200, :200]
+        disk = ((yy - 100) ** 2 + (xx - 100) ** 2) <= radius ** 2
+        lab[disk & (yy < 100) & (xx < 100)] = 1
+        lab[disk & (yy < 100) & (xx >= 100)] = 2
+        lab[disk & (yy >= 100) & (xx < 100)] = 3
+        lab[disk & (yy >= 100) & (xx >= 100)] = 4
+        if extra_intact:
+            lab[((yy - 40) ** 2 + (xx - 40) ** 2) <= 15 ** 2] = 5
+        return lab
+
+    @classmethod
+    def _qc(cls, lab, outliers):
+        qc = exp_tl.calculate_tiling_qc(lab, tile_size=100)
+        qc.obs["is_outlier"] = qc.obs["label"].isin(outliers)
+        return qc
+
+    def test_corner_group_reassembled(self):
+        lab = self._corner_cut()
+        qc = self._qc(lab, [1, 2, 3, 4])
+        obs = exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.4)
+        quarters = obs[obs["label"].isin([1, 2, 3, 4])]
+        assert quarters["is_stitched"].all()
+        assert quarters["stitch_group_id"].nunique() == 1
+        assert (quarters["n_pieces"] == 4).all()
+        # all four seam pairs found and scored high
+        pairs = qc.uns["tiling_stitch"]["pair_features"]
+        assert len(pairs) == 4
+        assert (pairs["confidence"] > 0.8).all()
+
+    def test_confidence_conventions(self):
+        lab = self._corner_cut()
+        qc = self._qc(lab, [1, 2, 3, 4, 5])  # intact disk 5 flagged too (solo)
+        obs = exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.4)
+        # never-evaluated cells: NaN; checked solos: 1.0; stitched: composite
+        row5 = obs[obs["label"] == 5].iloc[0]
+        assert row5["stitch_confidence"] == 1.0 and not row5["is_stitched"]
+        stitched = obs[obs["is_stitched"].astype(bool)]
+        assert ((stitched["stitch_confidence"] > 0) & (stitched["stitch_confidence"] <= 1)).all()
+
+    def test_unevaluated_cells_are_nan(self):
+        lab = self._corner_cut()
+        qc = self._qc(lab, [1, 2, 3, 4])
+        obs = exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.4)
+        assert np.isnan(obs.loc[obs["label"] == 5, "stitch_confidence"]).all()
+
+    def test_high_threshold_blocks_weak_pairs(self):
+        lab = self._corner_cut()
+        qc = self._qc(lab, [1, 2, 3, 4])
+        obs = exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.999)
+        assert not obs["is_stitched"].any()
+
+    def test_oversized_group_collapses_to_singletons(self):
+        # 5 stacked slabs from one tall rectangle -> chain of 5 > max_group_size 4
+        lab = np.zeros((250, 80), np.int32)
+        for i in range(5):
+            lab[i * 50 : (i + 1) * 50, 20:60] = i + 1
+        qc = self._qc(lab, [1, 2, 3, 4, 5])
+        obs = exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.4, max_group_size=4)
+        assert not obs["is_stitched"].any()
+        assert (obs["stitch_group_id"] == obs["label"]).all()
+        # confirmed solos get confidence 1.0 (evaluated, collapsed)
+        assert (obs["stitch_confidence"] == 1.0).all()
+
+    def test_chain_within_cap_assembles(self):
+        lab = np.zeros((150, 80), np.int32)
+        for i in range(3):
+            lab[i * 50 : (i + 1) * 50, 20:60] = i + 1
+        qc = self._qc(lab, [1, 2, 3])
+        obs = exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.4)
+        assert obs["is_stitched"].all()
+        assert obs["stitch_group_id"].nunique() == 1
+        assert (obs["n_pieces"] == 3).all()
+
+    def test_non_facing_edges_not_paired(self):
+        # two squares far apart vertically: bottom edge of 1 and top edge of 2
+        # are 40 px apart -> outside max_gap, no pair
+        lab = np.zeros((200, 80), np.int32)
+        lab[10:50, 20:60] = 1
+        lab[90:130, 20:60] = 2
+        qc = self._qc(lab, [1, 2])
+        obs = exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.2, max_gap=3.0)
+        assert not obs["is_stitched"].any()
+
+    def test_concave_union_scores_below_straight_cut(self):
+        # same-size squares offset by half their width: chords overlap partially,
+        # and the L-shaped union drops compactness/solidity vs the aligned cut
+        lab_aligned = np.zeros((120, 120), np.int32)
+        lab_aligned[20:60, 30:90] = 1
+        lab_aligned[60:100, 30:90] = 2
+        lab_offset = np.zeros((120, 120), np.int32)
+        lab_offset[20:60, 10:70] = 1
+        lab_offset[60:100, 50:110] = 2
+        scores = {}
+        for name, lab in (("aligned", lab_aligned), ("offset", lab_offset)):
+            qc = self._qc(lab, [1, 2])
+            exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.0)
+            pf = qc.uns["tiling_stitch"]["pair_features"]
+            scores[name] = float(pf["confidence"].max()) if len(pf) else 0.0
+        assert scores["aligned"] > scores["offset"]
+
+    def test_uns_metadata_recorded(self):
+        lab = self._corner_cut()
+        qc = self._qc(lab, [1, 2, 3, 4])
+        exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.4, max_gap=4.0)
+        meta = qc.uns["tiling_stitch"]
+        assert meta["params"]["max_gap"] == 4.0
+        assert set(meta["score_features"]) == {
+            "iou", "endpoint_match", "merge_compactness", "merge_solidity", "gap_proximity",
+        }
+        assert meta["n_stitched_groups"] == 1 and meta["n_stitched_cells"] == 4
+        for col in ("iou", "endpoint_match", "gap_proximity", "merge_compactness", "merge_solidity"):
+            assert col in meta["pair_features"].columns
+
+    def test_inplace_false_leaves_obs(self):
+        lab = self._corner_cut()
+        qc = self._qc(lab, [1, 2, 3, 4])
+        cols_before = list(qc.obs.columns)
+        out = exp_tl.assign_stitch_groups(lab, qc, min_confidence=0.4, inplace=False)
+        assert "stitch_group_id" in out.columns
+        assert list(qc.obs.columns) == cols_before
+
+    def test_missing_flags_raise(self):
+        lab = self._corner_cut()
+        qc = exp_tl.calculate_tiling_qc(lab, tile_size=100)
+        qc.obs = qc.obs.drop(columns=["tile_cut", "is_outlier"])
+        with pytest.raises(KeyError, match="calculate_tiling_qc"):
+            exp_tl.assign_stitch_groups(lab, qc)
+
+    def test_curved_boundary_produces_no_edges(self):
+        # an intact disk grazes its bbox at single points -> no chords
+        from squidpy_tpu.experimental.tl._tiling_stitch import StitchParams, _extract_cut_edges
+
+        lab = np.zeros((100, 100), np.int32)
+        yy, xx = np.mgrid[:100, :100]
+        lab[((yy - 50) ** 2 + (xx - 50) ** 2) <= 20 ** 2] = 1
+        edges, _ = _extract_cut_edges(lab, [1], {1: (30, 30, 71, 71)}, StitchParams())
+        assert edges == []
+
+    def test_cut_piece_produces_facing_edge(self):
+        from squidpy_tpu.experimental.tl._tiling_stitch import StitchParams, _extract_cut_edges
+
+        lab = np.zeros((100, 100), np.int32)
+        yy, xx = np.mgrid[:100, :100]
+        disk = ((yy - 50) ** 2 + (xx - 50) ** 2) <= 20 ** 2
+        lab[disk & (yy < 50)] = 1  # top half only: flat bottom edge
+        edges, crops = _extract_cut_edges(lab, [1], {1: (30, 30, 50, 71)}, StitchParams())
+        assert len(edges) == 1
+        e = edges[0]
+        assert e.axis == "h" and e.normal == -1 and e.coord == 49.5
+        assert 1 in crops
