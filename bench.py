@@ -51,7 +51,7 @@ def _device_bench() -> float:
         keys = spawn_keys(seed, N_PERMS)
         totals = []
         for c0 in range(0, N_PERMS, CHUNK):
-            cols = permutation_columns(keys[c0 : c0 + CHUNK], labels)
+            cols = permutation_columns(keys[c0 : c0 + CHUNK], labels, payload_dtype=jnp.uint8)
             counts = permuted_pair_counts_cols(indices, mask, cols, N_CLS)
             totals.append(jnp.sum(counts))
         # per-chunk host readbacks AFTER all dispatches: forces completion of

@@ -40,7 +40,9 @@ def permutation_batch(keys: jax.Array, values: jax.Array) -> jax.Array:
     return jax.vmap(lambda k: jax.random.permutation(k, values))(keys)
 
 
-def permutation_columns(keys: jax.Array, values: jax.Array) -> jax.Array:
+def permutation_columns(
+    keys: jax.Array, values: jax.Array, payload_dtype: jnp.dtype | None = None
+) -> jax.Array:
     """Batched independent permutations of ``values``, one per COLUMN:
     shape ``(len(values), n_keys)``.
 
@@ -51,23 +53,39 @@ def permutation_columns(keys: jax.Array, values: jax.Array) -> jax.Array:
     post-sort gather. Measured 2.8 ms/perm at 1M values on one v5e vs 5.2 ms
     for per-row ``jax.random.permutation`` + transpose.
 
+    ``payload_dtype`` narrows the riding payload (e.g. ``uint8`` when values
+    are cluster codes < 255) — the sort's bitonic passes move ~30% less and
+    downstream row gathers 4x less, with the permutation itself unchanged
+    (it is determined by the u32 keys alone, so results stay bitwise equal).
+
     Each column is fully determined by ``keys[p]`` (the ``spawn_generators``
     determinism contract: independent of batching/sharding).
     """
+    if payload_dtype is not None:
+        values = values.astype(payload_dtype)
     u = jax.vmap(lambda k: jax.random.bits(k, (values.shape[0],), jnp.uint32))(keys)
     payload = jnp.broadcast_to(values[None, :], u.shape)
     _, shuffled = jax.lax.sort_key_val(u, payload, dimension=1)
     return shuffled.T
 
 
-def shuffle_group_columns(keys: jax.Array, values: jax.Array, groups: np.ndarray) -> jax.Array:
+def shuffle_group_columns(
+    keys: jax.Array,
+    values: jax.Array,
+    groups: np.ndarray,
+    payload_dtype: jnp.dtype | None = None,
+) -> jax.Array:
     """Batched within-group permutations, one per COLUMN: ``(len(values), n_keys)``.
 
     Same stratified-shuffle semantics as :func:`shuffle_group_batch` (values
     move only within their library segment), implemented as one lexicographic
     ``(group, uniform)`` two-key sort per permutation with the values as
     payload, then a single shared-index row gather back to original order.
+    ``payload_dtype`` narrows the riding payload as in
+    :func:`permutation_columns` (results stay bitwise equal).
     """
+    if payload_dtype is not None:
+        values = values.astype(payload_dtype)
     groups = np.asarray(groups)
     order = np.argsort(groups, kind="stable")
     inv_order = np.argsort(order, kind="stable")

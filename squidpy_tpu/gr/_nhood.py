@@ -108,10 +108,13 @@ def nhood_enrichment(
             n_real = kc.shape[0]
             if n_real < chunk:
                 kc = jnp.concatenate([kc, jnp.broadcast_to(kc[-1:], (chunk - n_real, *kc.shape[1:]))])
+            # u8 label payload when codes fit: ~30% less sort traffic and 4x
+            # smaller counting row gathers, bitwise-identical permutations
+            pt = jnp.uint8 if n_cls <= 255 else None
             if lib_codes is not None:
-                cols = shuffle_group_columns(kc, labels_dev, lib_codes)
+                cols = shuffle_group_columns(kc, labels_dev, lib_codes, payload_dtype=pt)
             else:
-                cols = permutation_columns(kc, labels_dev)
+                cols = permutation_columns(kc, labels_dev, payload_dtype=pt)
             counts_c = auto_permuted_pair_counts_cols(graph.indices, graph.mask, cols, n_cls)
             parts.append(to_host(counts_c, dtype=np.float64)[:n_real])
         return {"perms": np.concatenate(parts, axis=0)}
