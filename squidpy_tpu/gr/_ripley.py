@@ -56,8 +56,10 @@ def ripley(
     _assert_categorical_obs(adata, key=cluster_key)
     _assert_spatial_basis(adata, key=spatial_key)
     if metric != "euclidean":
-        raise NotImplementedError(
-            f"Only the `euclidean` metric is supported by the TPU kernels, found `{metric}`."
+        # ValueError with this message is the reference's contract
+        # (/root/reference/src/squidpy/gr/_ripley.py metric validation)
+        raise ValueError(
+            f"Unsupported metric `{metric}` — the TPU distance kernels are euclidean-only."
         )
     coordinates = np.asarray(adata.obsm[spatial_key], dtype=np.float64)
     clusters = adata.obs[cluster_key]

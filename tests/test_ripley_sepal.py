@@ -86,7 +86,7 @@ class TestRipley:
         assert obs[10:30].mean() > sims[10:30].mean()
 
     def test_unsupported_metric(self, dummy_adata):
-        with pytest.raises(NotImplementedError, match="euclidean"):
+        with pytest.raises(ValueError, match="Unsupported metric"):
             sq.gr.ripley(dummy_adata, cluster_key="leiden", metric="manhattan", copy=True)
 
 
@@ -189,3 +189,57 @@ def test_ripley_G_single_present_category(dummy_adata):
                            n_observations=30, n_steps=5, seed=0, copy=True)
     stats = res["G_stat"]["stats"].to_numpy()
     assert np.isnan(stats[1:]).all() and stats[0] == 0
+
+
+class TestRipleyReferenceContract:
+    """Result-shape and seed contracts from the reference suite
+    (/root/reference/tests/graph/test_ripley.py:45-131)."""
+
+    @pytest.mark.parametrize("mode", ["F", "G", "L"])
+    @pytest.mark.parametrize("n_steps", [2, 50])
+    @pytest.mark.parametrize("max_dist", [None, 1000])
+    def test_result_shapes(self, dummy_adata, mode, n_steps, max_dist):
+        n_sims, n_obs = 10, 50
+        n_clusters = len(dummy_adata.obs["leiden"].cat.categories)
+        res = sq.gr.ripley(
+            dummy_adata, cluster_key="leiden", mode=mode,
+            n_simulations=n_sims, n_observations=n_obs,
+            max_dist=max_dist, n_steps=n_steps, seed=0, copy=True,
+        )
+        obs_df, sims_df = res[f"{mode}_stat"], res["sims_stat"]
+        assert obs_df.shape == (n_steps * n_clusters, 3)
+        assert sims_df.shape == (n_steps * n_sims, 3)
+        assert res["bins"].shape == (n_steps,)
+        assert res["pvalues"].shape == (n_clusters, n_steps)
+        # first bin is zero for both observed and simulated curves
+        assert sims_df["bins"].values[0] == 0.0 == obs_df["bins"].values[0]
+        assert sims_df["stats"].values[0] == 0.0 == obs_df["stats"].values[0]
+        # each cluster's curve starts at the zero bin
+        idx = np.nonzero(obs_df["bins"].values)[0]
+        assert idx.shape[0] == n_steps * n_clusters - n_clusters
+
+    @pytest.mark.parametrize("mode", ["F", "G", "L"])
+    def test_seed_reproducibility(self, dummy_adata, mode):
+        kw = dict(cluster_key="leiden", mode=mode, n_simulations=10,
+                  n_observations=50, n_steps=20, copy=True)
+        res1 = sq.gr.ripley(dummy_adata, seed=42, **kw)
+        res2 = sq.gr.ripley(dummy_adata, seed=42, **kw)
+        res3 = sq.gr.ripley(dummy_adata, seed=43, **kw)
+        np.testing.assert_allclose(
+            res1["sims_stat"]["stats"].values, res2["sims_stat"]["stats"].values
+        )
+        assert not np.allclose(
+            res1["sims_stat"]["stats"].values, res3["sims_stat"]["stats"].values
+        )
+        # individual simulations differ from each other
+        sims = res1["sims_stat"]
+        curves = {tuple(g["stats"].values) for _, g in sims.groupby(sims.index // 20)}
+        assert len(curves) > 1
+
+    def test_observed_equals_category_counts(self, dummy_adata):
+        res = sq.gr.ripley(
+            dummy_adata, cluster_key="leiden", mode="G",
+            n_simulations=3, n_observations=50, n_steps=10, seed=0, copy=True,
+        )
+        obs_df = res["G_stat"]
+        assert set(obs_df["leiden"].unique()) <= set(dummy_adata.obs["leiden"].cat.categories)
