@@ -60,7 +60,7 @@ def run_once(seed: int, idx, w, labels) -> tuple[float, float]:
     keys = spawn_keys(seed, N_PERMS)
     totals = []
     for c0 in range(0, N_PERMS, chunk):
-        cols = permutation_columns(keys[c0 : c0 + chunk], labels)
+        cols = permutation_columns(keys[c0 : c0 + chunk], labels, payload_dtype=jnp.uint8)
         totals.append(jnp.sum(permuted_pair_counts_cols(idx, mask, cols, N_CLS)))
     # readbacks AFTER all dispatches (each forces its chunk's completion;
     # block_until_ready does not sync through the axon tunnel)
