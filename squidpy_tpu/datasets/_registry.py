@@ -94,6 +94,43 @@ class DatasetRegistry:
     def names(self, dataset_type: str | None = None) -> list[str]:
         return [n for n, e in self.datasets.items() if dataset_type is None or e.type == dataset_type]
 
+    def __contains__(self, name: object) -> bool:
+        return name in self.datasets
+
+    def __getitem__(self, name: str) -> DatasetEntry:
+        try:
+            return self.datasets[name]
+        except KeyError:
+            raise KeyError(
+                f"Unknown dataset `{name}`. Available: {sorted(self.datasets)}."
+            ) from None
+
+    def __iter__(self):  # noqa: ANN204
+        return iter(self.datasets.values())
+
+    def __len__(self) -> int:
+        return len(self.datasets)
+
+    @property
+    def all_names(self) -> list[str]:
+        return list(self.datasets)
+
+    @property
+    def anndata_names(self) -> list[str]:
+        return self.names("anndata")
+
+    @property
+    def image_names(self) -> list[str]:
+        return self.names("image")
+
+    @property
+    def spatialdata_names(self) -> list[str]:
+        return self.names("spatialdata")
+
+    @property
+    def visium_names(self) -> list[str]:
+        return self.names("visium_10x")
+
 
 def _default_cache_dir() -> Path:
     return Path(os.environ.get("SQUIDPY_TPU_DATA", Path.home() / ".cache" / "squidpy_tpu" / "data"))

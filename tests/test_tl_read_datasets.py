@@ -313,3 +313,124 @@ class TestNanostringReader:
             assert "x_global_px" in adata.uns["spatial"][fov]["metadata"]
         # obs index is cellID_fov
         assert adata.obs_names[0].endswith("_1")
+
+
+class TestDatasetRegistryProtocol:
+    """Registry object-model behaviors (reference:
+    /root/reference/tests/datasets/test_registry.py)."""
+
+    @staticmethod
+    def _registry():
+        from squidpy_tpu.datasets import get_registry
+
+        return get_registry()
+
+    def test_contains_and_getitem(self):
+        reg = self._registry()
+        assert "imc" in reg
+        assert "bogus" not in reg
+        assert reg["imc"].name == "imc"
+        with pytest.raises(KeyError, match="Unknown dataset"):
+            reg["bogus"]
+
+    def test_iter_and_len(self):
+        reg = self._registry()
+        entries = list(reg)
+        assert len(entries) == len(reg) > 10
+        assert all(hasattr(e, "files") for e in entries)
+
+    def test_property_lists_partition_by_type(self):
+        reg = self._registry()
+        assert set(reg.anndata_names) == set(reg.names("anndata"))
+        assert "imc" in reg.anndata_names
+        assert len(reg.image_names) == 3
+        assert len(reg.visium_names) == 5
+        assert len(reg.spatialdata_names) == 2
+        typed = (
+            set(reg.anndata_names) | set(reg.image_names)
+            | set(reg.visium_names) | set(reg.spatialdata_names)
+        )
+        assert typed == set(reg.all_names)
+
+    def test_entry_fields(self):
+        reg = self._registry()
+        e = reg["imc"]
+        assert e.type == "anndata"
+        assert len(e.files) == 1
+        f = e.files[0]
+        assert f.name.endswith(".h5ad")
+        assert f.sha256 is None or len(f.sha256) == 64
+
+    def test_image_entries_have_library_id(self):
+        reg = self._registry()
+        for name in reg.image_names:
+            assert reg[name].library_id is not None
+
+    def test_get_urls_order(self):
+        from squidpy_tpu.datasets._registry import FileEntry
+
+        f = FileEntry(name="a.h5ad", s3_key="data/a.h5ad",
+                      fallback_urls=("https://mirror1/a", "https://mirror2/a"))
+        urls = f.get_urls("https://s3.base/")
+        assert urls == ["https://s3.base/data/a.h5ad", "https://mirror1/a", "https://mirror2/a"]
+        assert f.get_urls("") == ["https://mirror1/a", "https://mirror2/a"]
+
+    def test_visium_entries_have_matrix_and_positions(self):
+        reg = self._registry()
+        for name in reg.visium_names:
+            fnames = {f.name for f in reg[name].files}
+            assert "filtered_feature_bc_matrix.h5" in fnames
+
+
+class TestDatasetDownloaderBehavior:
+    def test_default_cache_dir_env_override(self, tmp_path, monkeypatch):
+        from squidpy_tpu.datasets._registry import _default_cache_dir
+
+        monkeypatch.setenv("SQUIDPY_TPU_DATA", str(tmp_path / "cache"))
+        assert _default_cache_dir() == tmp_path / "cache"
+
+    def test_singletons(self):
+        from squidpy_tpu.datasets import get_downloader, get_registry
+
+        assert get_registry() is get_registry()
+        assert get_downloader() is get_downloader()
+
+    def test_cached_file_reused_without_network(self, tmp_path):
+        import hashlib
+
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        payload = b"not a real h5ad"
+        sha = hashlib.sha256(payload).hexdigest()
+        reg = DatasetRegistry(s3_base_url="https://unreachable.invalid")
+        reg.datasets["fake"] = DatasetEntry(
+            name="fake", type="anndata",
+            files=[FileEntry(name="fake.h5ad", s3_key="fake.h5ad", sha256=sha)],
+        )
+        d = DatasetDownloader(reg)
+        target = tmp_path / "fake" / "fake.h5ad"
+        target.parent.mkdir(parents=True)
+        target.write_bytes(payload)
+        # checksum matches -> served from cache, no network touched
+        got = d._fetch_file(reg.datasets["fake"], reg.datasets["fake"].files[0], tmp_path)
+        assert got == target
+
+    def test_corrupted_cache_redownloads_and_fails_offline(self, tmp_path):
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        reg = DatasetRegistry(s3_base_url="")
+        reg.datasets["fake"] = DatasetEntry(
+            name="fake", type="anndata",
+            files=[FileEntry(name="fake.h5ad", s3_key="", sha256="0" * 64)],
+        )
+        d = DatasetDownloader(reg)
+        target = tmp_path / "fake" / "fake.h5ad"
+        target.parent.mkdir(parents=True)
+        target.write_bytes(b"corrupt")
+        with pytest.raises(ExceptionGroup, match="Place the file manually"):
+            d._fetch_file(reg.datasets["fake"], reg.datasets["fake"].files[0], tmp_path)
+        assert not target.exists()  # corrupted cache was evicted
