@@ -328,3 +328,66 @@ class TestReferenceBehaviors:
         p1 = np.asarray(r1["pvalues"].astype(float))
         p2 = np.asarray(r2["pvalues"].astype(float))
         assert not np.allclose(np.nan_to_num(p1), np.nan_to_num(p2))
+
+
+class TestLigrecReferenceBehaviors:
+    """Remaining reference behaviors: duplicate interactions, None filtering,
+    gene-symbol mapping, and the literal NaN-mask case
+    (/root/reference/tests/graph/test_ligrec.py:409-566)."""
+
+    def test_non_uniqueness(self, adata_raw, interactions):
+        expected = {(r.upper(), l.upper()) for r, l in interactions}
+        dup = tuple(interactions) + tuple(interactions[:3])
+        res = sq.gr.ligrec(adata_raw, _CK, interactions=dup, n_perms=1, copy=True, seed=42)
+        assert len(res["pvalues"]) == len(expected)
+        assert set(res["pvalues"].index.to_list()) == expected
+
+    def test_none_source_target_filtered(self, adata_raw):
+        pt = PermutationTest(adata_raw).prepare(
+            {"source": [None, adata_raw.raw.var_names[0]],
+             "target": [None, adata_raw.raw.var_names[1]]}
+        )
+        assert isinstance(pt.interactions, pd.DataFrame)
+        assert len(pt.interactions) == 1
+
+    def test_gene_symbols(self, adata_raw):
+        gene_ids = [f"ENSG{i:05d}" for i in range(adata_raw.n_vars)]
+        adata_raw.var["gene_ids"] = gene_ids
+        adata_raw.raw.var["gene_ids"] = gene_ids[: adata_raw.raw.n_vars] \
+            if hasattr(adata_raw.raw, "var") else None
+        inter = tuple(product(gene_ids[:4], gene_ids[:4]))
+        res = sq.gr.ligrec(
+            adata_raw, _CK, interactions=inter, n_perms=5, use_raw=False,
+            copy=True, gene_symbols="gene_ids", seed=0,
+        )
+        np.testing.assert_array_equal(res["means"].index, pd.MultiIndex.from_tuples(inter))
+        np.testing.assert_array_equal(res["pvalues"].index, pd.MultiIndex.from_tuples(inter))
+
+    def test_nan_counts_literal(self):
+        """2 clusters x 3 gene pairs with threshold 0.8: only GENE2->GENE3 in
+        A->B passes both expression masks; every other combination is NaN."""
+        X = np.array(
+            [
+                [1.0, 0.1, 0.0],
+                [0.0, 1.0, 0.0],
+                [0.0, 1.0, 0.0],
+                [0.1, 0.0, 1.0],
+                [0.0, 0.0, 1.0],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        adata = sq.AnnData(
+            X=X,
+            obs=pd.DataFrame({"cluster": pd.Categorical(["A"] * 3 + ["B"] * 3)},
+                             index=[f"cell{i}" for i in range(1, 7)]),
+            var=pd.DataFrame(index=["Gene1", "Gene2", "Gene3"]),
+        )
+        inter = pd.DataFrame({"source": ["Gene1", "Gene2", "Gene3"],
+                              "target": ["Gene2", "Gene3", "Gene1"]})
+        res = sq.gr.ligrec(adata, cluster_key="cluster", interactions=inter,
+                           threshold=0.8, use_raw=False, copy=True, seed=0)
+        pv = res["pvalues"].values
+        assert int(np.isnan(pv).sum()) == 11
+        want = np.full((3, 4), np.nan)
+        want[1, 1] = 0.0
+        np.testing.assert_array_equal(pv, want)
