@@ -13,28 +13,94 @@ from squidpy_tpu.pl._utils import save_fig
 __all__ = ["qc_image", "tiling_qc"]
 
 
+def _kde_panel(ax: Any, values: np.ndarray, tissue_mask: np.ndarray | None, name: str) -> None:
+    """Distribution panel: KDE curves split by tissue/background when the QC
+    table carries an ``is_tissue`` call (reference anatomy:
+    /root/reference/src/squidpy/experimental/pl/_qc_image.py:120-165)."""
+    from scipy.stats import gaussian_kde
+
+    lo, hi = float(np.min(values)), float(np.max(values))
+    if lo >= hi:
+        ax.text(0.5, 0.5, f"Constant value: {lo:.4f}", ha="center", va="center",
+                transform=ax.transAxes)
+    else:
+        xs = np.linspace(lo, hi, 200)
+        parts = (
+            [("Background", values[~tissue_mask]), ("Tissue", values[tissue_mask])]
+            if tissue_mask is not None
+            else [(None, values)]
+        )
+        for label, vals in parts:
+            if len(vals) > 1 and np.std(vals) > 0:
+                density = gaussian_kde(vals)(xs)
+                ax.plot(xs, density, label=label, alpha=0.7)
+                ax.fill_between(xs, density, alpha=0.3)
+        if tissue_mask is not None:
+            ax.legend(fontsize=8)
+    ax.set_xlabel(name.replace("_", " ").title())
+    ax.set_ylabel("Density")
+    ax.set_title("Distribution")
+    ax.grid(True, alpha=0.3)
+
+
+def _stats_panel(ax: Any, values: np.ndarray, name: str) -> None:
+    ax.axis("off")
+    pct = {p: np.percentile(values, p) for p in (5, 25, 50, 75, 95)}
+    text = (
+        f"Raw {name.replace('_', ' ').title()} Statistics:\n\n"
+        f"Count: {len(values):,}\n"
+        f"Mean: {np.mean(values):.4f}\n"
+        f"Std: {np.std(values):.4f}\n"
+        f"Min: {np.min(values):.4f}\n"
+        f"Max: {np.max(values):.4f}\n\n"
+        "Percentiles:\n"
+        + "".join(f"{p}%: {v:.4f}\n" for p, v in pct.items())
+        + f"\nNon-zero: {np.count_nonzero(values):,}\n"
+        f"Zero: {int(np.sum(values == 0)):,}"
+    )
+    ax.text(0.05, 0.95, text, transform=ax.transAxes, fontsize=9,
+            verticalalignment="top", fontfamily="monospace")
+
+
 def qc_image(
     qc_adata: Any,
     metrics: list[str] | None = None,
     cmap: str = "viridis",
     figsize: tuple[float, float] | None = None,
     dpi: int | None = None,
+    return_ax: bool = False,
     save: str | Path | None = None,
     **kwargs: Any,
-) -> None:
-    """Render per-tile QC scores as metric grids
-    (companion to :func:`squidpy_tpu.experimental.im.qc_image`)."""
+) -> np.ndarray | None:
+    """Summary view of tile-QC metrics: one row per metric with a spatial
+    tile map, a tissue/background KDE distribution, and a statistics panel
+    (companion to :func:`squidpy_tpu.experimental.im.qc_image`; same panel
+    anatomy as the reference's experimental/pl/_qc_image.py:45-199)."""
     ny, nx = qc_adata.uns["qc_image"]["grid_shape"]
     metrics = metrics or list(qc_adata.var_names)
-    fig, axes = plt.subplots(1, len(metrics), figsize=figsize or (4 * len(metrics), 4), dpi=dpi, squeeze=False)
-    for ax, m in zip(axes.ravel(), metrics):
-        vals = qc_adata.obs_vector(m).reshape(ny, nx)
-        im = ax.imshow(vals, cmap=cmap, **kwargs)
-        ax.set_title(m)
-        fig.colorbar(im, ax=ax, shrink=0.8)
-        ax.axis("off")
+    unknown = [m for m in metrics if m not in set(qc_adata.var_names)]
+    if unknown:
+        raise ValueError(f"Metric(s) {unknown} not found. Available: {list(qc_adata.var_names)}.")
+    tissue = (
+        np.asarray(qc_adata.obs["is_tissue"], dtype=bool)
+        if "is_tissue" in qc_adata.obs
+        else None
+    )
+    fig, axes = plt.subplots(
+        len(metrics), 3, figsize=figsize or (12, 4 * len(metrics)), dpi=dpi, squeeze=False
+    )
+    for row, m in zip(axes, metrics):
+        vals = np.asarray(qc_adata.obs_vector(m), dtype=float)
+        im = row[0].imshow(vals.reshape(ny, nx), cmap=cmap, **kwargs)
+        row[0].set_title(m.replace("_", " ").title())
+        fig.colorbar(im, ax=row[0], shrink=0.8)
+        row[0].axis("off")
+        _kde_panel(row[1], vals, tissue, m)
+        _stats_panel(row[2], vals, m)
+    fig.tight_layout()
     if save is not None:
         save_fig(fig, save)
+    return axes if return_ax else None
 
 
 def tiling_qc(

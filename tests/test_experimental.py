@@ -1268,3 +1268,41 @@ class TestStitchScoring:
         e = edges[0]
         assert e.axis == "h" and e.normal == -1 and e.coord == 49.5
         assert 1 in crops
+
+
+class TestQCImagePlotAnatomy:
+    """3-panel qc_image plot (spatial map / KDE / stats), reference:
+    /root/reference/src/squidpy/experimental/pl/_qc_image.py:45-199."""
+
+    @staticmethod
+    def _qc():
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (256, 256)).astype(np.float32)
+        img[:128] *= 0.2  # darker half -> classified as non-tissue
+        return exp_im.qc_image(img, tile_size=64, metrics=["tenengrad", "brightness_mean"],
+                               detect_tissue=True)
+
+    def test_rows_per_metric_with_three_panels(self):
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        axes = exp_pl.qc_image(self._qc(), return_ax=True)
+        assert axes.shape == (2, 3)
+
+    def test_metric_subset_and_unknown_raises(self, tmp_path):
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        qc = self._qc()
+        axes = exp_pl.qc_image(qc, metrics=["tenengrad"], return_ax=True,
+                               save=str(tmp_path / "one.png"))
+        assert axes.shape == (1, 3)
+        assert (tmp_path / "one.png").exists()
+        with pytest.raises(ValueError, match="not found"):
+            exp_pl.qc_image(qc, metrics=["bogus"])
+
+    def test_constant_metric_renders_text(self):
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        qc = self._qc()
+        qc.X[:, 0] = 1.0  # constant column -> KDE panel falls back to text
+        axes = exp_pl.qc_image(qc, metrics=[qc.var_names[0]], return_ax=True)
+        assert axes.shape == (1, 3)
