@@ -326,10 +326,13 @@ def calculate_image_features(
     labels: Any,
     *,
     features: list[str] | str | None = None,
+    channels: Sequence[int] | None = None,
     tile_size: int = 2048,
     overlap_margin: int | str = "auto",
     morphology_props: Sequence[str] | None = None,
     intensity: bool = True,
+    invalid_as_zero: bool = False,
+    drop_constant_features: bool = False,
     labels_translation: tuple[float, float] = (0, 0),
     align_mode: str = "strict",
     n_jobs: int = 1,
@@ -348,7 +351,10 @@ def calculate_image_features(
     ``morphology_props``/``intensity`` kwargs override the parsed morphology /
     intensity selections when given. ``labels_translation``/``align_mode``
     crop both arrays to their pixel-grid overlap first (see
-    :func:`align_to_image_grid`).
+    :func:`align_to_image_grid`). ``channels`` restricts intensity features
+    to those channel indices; ``invalid_as_zero`` replaces non-finite feature
+    values with 0 and ``drop_constant_features`` removes zero-variance
+    columns (reference kwargs, experimental/im/_calculate_image_features.py:881-887).
 
     Returns an AnnData with one obs per cell (centroids in
     ``obsm['spatial']``), and attaches it to ``sdata.tables[key_added]`` when
@@ -404,6 +410,13 @@ def calculate_image_features(
         n_channels = 1
     else:
         n_channels = img_shape[0] if img_shape[-2:] == tuple(lab_shape) else img_shape[-1]
+    if channels is not None:
+        bad = [c for c in channels if not 0 <= int(c) < n_channels]
+        if bad:
+            raise ValueError(f"channels {bad} out of range for an image with {n_channels} channel(s).")
+        if len(img_shape) == 3:
+            image = image[list(channels)] if img_shape[-2:] == tuple(lab_shape) else image[..., list(channels)]
+        n_channels = len(channels)
 
     start = logg.info(f"Featurizing `{len(specs)}` tiles")
     frames = run_tiled(
@@ -424,6 +437,14 @@ def calculate_image_features(
         obs=obs,
         var=pd.DataFrame(index=pd.Index(feature_cols)),
     )
+    if invalid_as_zero:
+        adata.X = np.nan_to_num(adata.X, nan=0.0, posinf=0.0, neginf=0.0)
+    if drop_constant_features:
+        with np.errstate(invalid="ignore"):
+            keep = np.nanstd(adata.X, axis=0) > 0
+        if not keep.all():
+            logg.info(f"Dropping `{int((~keep).sum())}` constant feature(s)")
+            adata = adata[:, keep].copy()
     adata.obsm["spatial"] = df[["centroid_x", "centroid_y"]].to_numpy(dtype=np.float64)
     adata.uns["cell_features"] = {"tile_size": tile_size, "n_tiles": len(specs)}
     logg.info("Finish", time=start)

@@ -237,13 +237,23 @@ def detect_tissue(
     sigma: float = 2.0,
     min_region_fraction: float = 1e-4,
     close_holes: bool = True,
+    close_holes_smaller_than_frac: float | None = None,
+    mask_smoothing_cycles: int = 0,
     border_margin: int = 0,
     invert: bool | None = None,
+    label_components: bool = False,
     method_params: Any = None,
     background_params: Any = None,
     **kwargs: Any,
 ) -> np.ndarray:
-    """Detect tissue; returns a full-resolution boolean mask.
+    """Detect tissue; returns a full-resolution boolean mask (or an
+    integer-labeled specimen mask when ``label_components=True``, one id per
+    connected tissue piece — the reference's labeled-mask convention,
+    /root/reference/src/squidpy/experimental/im/_detect_tissue.py:226).
+
+    ``close_holes_smaller_than_frac`` fills only holes below that area
+    fraction (instead of all enclosed holes); ``mask_smoothing_cycles``
+    applies that many binary open+close rounds to smooth ragged edges.
 
     Methods (reference: experimental/im/_detect_tissue.py:208-489):
 
@@ -313,9 +323,25 @@ def detect_tissue(
     elif invert:
         mask = ~mask
 
-    if close_holes:
+    if close_holes_smaller_than_frac is not None:
+        # fill only small enclosed holes: background components not touching
+        # the border and below the area bound
+        holes, nh = ndi.label(~mask)
+        if nh:
+            border_ids = np.unique(
+                np.concatenate([holes[0, :], holes[-1, :], holes[:, 0], holes[:, -1]])
+            )
+            sizes = np.bincount(holes.ravel())
+            fill = (sizes < close_holes_smaller_than_frac * mask.size)
+            fill[border_ids] = False
+            fill[0] = False
+            mask = mask | fill[holes]
+    elif close_holes:
         mask = ndi.binary_fill_holes(mask)
         mask = ndi.binary_closing(mask, structure=np.ones((3, 3)))
+    for _ in range(int(mask_smoothing_cycles)):
+        mask = ndi.binary_closing(ndi.binary_opening(mask, structure=np.ones((3, 3))),
+                                  structure=np.ones((3, 3)))
     if min_region_fraction > 0:
         lab, n = ndi.label(mask)
         if n:
@@ -337,4 +363,8 @@ def detect_tissue(
     else:
         full = mask.astype(bool)
     logg.info(f"Detected tissue covering {full.mean():.1%} of the image")
+    if label_components:
+        labeled, n = ndi.label(full)
+        logg.info(f"Labeled `{n}` tissue specimen(s)")
+        return labeled.astype(np.int32)
     return full

@@ -1306,3 +1306,85 @@ class TestQCImagePlotAnatomy:
         qc.X[:, 0] = 1.0  # constant column -> KDE panel falls back to text
         axes = exp_pl.qc_image(qc, metrics=[qc.var_names[0]], return_ax=True)
         assert axes.shape == (1, 3)
+
+
+class TestDetectTissueMaskKnobs:
+    """Labeled-specimen output, bounded hole filling and edge smoothing
+    (reference: /root/reference/src/squidpy/experimental/im/_detect_tissue.py:219-226)."""
+
+    @staticmethod
+    def _slide():
+        rng = np.random.default_rng(0)
+        img = np.full((300, 300), 0.9, np.float32)
+        yy, xx = np.mgrid[:300, :300]
+        img[((yy - 80) ** 2 + (xx - 80) ** 2) <= 50 ** 2] = 0.3   # specimen 1
+        img[((yy - 210) ** 2 + (xx - 210) ** 2) <= 40 ** 2] = 0.35  # specimen 2
+        img[((yy - 80) ** 2 + (xx - 80) ** 2) <= 6 ** 2] = 0.9   # small hole in 1
+        return img + rng.normal(0, 0.01, img.shape).astype(np.float32)
+
+    def test_label_components_returns_int_ids(self):
+        labeled = exp_im.detect_tissue(self._slide(), downscale_to=300,
+                                       label_components=True)
+        assert labeled.dtype == np.int32
+        ids = set(np.unique(labeled)) - {0}
+        assert len(ids) == 2
+
+    def test_bounded_hole_filling(self):
+        img = self._slide()
+        # bound below the hole size: the hole survives
+        m_keep = exp_im.detect_tissue(img, downscale_to=300,
+                                      close_holes_smaller_than_frac=1e-5, sigma=0.5)
+        # bound above the hole size: the hole is filled
+        m_fill = exp_im.detect_tissue(img, downscale_to=300,
+                                      close_holes_smaller_than_frac=0.01, sigma=0.5)
+        assert int(m_fill.sum()) > int(m_keep.sum())
+        assert not m_keep[80, 80] and m_fill[80, 80]
+
+    def test_smoothing_cycles_reduce_perimeter(self):
+        rng = np.random.default_rng(1)
+        img = self._slide() + rng.normal(0, 0.15, (300, 300)).astype(np.float32)
+        m0 = exp_im.detect_tissue(img, downscale_to=300, sigma=0.0, close_holes=False)
+        m2 = exp_im.detect_tissue(img, downscale_to=300, sigma=0.0, close_holes=False,
+                                  mask_smoothing_cycles=2)
+
+        def perim(m):
+            return int((m[:, 1:] != m[:, :-1]).sum() + (m[1:, :] != m[:-1, :]).sum())
+
+        assert perim(m2) < perim(m0)
+
+
+class TestCalculateFeaturesKnobs:
+    """channels / invalid_as_zero / drop_constant_features (reference kwargs,
+    /root/reference/src/squidpy/experimental/im/_calculate_image_features.py:881-887)."""
+
+    @staticmethod
+    def _pair():
+        labels, image = _synthetic_cells(size=200, n_side=4, spacing=35)
+        rgb = np.stack([image, image * 0.5, np.zeros_like(image)], axis=-1)
+        return rgb, labels
+
+    def test_channels_subset(self):
+        rgb, labels = self._pair()
+        a_all = exp_im.calculate_image_features(rgb, labels, features="squidpy:summary")
+        a_sub = exp_im.calculate_image_features(rgb, labels, features="squidpy:summary", channels=[0])
+        assert a_sub.n_vars < a_all.n_vars
+        assert all("ch-0" in v or "ch0" in v or "0" in v for v in a_sub.var_names)
+
+    def test_channels_out_of_range(self):
+        rgb, labels = self._pair()
+        with pytest.raises(ValueError, match="out of range"):
+            exp_im.calculate_image_features(rgb, labels, features="squidpy:summary", channels=[7])
+
+    def test_drop_constant_features(self):
+        rgb, labels = self._pair()  # channel 2 is all zeros -> constant columns
+        a_keep = exp_im.calculate_image_features(rgb, labels, features="squidpy:summary")
+        a_drop = exp_im.calculate_image_features(rgb, labels, features="squidpy:summary",
+                                                 drop_constant_features=True)
+        assert a_drop.n_vars < a_keep.n_vars
+        assert np.nanstd(np.asarray(a_drop.X), axis=0).min() > 0
+
+    def test_invalid_as_zero(self):
+        rgb, labels = self._pair()
+        a = exp_im.calculate_image_features(rgb, labels, features="skimage:morphology",
+                                            invalid_as_zero=True)
+        assert np.isfinite(np.asarray(a.X)).all()
