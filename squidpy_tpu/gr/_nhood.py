@@ -12,7 +12,7 @@ compatibility and ignored.
 from __future__ import annotations
 
 from collections.abc import Iterable, Sequence
-from typing import Any, NamedTuple
+from typing import Any, Literal, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -53,6 +53,7 @@ def nhood_enrichment(
     backend: str = "loky",
     show_progress_bar: bool = True,
     *,
+    mode: Literal["perm", "analytic"] = "perm",
     table_key: str | None = None,
     cache: bool | str = False,
 ) -> NhoodEnrichmentResult | None:
@@ -61,6 +62,13 @@ def nhood_enrichment(
     z-score = (observed count − mean(permuted counts)) / std(permuted counts),
     per cluster pair; counts are directed stored-edge counts (reference
     semantics, /root/reference/src/squidpy/gr/_nhood.py:208-230).
+
+    ``mode='analytic'`` replaces the Monte-Carlo null with the exact
+    closed-form permutation moments (multi-category join-count statistics;
+    see :func:`squidpy_tpu.ops.nhood.analytic_pair_count_moments` and
+    arXiv:2506.18692) — the infinite-permutation limit of the same z-score,
+    with zero permutation compute and no ``n_perms``/``seed`` dependence.
+    ``library_key`` stratification requires ``mode='perm'``.
 
     ``cache`` (``True`` or a directory) memoizes the permutation-count batch
     on disk keyed by graph/labels/seed, so re-running the identical seeded
@@ -80,6 +88,30 @@ def nhood_enrichment(
 
     graph = graph_from_adata(adata, connectivity_key)
     labels_dev = jnp.asarray(int_clust)
+
+    if mode == "analytic":
+        if library_key is not None:
+            raise ValueError("`library_key` stratification requires `mode='perm'`.")
+        from squidpy_tpu.ops.nhood import analytic_pair_count_moments
+
+        start = logg.info("Calculating neighborhood enrichment analytically (join-count moments)")
+        count = np.asarray(
+            cluster_pair_counts(graph.indices, graph.mask, labels_dev, n_cls), dtype=np.int64
+        ).astype(np.uint32)
+        sizes = np.bincount(int_clust, minlength=n_cls)
+        mean, var = analytic_pair_count_moments(adata.obsp[connectivity_key], sizes)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            zscore = (count.astype(np.float64) - mean) / np.sqrt(var)
+        if copy:
+            logg.info("Finish", time=start)
+            return NhoodEnrichmentResult(zscore=zscore, counts=count)
+        _save_data(
+            adata, attr="uns", key=Key.uns.nhood_enrichment(cluster_key),
+            data={"zscore": zscore, "count": count}, time=start,
+        )
+        return None
+    if mode != "perm":
+        raise ValueError(f"Expected `mode` to be one of ['perm', 'analytic'], got `{mode!r}`.")
 
     start = logg.info(f"Calculating neighborhood enrichment using `{n_perms}` permutations on device")
     count = np.asarray(

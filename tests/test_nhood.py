@@ -337,3 +337,67 @@ class TestColumnLayoutKernels:
                 # values only move within their group segment
                 np.testing.assert_array_equal(np.sort(cols[sel, p]), np.sort(np.arange(400)[sel]))
             assert not np.array_equal(cols[:, p], np.arange(400))  # actually shuffled
+
+
+class TestAnalyticNhood:
+    """Closed-form permutation moments (join counts; ops/nhood.py
+    analytic_pair_count_moments)."""
+
+    @pytest.fixture()
+    def graph_adata(self, dummy_adata):
+        sq.gr.spatial_neighbors_knn(dummy_adata, n_neighs=6)
+        return dummy_adata
+
+    def test_moments_match_exhaustive_enumeration(self):
+        """Exact mean/var over ALL 5040 label permutations of a 7-node graph."""
+        from itertools import permutations
+
+        import scipy.sparse as sp
+
+        from squidpy_tpu.ops.nhood import analytic_pair_count_moments
+
+        rng = np.random.default_rng(1)
+        n, C = 7, 3
+        A = sp.random(n, n, density=0.35, random_state=3,
+                      data_rvs=lambda k: np.ones(k)).tocsr()
+        A.setdiag(0)
+        A.eliminate_zeros()
+        labels = np.array([0, 0, 0, 1, 1, 2, 2])
+        src, dst = A.nonzero()
+        counts = []
+        for perm in permutations(range(n)):
+            lab = labels[list(perm)]
+            cnt = np.zeros((C, C))
+            np.add.at(cnt, (lab[src], lab[dst]), 1)
+            counts.append(cnt)
+        counts = np.asarray(counts)
+        mean, var = analytic_pair_count_moments(A, np.bincount(labels, minlength=C))
+        np.testing.assert_allclose(mean, counts.mean(0), atol=1e-10)
+        np.testing.assert_allclose(var, counts.var(0), atol=1e-10)
+
+    def test_analytic_z_matches_perm_z(self, graph_adata):
+        """The analytic z is the infinite-permutation limit of the perm z."""
+        res_a = sq.gr.nhood_enrichment(graph_adata, cluster_key="leiden",
+                                       mode="analytic", copy=True)
+        res_p = sq.gr.nhood_enrichment(graph_adata, cluster_key="leiden",
+                                       n_perms=4000, seed=0, copy=True)
+        ok = np.isfinite(res_p.zscore) & np.isfinite(res_a.zscore)
+        assert ok.sum() >= 4
+        # MC error of a z-score at 4000 perms is a few percent; allow generous slack
+        np.testing.assert_allclose(res_a.zscore[ok], res_p.zscore[ok], atol=0.35)
+        np.testing.assert_array_equal(res_a.counts, res_p.counts)
+
+    def test_analytic_writes_same_uns_contract(self, graph_adata):
+        sq.gr.nhood_enrichment(graph_adata, cluster_key="leiden", mode="analytic")
+        data = graph_adata.uns["leiden_nhood_enrichment"]
+        assert set(data.keys()) == {"zscore", "count"}
+
+    def test_analytic_rejects_library_key(self, graph_adata):
+        graph_adata.obs["lib"] = pd.Categorical(["a"] * graph_adata.n_obs)
+        with pytest.raises(ValueError, match="mode='perm'"):
+            sq.gr.nhood_enrichment(graph_adata, cluster_key="leiden",
+                                   library_key="lib", mode="analytic")
+
+    def test_invalid_mode(self, graph_adata):
+        with pytest.raises(ValueError, match="one of"):
+            sq.gr.nhood_enrichment(graph_adata, cluster_key="leiden", mode="bogus")
