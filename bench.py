@@ -32,7 +32,7 @@ N_CELLS = 1_000_000
 K = 6
 N_CLS = 16
 N_PERMS = 1000
-CHUNK = 250
+CHUNK = 500
 CPU_PERMS = 3
 
 
@@ -53,10 +53,12 @@ def _device_bench() -> float:
         for c0 in range(0, N_PERMS, CHUNK):
             cols = permutation_columns(keys[c0 : c0 + CHUNK], labels, payload_dtype=jnp.uint8)
             counts = permuted_pair_counts_cols(indices, mask, cols, N_CLS)
-            totals.append(jnp.sum(counts))
+            # per-perm sums stay < 2^31 (a whole-chunk int32 sum overflows
+            # at 500 perms x 6M edges)
+            totals.append(jnp.sum(counts, axis=(1, 2)))
         # per-chunk host readbacks AFTER all dispatches: forces completion of
         # every chunk without serializing the pipeline
-        return sum(int(t) for t in totals)
+        return int(sum(np.asarray(t, dtype=np.int64).sum() for t in totals))
 
     assert run(999) == N_PERMS * N_CELLS * K  # compile + warm, different seed
 

@@ -56,15 +56,16 @@ def run_once(seed: int, idx, w, labels) -> tuple[float, float]:
     mask = jnp.ones((N, K), bool)
 
     t0 = time.time()
-    chunk = 250  # keep shuffle-generation transients well inside HBM
+    chunk = 500  # the measured gather/sort sweet spot (still well inside HBM)
     keys = spawn_keys(seed, N_PERMS)
     totals = []
     for c0 in range(0, N_PERMS, chunk):
         cols = permutation_columns(keys[c0 : c0 + chunk], labels, payload_dtype=jnp.uint8)
-        totals.append(jnp.sum(permuted_pair_counts_cols(idx, mask, cols, N_CLS)))
+        # per-perm sums stay < 2^31 (a whole-chunk int32 sum would overflow)
+        totals.append(jnp.sum(permuted_pair_counts_cols(idx, mask, cols, N_CLS), axis=(1, 2)))
     # readbacks AFTER all dispatches (each forces its chunk's completion;
     # block_until_ready does not sync through the axon tunnel)
-    total = sum(int(t) for t in totals)
+    total = int(sum(np.asarray(t, dtype=np.int64).sum() for t in totals))
     t_nhood = time.time() - t0
     assert total == N_PERMS * N * K
 

@@ -133,7 +133,7 @@ def nhood_enrichment(
         # chunk reuses one compiled kernel (the tail chunk is padded with
         # repeated keys and its extra counts dropped).
         keys = spawn_keys(seed, n_perms)
-        chunk = min(n_perms, 250)
+        chunk = min(n_perms, 500)
         parts: list[NDArrayA] = []
         for c0 in range(0, n_perms, chunk):
             kc = keys[c0 : c0 + chunk]

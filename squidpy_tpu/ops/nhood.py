@@ -196,9 +196,9 @@ def permuted_pair_counts_cols(
     n, k = indices.shape
     n_perms = shuffled_cols.shape[1]
     if chunk_size is None:
-        # ~250 columns keeps the (rows, P) gather slabs and fused one-hot
+        # ~500 columns keeps the (rows, P) gather slabs and fused one-hot
         # contractions in the measured sweet spot (0.55 ms/perm at 1M x k=6)
-        chunk_size = max(1, min(n_perms, 250))
+        chunk_size = max(1, min(n_perms, 500))
 
     if chunk_size >= n_perms:
         return _pair_counts_cols_kernel(indices, mask, shuffled_cols, shuffled_cols, n_cls)
