@@ -97,7 +97,11 @@ class PermutationTestABC(ABC):
 
         X = data_obj.X
         X = np.asarray(csc_matrix(X).todense()) if issparse(X) else np.asarray(X)
-        self._data = pd.DataFrame(X, index=adata.obs_names, columns=data_obj.var_names).fillna(0.0)
+        # replace NaNs only when present: fillna unconditionally copies the
+        # whole (possibly multi-100MB) matrix
+        if np.isnan(X).any():
+            X = np.nan_to_num(X, nan=0.0)
+        self._data = pd.DataFrame(X, index=adata.obs_names, columns=data_obj.var_names)
 
         self._interactions: pd.DataFrame | None = None
         self._filtered_data: pd.DataFrame | None = None
@@ -183,9 +187,11 @@ class PermutationTestABC(ABC):
             )
 
         interactions = self.interactions[[SOURCE, TARGET]]
-        filtered = self._filtered_data.copy()
-        filtered["clusters"] = (
-            self._adata.obs[cluster_key].astype("string").astype("category").values
+        # clusters as a side Series: never widen/copy the (cells x genes)
+        # expression frame just to carry one categorical column
+        cluster_series = pd.Series(
+            self._adata.obs[cluster_key].astype("string").astype("category").values,
+            index=self._filtered_data.index,
         )
 
         if clusters is None:
@@ -195,20 +201,23 @@ class PermutationTestABC(ABC):
         clusters = sorted(
             check_tuple_needles(
                 clusters,
-                filtered["clusters"].cat.categories,
+                cluster_series.cat.categories,
                 msg="Invalid cluster `{0!r}`.",
                 reraise=True,
             )
         )
         clusters_flat = list({c for cs in clusters for c in cs})
 
-        data = filtered.loc[np.isin(filtered["clusters"], clusters_flat), :].copy()
-        data["clusters"] = data["clusters"].cat.remove_unused_categories()
-        cat = data["clusters"].cat
+        row_mask = np.isin(np.asarray(cluster_series.values), clusters_flat)
+        if row_mask.all():
+            data = self._filtered_data  # common case: no row subset, no copy
+            cat = cluster_series.cat.remove_unused_categories().cat
+        else:
+            data = self._filtered_data.loc[row_mask, :]
+            cat = cluster_series[row_mask].cat.remove_unused_categories().cat
 
         cluster_mapper = dict(zip(cat.categories, range(len(cat.categories))))
-        gene_mapper = dict(zip(data.columns[:-1], range(len(data.columns) - 1)))
-        gene_cols = [c for c in data.columns if c != "clusters"]
+        gene_mapper = dict(zip(data.columns, range(len(data.columns))))
         clusters_ = np.array([[cluster_mapper[c1], cluster_mapper[c2]] for c1, c2 in clusters], dtype=np.int32)
         interactions_ = np.vectorize(lambda g: gene_mapper[g])(interactions.values).astype(np.int32)
 
@@ -218,7 +227,7 @@ class PermutationTestABC(ABC):
         )
 
         res_means, res_pvalues = _analysis(
-            data[gene_cols].to_numpy(),
+            data.to_numpy(),
             np.asarray(cat.codes.to_numpy(), dtype=np.int32),
             len(cat.categories),
             interactions_,
