@@ -66,6 +66,15 @@ def combine_digits(pair: np.ndarray) -> np.ndarray:
     return pair[0] * float(_DIGIT_BASE) + pair[1]
 
 
+def ordered_from_upper_digits(d: "jax.Array") -> "jax.Array":
+    """Ordered-pair count digits from strict-upper-triangle digits:
+    ``ordered[a, b] = upper[a, b] + upper[b, a]`` with exact digit carries."""
+    a1, a0 = d[0], d[1]
+    a0s = a0 + jnp.swapaxes(a0, -1, -2)
+    a1s = a1 + jnp.swapaxes(a1, -1, -2) + (a0s >> 24)
+    return jnp.stack([a1s, a0s & (_DIGIT_BASE - 1)])
+
+
 @partial(jax.jit, static_argnames=("n_cls", "row_tile"))
 def _cooccur_device(
     coords: jax.Array,
@@ -99,6 +108,74 @@ def _cooccur_device(
 
     acc0 = (jnp.zeros((n_l, n_cls, n_cls), jnp.int32),) * 2
     (a1, a0), _ = jax.lax.scan(tile_fn, acc0, jnp.arange(n_tiles))
+    return jnp.stack([a1, a0])
+
+
+def triangular_block_pairs(n: int, tile: int) -> tuple[np.ndarray, np.ndarray]:
+    """Upper-triangle block-pair index lists ``(ti, tj)`` with ``tj >= ti``.
+
+    The distance matrix is symmetric, so sweeping only these blocks (with a
+    strict ``i < j`` mask) halves the O(n²) work; ordered counts recover via
+    ``upper + upperᵀ`` (label axes swapped) — exact, since every count is an
+    integer.
+    """
+    n_tiles = (n + tile - 1) // tile
+    ti, tj = np.triu_indices(n_tiles)
+    return ti.astype(np.int32), tj.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("n_cls", "tile", "vary_axis"))
+def cooccur_block_pairs_device(
+    coords_p: jax.Array,   # (n_pad, 2) tile-padded coordinates
+    onehot_p: jax.Array,   # (n_pad, C) tile-padded label one-hots
+    n: int | jax.Array,
+    ti_arr: jax.Array,     # (B,) block-pair row-tile ids (−1 = padding pair)
+    tj_arr: jax.Array,     # (B,)
+    thresholds: jax.Array,
+    n_cls: int,
+    tile: int,
+    vary_axis: str | None = None,
+) -> jax.Array:
+    """Strict-upper-triangle pair counts over a block-pair list, as a
+    ``(2, L, C, C)`` digit pair.
+
+    One ``(tile, tile)`` distance block per step touches every pair exactly
+    once (``i < j``), so this does half the distance/indicator work of a full
+    row sweep. The same body serves single-device (all pairs) and
+    pair-sharded multi-device execution — exact integer counts make the
+    triangular and full formulations bitwise-interchangeable.
+    """
+    n_l = thresholds.shape[0]
+
+    def step(acc: tuple[jax.Array, jax.Array], tt: tuple[jax.Array, jax.Array]):
+        ti, tj = tt
+        ti_c = jnp.maximum(ti, 0)  # padding pairs compute on block 0, masked out
+        rows = jax.lax.dynamic_slice_in_dim(coords_p, ti_c * tile, tile)
+        cols = jax.lax.dynamic_slice_in_dim(coords_p, tj * tile, tile)
+        oh_i = jax.lax.dynamic_slice_in_dim(onehot_p, ti_c * tile, tile)
+        oh_j = jax.lax.dynamic_slice_in_dim(onehot_p, tj * tile, tile)
+        d2 = pairwise_sq_dists(rows, cols)  # (tile, tile)
+        gi = ti_c * tile + jnp.arange(tile, dtype=jnp.int32)
+        gj = tj * tile + jnp.arange(tile, dtype=jnp.int32)
+        ok = (gi[:, None] < gj[None, :]) & (gj[None, :] < n) & (ti >= 0)
+
+        def per_thresh(thr: jax.Array) -> tuple[jax.Array, jax.Array]:
+            ind = jnp.where(ok & (d2 <= thr), jnp.asarray(1.0, coords_p.dtype), 0.0)
+            # block sums ≤ tile² < 2^24: the (tile, C) partial and the C×C
+            # block count are both exact f32 integers
+            s = jnp.dot(ind, oh_j, preferred_element_type=jnp.float32)
+            cnt = jnp.dot(oh_i.T, s, preferred_element_type=jnp.float32).astype(jnp.int32)
+            return cnt >> 12, cnt & (_SPLIT - 1)
+
+        hi, lo = jax.lax.map(per_thresh, thresholds)
+        return digit_accumulate(acc, hi, lo), None
+
+    acc0 = (jnp.zeros((n_l, n_cls, n_cls), jnp.int32),) * 2
+    if vary_axis is not None:
+        # inside shard_map the carry folds device-varying pair ids, so the
+        # initial zeros must be marked varying over the mesh axis
+        acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
+    (a1, a0), _ = jax.lax.scan(step, acc0, (ti_arr, tj_arr))
     return jnp.stack([a1, a0])
 
 

@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from squidpy_tpu.ops.autocorr import moran_scores
@@ -342,83 +343,58 @@ def sharded_cooccur_counts(
     mesh: Mesh,
     coords: jax.Array,
     labels: jax.Array,
-    row_valid: jax.Array,
     thresholds: jax.Array,
     n_cls: int,
     *,
-    row_tile: int = 2048,
+    tile: int = 2048,
 ) -> jax.Array:
-    """Co-occurrence pair counts ``(L, C, C)`` with the **row axis** sharded.
+    """Co-occurrence pair counts ``(2, L, C, C)`` digits with the
+    **triangular block-pair list** sharded across the mesh.
 
-    The O(n²) pairwise sweep (the reference's numba `_occur_count` scaling
-    cliff, /root/reference/src/squidpy/gr/_ppatterns.py:283-310) splits by
-    source rows: each device sweeps its row shard against the replicated
-    column set, and the integer counts merge with one ``psum`` — bitwise
-    equal to the single-device kernel. ``row_valid`` masks padding rows
-    added for mesh divisibility.
+    The symmetric O(n²) sweep visits only upper-triangle ``(tile, tile)``
+    blocks (half the distance work of a full row sweep); the block-pair list
+    is round-robin sharded so every device sweeps an equal number of blocks
+    against the replicated coordinates, and the exact integer digit pairs
+    merge with one ``psum`` — bitwise equal to the single-device kernel.
     """
-    from squidpy_tpu.ops.knn import pairwise_sq_dists
+    from squidpy_tpu.ops.cooccur import (
+        cooccur_block_pairs_device,
+        ordered_from_upper_digits,
+        triangular_block_pairs,
+    )
 
     axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
     n = coords.shape[0]
+    t = min(tile, max(8, n))
+    n_tiles = -(-n // t)
+    n_pad = n_tiles * t
+    coords_p = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    onehot_p = jnp.pad(
+        jax.nn.one_hot(labels, n_cls, dtype=coords.dtype), ((0, n_pad - n), (0, 0))
+    )
+    ti, tj = triangular_block_pairs(n, t)
+    pad_b = (-len(ti)) % n_dev
+    if pad_b:
+        ti = np.concatenate([ti, np.full(pad_b, -1, np.int32)])
+        tj = np.concatenate([tj, np.zeros(pad_b, np.int32)])
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(axis), P(axis), P()),
         out_specs=P(),
     )
-    def f(rows_s, row_lab_s, row_valid_s, coords_r, labels_r, col_valid_r, thr_r):
-        from squidpy_tpu.ops.cooccur import digit_accumulate, digit_normalize, pair_digit_matmuls
+    def f(coords_r, oh_r, ti_s, tj_s, thr):
+        from squidpy_tpu.ops.cooccur import digit_normalize
 
-        m = rows_s.shape[0]
-        tile = min(row_tile, max(8, m))
-        n_tiles = (m + tile - 1) // tile
-        m_pad = n_tiles * tile
-        rows_p = jnp.pad(rows_s, ((0, m_pad - m), (0, 0)))
-        oh_rows_p = jnp.pad(
-            jax.nn.one_hot(row_lab_s, n_cls, dtype=rows_s.dtype) * row_valid_s[:, None].astype(rows_s.dtype),
-            ((0, m_pad - m), (0, 0)),
-        )
-        valid_p = jnp.pad(row_valid_s, (0, m_pad - m))
-        # global index of each shard row, for self-pair exclusion
-        shard_off = jax.lax.axis_index(axis) * m
-        onehot_cols = jax.nn.one_hot(labels_r, n_cls, dtype=rows_s.dtype)
-
-        def tile_fn(acc, t: jax.Array):
-            r = jax.lax.dynamic_slice_in_dim(rows_p, t * tile, tile)
-            oh_r = jax.lax.dynamic_slice_in_dim(oh_rows_p, t * tile, tile)
-            v_r = jax.lax.dynamic_slice_in_dim(valid_p, t * tile, tile)
-            gids = shard_off + t * tile + jnp.arange(tile, dtype=jnp.int32)
-            d2 = pairwise_sq_dists(r, coords_r)
-            ok = (
-                v_r[:, None]
-                & col_valid_r[None, :]
-                & (jnp.arange(n, dtype=jnp.int32)[None, :] != gids[:, None])
-            )
-
-            def per_thresh(thr: jax.Array):
-                ind = jnp.where(ok & (d2 <= thr), jnp.asarray(1.0, rows_s.dtype), 0.0)
-                return pair_digit_matmuls(ind, onehot_cols, oh_r)
-
-            hi, lo = jax.lax.map(per_thresh, thr_r)
-            return digit_accumulate(acc, hi, lo), None
-
-        n_l = thr_r.shape[0]
-        # the scan body's carry is device-varying (it folds in shard data), so
-        # the initial zeros must be marked varying over the mesh axis too
-        acc0 = jax.lax.pcast(
-            (jnp.zeros((n_l, n_cls, n_cls), jnp.int32),) * 2, (axis,), to="varying"
-        )
-        (a1, a0), _ = jax.lax.scan(tile_fn, acc0, jnp.arange(n_tiles))
-        # per-device pairs are normalized; their integer psum is exact, then
-        # re-normalizing yields the canonical digits — bitwise equal to the
-        # single-device kernel at any device count
-        a1 = jax.lax.psum(a1, axis)
-        a0 = jax.lax.psum(a0, axis)
+        d = cooccur_block_pairs_device(coords_r, oh_r, n, ti_s, tj_s, thr, n_cls, t, vary_axis=axis)
+        a1 = jax.lax.psum(d[0], axis)
+        a0 = jax.lax.psum(d[1], axis)
         return digit_normalize(a1, a0)
 
-    return f(coords, labels, row_valid, coords, labels, row_valid, thresholds)
+    upper = f(coords_p, onehot_p, jnp.asarray(ti), jnp.asarray(tj), thresholds)
+    return ordered_from_upper_digits(upper)
 
 
 def auto_cooccur_counts(
@@ -429,27 +405,35 @@ def auto_cooccur_counts(
     *,
     row_tile: int = 2048,
 ) -> jax.Array:
-    """Row-sharded co-occurrence counts ``(L, C, C)`` across all local devices
-    when available (row axis zero-padded with invalid rows for divisibility);
-    single-device kernel otherwise. Bitwise equal either way."""
-    from squidpy_tpu.ops.cooccur import _cooccur_device
+    """Co-occurrence counts digits ``(2, L, C, C)``: triangular block-pair
+    sweep, pair-sharded across all local devices when available. Bitwise
+    equal at any device count (exact integer digits)."""
+    from squidpy_tpu.ops.cooccur import (
+        cooccur_block_pairs_device,
+        ordered_from_upper_digits,
+        triangular_block_pairs,
+    )
     from squidpy_tpu.parallel.mesh import default_mesh
 
     n = coords.shape[0]
     n_dev = jax.device_count()
-    if n_dev <= 1:
-        return _cooccur_device(coords, labels, thresholds, n_cls, min(row_tile, max(8, n)))
-    pad = (-n) % n_dev
-    valid = jnp.ones((n + pad,), bool).at[n:].set(False) if pad else jnp.ones((n,), bool)
-    if pad:
-        coords_p = jnp.pad(coords, ((0, pad), (0, 0)))
-        labels_p = jnp.pad(labels, (0, pad))
-    else:
-        coords_p, labels_p = coords, labels
-    return sharded_cooccur_counts(
-        default_mesh(axis_name="rows"), coords_p, labels_p, valid, thresholds, n_cls,
-        row_tile=row_tile,
+    if n_dev > 1:
+        return sharded_cooccur_counts(
+            default_mesh(axis_name="pairs"), coords, labels, thresholds, n_cls,
+            tile=row_tile,
+        )
+    t = min(row_tile, max(8, n))
+    n_tiles = -(-n // t)
+    n_pad = n_tiles * t
+    coords_p = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    onehot_p = jnp.pad(
+        jax.nn.one_hot(labels, n_cls, dtype=coords.dtype), ((0, n_pad - n), (0, 0))
     )
+    ti, tj = triangular_block_pairs(n, t)
+    upper = cooccur_block_pairs_device(
+        coords_p, onehot_p, n, jnp.asarray(ti), jnp.asarray(tj), thresholds, n_cls, t
+    )
+    return ordered_from_upper_digits(upper)
 
 
 def auto_sepal_iters(
