@@ -22,26 +22,39 @@ __all__ = ["pair_counts_cumulative", "ppp_sample"]
 
 @partial(jax.jit, static_argnames=("row_tile",))
 def _pair_counts_device(points: jax.Array, support_sq: jax.Array, row_tile: int) -> jax.Array:
-    """Ordered pair counts (incl. self-pairs) with ``d² ≤ support_sq[r]``."""
+    """Ordered pair counts (excl. self-pairs) with ``d² ≤ support_sq[r]``.
+
+    The distance matrix is symmetric, so only upper-triangle ``(tile, tile)``
+    blocks are swept (strict ``i < j`` mask — which also kills self-pairs
+    by index, avoiding MXU f32 noise on expanded self-distances) and the
+    ordered count is twice the triangular count. Square blocks keep each
+    distance tile small enough to stay resident across the threshold loop.
+    """
     m = points.shape[0]
     n_tiles = (m + row_tile - 1) // row_tile
     p_pad = jnp.pad(points, ((0, n_tiles * row_tile - m), (0, 0)))
+    ti, tj = np.triu_indices(n_tiles)
+    ti = jnp.asarray(ti.astype(np.int32))
+    tj = jnp.asarray(tj.astype(np.int32))
 
-    def block(t: jax.Array) -> jax.Array:
-        rows = jax.lax.dynamic_slice_in_dim(p_pad, t * row_tile, row_tile)
-        row_ids = t * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
-        d2 = pairwise_sq_dists(rows, points)
-        # mask self-pairs by index (not by d==0: MXU f32 matmul noise can make
-        # the expanded self-distance slightly nonzero) and padded rows
-        col_ids = jnp.arange(m, dtype=jnp.int32)[None, :]
-        valid = (row_ids[:, None] < m) & (col_ids != row_ids[:, None])
+    def block(tt: tuple[jax.Array, jax.Array]) -> jax.Array:
+        t_i, t_j = tt
+        rows = jax.lax.dynamic_slice_in_dim(p_pad, t_i * row_tile, row_tile)
+        cols = jax.lax.dynamic_slice_in_dim(p_pad, t_j * row_tile, row_tile)
+        d2 = pairwise_sq_dists(rows, cols)
+        gi = t_i * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
+        gj = t_j * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
+        valid = (gi[:, None] < gj[None, :]) & (gj[None, :] < m)
 
         def per_thresh(thr: jax.Array) -> jax.Array:
             return jnp.sum(jnp.where(valid & (d2 <= thr), 1, 0))
 
         return jax.lax.map(per_thresh, support_sq)
 
-    return jnp.sum(jax.lax.map(block, jnp.arange(n_tiles)), axis=0)
+    # per-block (B, L) int32 counts (each ≤ tile² < 2^24); the cross-block
+    # sum happens on host in int64 — an on-device int32 total would overflow
+    # past ~46k points (m²/2 > 2^31)
+    return jax.lax.map(block, (ti, tj))
 
 
 def pair_counts_cumulative(points: np.ndarray, support: np.ndarray, *, row_tile: int = 1024) -> np.ndarray:
@@ -49,12 +62,13 @@ def pair_counts_cumulative(points: np.ndarray, support: np.ndarray, *, row_tile:
     ``two_point_correlation(...) - n`` quantity of the reference's L function."""
     points = np.ascontiguousarray(points, dtype=np.float32)
     m = points.shape[0]
-    out = _pair_counts_device(
+    blocks = _pair_counts_device(
         jnp.asarray(points),
         jnp.asarray((np.asarray(support, dtype=np.float64) ** 2).astype(np.float32)),
         min(row_tile, max(8, m)),
     )
-    return np.asarray(out, dtype=np.float64)
+    # triangular counts doubled to ordered pairs; int64 host sum (exact)
+    return 2.0 * np.asarray(blocks, dtype=np.int64).sum(axis=0).astype(np.float64)
 
 
 def ppp_sample(
