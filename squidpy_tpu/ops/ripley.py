@@ -21,7 +21,9 @@ __all__ = ["pair_counts_cumulative", "ppp_sample"]
 
 
 @partial(jax.jit, static_argnames=("row_tile",))
-def _pair_counts_device(points: jax.Array, support_sq: jax.Array, row_tile: int) -> jax.Array:
+def _pair_counts_device(
+    points: jax.Array, m_real: jax.Array, support_sq: jax.Array, row_tile: int
+) -> jax.Array:
     """Ordered pair counts (excl. self-pairs) with ``d² ≤ support_sq[r]``.
 
     The distance matrix is symmetric, so only upper-triangle ``(tile, tile)``
@@ -44,7 +46,10 @@ def _pair_counts_device(points: jax.Array, support_sq: jax.Array, row_tile: int)
         d2 = pairwise_sq_dists(rows, cols)
         gi = t_i * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
         gj = t_j * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
-        valid = (gi[:, None] < gj[None, :]) & (gj[None, :] < m)
+        # mask padding by INDEX (m_real is traced, so bucketed shapes share
+        # one executable); sentinel coordinates cannot be trusted in f32 —
+        # two equal sentinels cancel to d² ≈ 0 in the expanded form
+        valid = (gi[:, None] < gj[None, :]) & (gj[None, :] < m_real)
 
         def per_thresh(thr: jax.Array) -> jax.Array:
             return jnp.sum(jnp.where(valid & (d2 <= thr), 1, 0))
@@ -62,10 +67,21 @@ def pair_counts_cumulative(points: np.ndarray, support: np.ndarray, *, row_tile:
     ``two_point_correlation(...) - n`` quantity of the reference's L function."""
     points = np.ascontiguousarray(points, dtype=np.float32)
     m = points.shape[0]
+    tile = min(row_tile, max(8, m))
+    # bucket the point count to the tile multiple so per-cluster calls of
+    # similar size share ONE compiled executable (each distinct raw shape
+    # would otherwise pay a fresh 20-60s remote compile); padding rows are
+    # excluded by the traced m_real index mask
+    pad = (-m) % tile
+    if pad:
+        points = np.concatenate(
+            [points, np.zeros((pad, points.shape[1]), np.float32)], axis=0
+        )
     blocks = _pair_counts_device(
         jnp.asarray(points),
+        jnp.asarray(m, dtype=jnp.int32),
         jnp.asarray((np.asarray(support, dtype=np.float64) ** 2).astype(np.float32)),
-        min(row_tile, max(8, m)),
+        tile,
     )
     # triangular counts doubled to ordered pairs; int64 host sum (exact)
     return 2.0 * np.asarray(blocks, dtype=np.int64).sum(axis=0).astype(np.float64)

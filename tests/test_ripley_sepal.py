@@ -243,3 +243,33 @@ class TestRipleyReferenceContract:
         )
         obs_df = res["G_stat"]
         assert set(obs_df["leiden"].unique()) <= set(dummy_adata.obs["leiden"].cat.categories)
+
+
+class TestPairCountsBuckets:
+    """Triangular sweep internals: shape bucketing + exact large counts."""
+
+    def test_padded_bucket_matches_naive(self):
+        from scipy.spatial.distance import pdist
+
+        from squidpy_tpu.ops.ripley import pair_counts_cumulative
+
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(0, 100, (1500, 2))  # pads 1500 -> 2048 at tile 1024
+        sup = np.linspace(0, 80, 9)
+        got = pair_counts_cumulative(pts, sup, row_tile=1024)
+        d = pdist(pts)
+        want = np.array([2 * (d <= s).sum() for s in sup], dtype=float)
+        np.testing.assert_array_equal(got, want)
+
+    def test_bucketed_shapes_share_one_executable(self):
+        from squidpy_tpu.ops.ripley import _pair_counts_device
+
+        rng = np.random.default_rng(4)
+        sizes_before = _pair_counts_device._cache_size()
+        for m in (1100, 1400, 1900):  # all bucket to 2048
+            pts = rng.uniform(0, 100, (m, 2))
+            pair_counts_cumulative_ = __import__(
+                "squidpy_tpu.ops.ripley", fromlist=["pair_counts_cumulative"]
+            ).pair_counts_cumulative
+            pair_counts_cumulative_(pts, np.linspace(0, 50, 5), row_tile=1024)
+        assert _pair_counts_device._cache_size() - sizes_before <= 1
