@@ -267,3 +267,42 @@ class TestGoldenScatterFeatures:
     def test_scatter_frameoff(self, golden_adata):
         sq.pl.spatial_scatter(golden_adata, color="leiden", img=False, frameon=False)
         compare_figure("spatial_scatter_frameoff")
+
+
+class TestGoldenContainerShow:
+    """ImageContainer.show renders (reference: tests/_images/ContainerShow_*)."""
+
+    @staticmethod
+    def _cont():
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[:64, :64]
+        img = np.stack(
+            [
+                np.sin(xx / 8.0) * 0.5 + 0.5,
+                np.cos(yy / 8.0) * 0.5 + 0.5,
+                ((xx + yy) % 32) / 32.0,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        cont = sq.im.ImageContainer(img, layer="image")
+        seg = np.zeros((64, 64), np.int32)
+        seg[10:30, 10:30] = 1
+        seg[35:55, 35:55] = 2
+        cont.add_img(seg, layer="seg")
+        return cont
+
+    def test_show_default(self):
+        self._cont().show("image")
+        compare_figure("container_show")
+
+    def test_show_channelwise(self):
+        self._cont().show("image", channelwise=True)
+        compare_figure("container_show_channelwise")
+
+    def test_show_channel_subset(self):
+        self._cont().show("image", channel=0)
+        compare_figure("container_show_channel0")
+
+    def test_show_segmentation_overlay(self):
+        self._cont().show("image", segmentation_layer="seg", segmentation_alpha=0.6)
+        compare_figure("container_show_segmentation")
