@@ -232,3 +232,15 @@ class TestALayer:
         tri = np.array([[[0, 0], [2, 0], [0, 2]]], float)
         pts = np.array([[0.5, 0.5], [3, 3]], float)
         np.testing.assert_array_equal(_points_inside_triangles(pts, tri), [True, False])
+
+
+def test_nhood_plot_after_analytic_mode(adata_ref):
+    """pl.nhood_enrichment renders from analytic-mode results (same uns contract)."""
+    adata = adata_ref.copy()
+    sq.gr.spatial_neighbors_knn(adata, n_neighs=6)
+    sq.gr.nhood_enrichment(adata, cluster_key="leiden", mode="analytic")
+    sq.pl.nhood_enrichment(adata, cluster_key="leiden")
+    import matplotlib.pyplot as plt
+
+    assert plt.gcf().axes
+    plt.close("all")
