@@ -780,3 +780,40 @@ class TestContainerReferenceBehaviors:
         cont.apply(lambda a: a * 0, new_layer="zeros", copy=False)
         assert "zeros" in cont
         assert np.asarray(cont["zeros"]).max() == 0
+
+
+class TestLazyImage:
+    """Deferred-read image handles (im/_io.py LazyImage)."""
+
+    @staticmethod
+    def _png(tmp_path):
+        import matplotlib.pyplot as plt
+
+        arr = (np.linspace(0, 1, 32 * 32 * 3).reshape(32, 32, 3) * 255).astype(np.uint8)
+        p = tmp_path / "img.png"
+        plt.imsave(p, arr)
+        return p, arr
+
+    def test_header_probe_without_pixel_read(self, tmp_path):
+        from squidpy_tpu.im._io import LazyImage
+
+        p, arr = self._png(tmp_path)
+        li = LazyImage(p)
+        assert li.shape[:2] == (32, 32)
+        assert li._data is None  # header probe only — pixels not loaded yet
+
+    def test_slice_reads_through(self, tmp_path):
+        from squidpy_tpu.im._io import LazyImage
+
+        p, arr = self._png(tmp_path)
+        li = LazyImage(p)
+        crop = li[4:8, 4:8]
+        assert crop.shape[:2] == (4, 4)
+        np.testing.assert_array_equal(np.asarray(crop)[..., :3], arr[4:8, 4:8, :3])
+
+    def test_array_protocol(self, tmp_path):
+        from squidpy_tpu.im._io import LazyImage
+
+        p, arr = self._png(tmp_path)
+        full = np.asarray(LazyImage(p))
+        np.testing.assert_array_equal(full[..., :3], arr)
