@@ -318,3 +318,41 @@ class TestSpatialDataElementCentroids:
         sdata = self._sdata(table, s=shapes)
         with pytest.raises(ValueError, match="coordinate system"):
             sq.gr.spatial_neighbors_knn(sdata, n_neighs=1, elements_to_coordinate_systems={"other": "global"})
+
+
+class TestFacadeWarnings:
+    """Legacy facade kwarg-conflict warnings (reference:
+    tests/graph/test_spatial_neighbors.py grid/delaunay/radius ignore cases)."""
+
+    def test_grid_mode_ignores_radius(self, adata_squaregrid):
+        with pytest.warns(FutureWarning, match="`radius` is ignored for grid"):
+            with pytest.warns(FutureWarning, match="deprecated"):
+                sq.gr.spatial_neighbors(adata_squaregrid, coord_type="grid",
+                                        n_rings=1, radius=3.0)
+
+    def test_delaunay_ignores_n_neighs_with_warning(self, dummy_adata):
+        with pytest.warns(FutureWarning, match="`n_neighs` is ignored when `delaunay"):
+            with pytest.warns(FutureWarning, match="deprecated"):
+                sq.gr.spatial_neighbors(dummy_adata, coord_type="generic",
+                                        delaunay=True, n_neighs=10)
+
+    def test_delaunay_scalar_radius_silently_ignored(self, dummy_adata):
+        import warnings as _w
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            sq.gr.spatial_neighbors(dummy_adata, coord_type="generic",
+                                    delaunay=True, radius=5.0)
+        msgs = [str(w.message) for w in rec]
+        assert not any("ignored" in m and "radius" in m.lower() for m in msgs)  # silent per legacy contract
+        # graph equals the pure-delaunay build
+        a = dummy_adata.obsp["spatial_connectivities"].copy()
+        sq.gr.spatial_neighbors_delaunay(dummy_adata)
+        b = dummy_adata.obsp["spatial_connectivities"]
+        assert (a != b).nnz == 0
+
+    def test_radius_mode_ignores_n_neighs_with_warning(self, dummy_adata):
+        with pytest.warns(FutureWarning, match="`n_neighs` is ignored when `radius"):
+            with pytest.warns(FutureWarning, match="deprecated"):
+                sq.gr.spatial_neighbors(dummy_adata, coord_type="generic",
+                                        radius=10.0, n_neighs=4)
