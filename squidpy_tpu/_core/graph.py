@@ -153,12 +153,20 @@ class SpatialGraph:
         below ``min_saving``), including every kNN graph.
 
         Relies on the ELL rows being left-packed (``from_csr`` construction),
-        verified per bucket before slicing.
+        verified with a single device reduction before slicing.
         """
-        deg = np.asarray(jnp.sum(self.mask, axis=1))
         n, k_max = self.indices.shape
         if n == 0 or k_max <= pad_multiple:
             return None
+        # degree + left-packed check stay on device; only the (n,) degree
+        # vector crosses the tunnel (the full mask would be k_max× larger)
+        deg_dev = jnp.sum(self.mask, axis=1, dtype=jnp.int32)
+        left_packed = bool(
+            jnp.all(self.mask == (jnp.arange(k_max, dtype=jnp.int32)[None, :] < deg_dev[:, None]))
+        )
+        if not left_packed:
+            return None  # bucketing a non-packed layout would drop entries
+        deg = np.asarray(deg_dev)
         nz = deg[deg > 0]
         if not len(nz):
             return None
@@ -175,7 +183,6 @@ class SpatialGraph:
         ) < min_saving:
             return None
 
-        mask_np = np.asarray(self.mask)
         out: list[tuple[jax.Array, jax.Array, jax.Array]] = []
         lo = -1
         for hi in edges:
@@ -183,8 +190,6 @@ class SpatialGraph:
             lo = hi
             if not len(rows):
                 continue
-            if mask_np[np.ix_(rows, np.arange(hi, k_max))].any():
-                return None  # not left-packed: bucketing would drop entries
             out.append(
                 (
                     jnp.asarray(rows.astype(np.int32)),

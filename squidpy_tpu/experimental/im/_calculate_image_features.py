@@ -439,7 +439,9 @@ def calculate_image_features(
     )
     if invalid_as_zero:
         adata.X = np.nan_to_num(adata.X, nan=0.0, posinf=0.0, neginf=0.0)
-    if drop_constant_features:
+    if drop_constant_features and adata.n_obs > 1:
+        # a single observation makes every column zero-variance; dropping all
+        # features of a valid one-cell input would be silently destructive
         with np.errstate(invalid="ignore"):
             keep = np.nanstd(adata.X, axis=0) > 0
         if not keep.all():

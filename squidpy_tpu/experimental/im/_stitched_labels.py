@@ -31,19 +31,30 @@ def _apply_lut(labels: np.ndarray, mapping: dict[int, int]) -> np.ndarray:
 
 def _join_stitched_labels(labels: np.ndarray, group_ids: set[int], close_radius: int) -> np.ndarray:
     """Close the cut stripe inside each stitched group: fill background pixels
-    covered by the binary closing of the group's mask — never another cell's."""
+    covered by the binary closing of the group's mask — never another cell's.
+
+    Each group's closing runs on its padded bounding box, not the whole image
+    (a WSI-scale image with hundreds of groups would otherwise pay a full
+    H×W morphology pass per group)."""
     from scipy import ndimage as ndi
 
     r = max(int(close_radius), 1)
     yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
     disk = (yy * yy + xx * xx) <= r * r
     out = labels.copy()
-    present = group_ids.intersection(np.unique(labels).tolist())
-    for gid in present:
-        mask = labels == gid
+    slices = ndi.find_objects(labels)
+    h, w = labels.shape
+    for gid in group_ids:
+        if gid <= 0 or gid > len(slices) or slices[gid - 1] is None:
+            continue
+        sy, sx = slices[gid - 1]
+        y0, y1 = max(sy.start - r - 1, 0), min(sy.stop + r + 1, h)
+        x0, x1 = max(sx.start - r - 1, 0), min(sx.stop + r + 1, w)
+        crop = labels[y0:y1, x0:x1]
+        mask = crop == gid
         closed = ndi.binary_closing(mask, structure=disk)
-        fill = closed & ~mask & (labels == 0)
-        out[fill] = gid
+        fill = closed & ~mask & (crop == 0)
+        out[y0:y1, x0:x1][fill] = gid
     return out
 
 

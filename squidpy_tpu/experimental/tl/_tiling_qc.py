@@ -190,7 +190,9 @@ def calculate_tiling_qc(
         nbr = nn[:, 1:] if k > 1 else nn
         smoothed = cut * cut[nbr].mean(axis=1)
     else:
-        nbr = np.zeros((len(df), 1), dtype=int)
+        # no neighborhood: each cell is its own neighborhood (self-index,
+        # NOT cell 0 — a zeros array would report cell 0's flag everywhere)
+        nbr = np.arange(len(df), dtype=int)[:, None]
         smoothed = cut * cut
     df["smoothed_cut_score"] = smoothed
 

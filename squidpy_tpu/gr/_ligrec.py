@@ -100,7 +100,7 @@ class PermutationTestABC(ABC):
         # replace NaNs only when present: fillna unconditionally copies the
         # whole (possibly multi-100MB) matrix
         if np.isnan(X).any():
-            X = np.nan_to_num(X, nan=0.0)
+            X = np.nan_to_num(X, nan=0.0, posinf=np.inf, neginf=-np.inf)
         self._data = pd.DataFrame(X, index=adata.obs_names, columns=data_obj.var_names)
 
         self._interactions: pd.DataFrame | None = None

@@ -68,6 +68,9 @@ def nhood_enrichment(
     see :func:`squidpy_tpu.ops.nhood.analytic_pair_count_moments` and
     arXiv:2506.18692) — the infinite-permutation limit of the same z-score,
     with zero permutation compute and no ``n_perms``/``seed`` dependence.
+    Self-edges (e.g. from ``set_diag=True`` graphs) are excluded from both
+    the observed counts and the null in this mode — they are
+    permutation-invariant and would only bias the diagonal.
     ``library_key`` stratification requires ``mode='perm'``.
 
     ``cache`` (``True`` or a directory) memoizes the permutation-count batch
@@ -95,11 +98,24 @@ def nhood_enrichment(
         from squidpy_tpu.ops.nhood import analytic_pair_count_moments
 
         start = logg.info("Calculating neighborhood enrichment analytically (join-count moments)")
-        count = np.asarray(
-            cluster_pair_counts(graph.indices, graph.mask, labels_dev, n_cls), dtype=np.int64
-        ).astype(np.uint32)
+        # observed counts from the SAME cleaned edge set the null moments use
+        # (self-loops dropped) — counting the raw ELL while the moments strip
+        # the diagonal would inflate diagonal z-scores on graphs with stored
+        # self-edges
+        adj = sp.csr_matrix(adata.obsp[connectivity_key], copy=True)
+        adj.setdiag(0)
+        adj.eliminate_zeros()
+        src, dst = adj.nonzero()
+        count = (
+            np.bincount(
+                int_clust[src].astype(np.int64) * n_cls + int_clust[dst],
+                minlength=n_cls * n_cls,
+            )
+            .reshape(n_cls, n_cls)
+            .astype(np.uint32)
+        )
         sizes = np.bincount(int_clust, minlength=n_cls)
-        mean, var = analytic_pair_count_moments(adata.obsp[connectivity_key], sizes)
+        mean, var = analytic_pair_count_moments(adj, sizes)
         with np.errstate(invalid="ignore", divide="ignore"):
             zscore = (count.astype(np.float64) - mean) / np.sqrt(var)
         if copy:

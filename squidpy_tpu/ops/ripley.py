@@ -56,10 +56,18 @@ def _pair_counts_device(
 
         return jax.lax.map(per_thresh, support_sq)
 
-    # per-block (B, L) int32 counts (each ≤ tile² < 2^24); the cross-block
-    # sum happens on host in int64 — an on-device int32 total would overflow
+    # per-block counts (each ≤ tile² < 2^24) reduce on device in groups of
+    # 512 blocks (512·tile² < 2^31, still exact int32); only the small
+    # (n_groups, L) partial table crosses the tunnel, and the final sum
+    # happens on host in int64 — a full on-device int32 total would overflow
     # past ~46k points (m²/2 > 2^31)
-    return jax.lax.map(block, (ti, tj))
+    per_block = jax.lax.map(block, (ti, tj))  # (B, L) int32
+    b = per_block.shape[0]
+    group = 512
+    pad_b = (-b) % group
+    if pad_b:
+        per_block = jnp.pad(per_block, ((0, pad_b), (0, 0)))
+    return jnp.sum(per_block.reshape(-1, group, per_block.shape[1]), axis=1)
 
 
 def pair_counts_cumulative(points: np.ndarray, support: np.ndarray, *, row_tile: int = 1024) -> np.ndarray:
@@ -67,7 +75,9 @@ def pair_counts_cumulative(points: np.ndarray, support: np.ndarray, *, row_tile:
     ``two_point_correlation(...) - n`` quantity of the reference's L function."""
     points = np.ascontiguousarray(points, dtype=np.float32)
     m = points.shape[0]
-    tile = min(row_tile, max(8, m))
+    # below row_tile, bucket to 256 so small clusters of different sizes
+    # still share executables (tile == m would compile per distinct size)
+    tile = row_tile if m >= row_tile else min(256, row_tile)
     # bucket the point count to the tile multiple so per-cluster calls of
     # similar size share ONE compiled executable (each distinct raw shape
     # would otherwise pay a fresh 20-60s remote compile); padding rows are

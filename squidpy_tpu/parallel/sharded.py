@@ -339,6 +339,26 @@ def auto_ligrec_counts(
     )
 
 
+def _cooccur_block_setup(
+    coords: jax.Array, labels: jax.Array, n_cls: int, tile: int
+) -> tuple[jax.Array, jax.Array, np.ndarray, np.ndarray, int]:
+    """Shared triangular-sweep preparation: tile-padded coordinates/one-hots
+    plus the upper-triangle block-pair lists. One helper keeps the single-
+    and multi-device paths structurally identical (the bitwise
+    device-count-invariance contract depends on them agreeing)."""
+    from squidpy_tpu.ops.cooccur import triangular_block_pairs
+
+    n = coords.shape[0]
+    t = min(tile, max(8, n))
+    n_pad = (-(-n // t)) * t
+    coords_p = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
+    onehot_p = jnp.pad(
+        jax.nn.one_hot(labels, n_cls, dtype=coords.dtype), ((0, n_pad - n), (0, 0))
+    )
+    ti, tj = triangular_block_pairs(n, t)
+    return coords_p, onehot_p, ti, tj, t
+
+
 def sharded_cooccur_counts(
     mesh: Mesh,
     coords: jax.Array,
@@ -360,20 +380,12 @@ def sharded_cooccur_counts(
     from squidpy_tpu.ops.cooccur import (
         cooccur_block_pairs_device,
         ordered_from_upper_digits,
-        triangular_block_pairs,
     )
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     n = coords.shape[0]
-    t = min(tile, max(8, n))
-    n_tiles = -(-n // t)
-    n_pad = n_tiles * t
-    coords_p = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
-    onehot_p = jnp.pad(
-        jax.nn.one_hot(labels, n_cls, dtype=coords.dtype), ((0, n_pad - n), (0, 0))
-    )
-    ti, tj = triangular_block_pairs(n, t)
+    coords_p, onehot_p, ti, tj, t = _cooccur_block_setup(coords, labels, n_cls, tile)
     pad_b = (-len(ti)) % n_dev
     if pad_b:
         ti = np.concatenate([ti, np.full(pad_b, -1, np.int32)])
@@ -411,7 +423,6 @@ def auto_cooccur_counts(
     from squidpy_tpu.ops.cooccur import (
         cooccur_block_pairs_device,
         ordered_from_upper_digits,
-        triangular_block_pairs,
     )
     from squidpy_tpu.parallel.mesh import default_mesh
 
@@ -422,14 +433,7 @@ def auto_cooccur_counts(
             default_mesh(axis_name="pairs"), coords, labels, thresholds, n_cls,
             tile=row_tile,
         )
-    t = min(row_tile, max(8, n))
-    n_tiles = -(-n // t)
-    n_pad = n_tiles * t
-    coords_p = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
-    onehot_p = jnp.pad(
-        jax.nn.one_hot(labels, n_cls, dtype=coords.dtype), ((0, n_pad - n), (0, 0))
-    )
-    ti, tj = triangular_block_pairs(n, t)
+    coords_p, onehot_p, ti, tj, t = _cooccur_block_setup(coords, labels, n_cls, row_tile)
     upper = cooccur_block_pairs_device(
         coords_p, onehot_p, n, jnp.asarray(ti), jnp.asarray(tj), thresholds, n_cls, t
     )

@@ -1388,3 +1388,20 @@ class TestCalculateFeaturesKnobs:
         a = exp_im.calculate_image_features(rgb, labels, features="skimage:morphology",
                                             invalid_as_zero=True)
         assert np.isfinite(np.asarray(a.X)).all()
+
+
+def test_tiling_qc_no_neighbors_self_fraction():
+    """n_neighbors=0: nhood_outlier_fraction must reflect each cell itself,
+    not cell 0 (regression: the fallback neighbor index pointed all cells
+    at row 0)."""
+    labels = np.zeros((120, 120), np.int32)
+    labels[10:50, 10:30] = 1
+    labels[10:50, 32:58] = 2
+    labels[70:100, 70:100] = 3
+    qc = exp_tl.calculate_tiling_qc(labels, tile_size=60, n_neighbors=0)
+    frac = qc.obs["nhood_outlier_fraction"].to_numpy(dtype=float)
+    smoothed = qc.obs["smoothed_cut_score"].to_numpy(dtype=float)
+    med = np.median(smoothed)
+    mad = np.median(np.abs(smoothed - med)) or 1e-9
+    own_outlier = smoothed > med + 3.0 * mad * 1.4826
+    np.testing.assert_array_equal(frac, own_outlier.astype(float))
