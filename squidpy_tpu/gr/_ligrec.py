@@ -12,7 +12,7 @@ gated on the optional ``omnipath`` package.
 from __future__ import annotations
 
 from abc import ABC
-from collections.abc import Iterable, Mapping, Sequence
+from collections.abc import Iterable, Mapping
 from itertools import product
 from types import MappingProxyType
 from typing import Any, Literal
@@ -31,7 +31,6 @@ from squidpy_tpu.gr._utils import (
     _save_data,
     extract_adata_if_sdata,
 )
-from squidpy_tpu.ops.ligrec import cluster_means, ligrec_perm_counts
 from squidpy_tpu.utils import assert_positive, check_tuple_needles, logg
 from squidpy_tpu.utils._stats import multipletests
 

@@ -11,7 +11,7 @@ compatibility and ignored.
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Sequence
+from collections.abc import Iterable
 from typing import Any, Literal, NamedTuple
 
 import jax.numpy as jnp
