@@ -15,10 +15,13 @@ from squidpy_tpu.experimental.im._stain import (
     StainReference,
     VahadaneParams,
     decompose_stains,
+    default_white_point,
     estimate_white_point,
     fit_stain_reference,
     normalize_stains,
     reinhard_normalize,
+    validate_rgb_range,
+    white_point_from_background,
 )
 from squidpy_tpu.experimental.im._stitched_labels import make_stitched_labels
 from squidpy_tpu.experimental.im._tiling import (
@@ -51,6 +54,9 @@ __all__ = [
     "decompose_stains",
     "fit_stain_reference",
     "estimate_white_point",
+    "default_white_point",
+    "validate_rgb_range",
+    "white_point_from_background",
     "reinhard_normalize",
     "StainReference",
     "CellInfo",

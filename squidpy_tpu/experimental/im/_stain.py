@@ -25,6 +25,9 @@ __all__ = [
     "StainReference",
     "VahadaneParams",
     "estimate_white_point",
+    "default_white_point",
+    "validate_rgb_range",
+    "white_point_from_background",
     "fit_stain_reference",
     "normalize_stains",
     "decompose_stains",
@@ -115,6 +118,61 @@ def _as_float_rgb(image: Any) -> np.ndarray:
     # float32 throughout: ample for uint8 pixel data, and this host's float64
     # log10/power fall back to scalar libm (~400x slower than f32 SIMD)
     return arr.astype(np.float32)
+
+
+def default_white_point(image: Any) -> np.ndarray:
+    """Dtype-aware full-white ``I_0``: 255 for uint8, 65535 for uint16, 1.0
+    for float images (reference semantics,
+    experimental/im/_stain/_white_point.py:22-28)."""
+    dt = np.asarray(image).dtype
+    if np.issubdtype(dt, np.integer):
+        return np.full(3, float(np.iinfo(dt).max), dtype=np.float64)
+    return np.full(3, 1.0, dtype=np.float64)
+
+
+def validate_rgb_range(image: Any) -> None:
+    """Raise when values clearly don't match the dtype's range: 8-bit data
+    in a wider integer container, or 0-255 values stored as float (the
+    absorbance math would silently mis-scale). Pass an explicit
+    ``white_point`` to bypass (reference: _white_point.py:31-50)."""
+    arr = np.asarray(image)
+    data_max = float(arr.max()) if arr.size else 0.0
+    if np.issubdtype(arr.dtype, np.integer):
+        if np.iinfo(arr.dtype).max >= 256 and data_max <= 255:
+            raise ValueError(
+                f"{arr.dtype} image but the maximum value is {data_max:.0f} (<= 255) — this looks "
+                f"like 8-bit data stored in a {arr.dtype} container. Convert to uint8, or pass "
+                "`white_point`."
+            )
+    elif data_max > 1.5 and data_max <= 255.0 and arr.dtype.kind == "f" and data_max > 1.5:
+        # float images are expected in [0, 1]; 0-255 floats are accepted by
+        # the array-level API (canonicalized to 0-255 internally) ONLY when
+        # plausibly full-range — a max between 1.5 and 2 is ambiguous enough
+        # to reject
+        if data_max < 3.0:
+            raise ValueError(
+                f"float image with maximum {data_max:.2f} — neither [0, 1] nor 0-255 scale. "
+                "Rescale to [0, 1] or pass `white_point`."
+            )
+
+
+def white_point_from_background(image: Any, background_mask: np.ndarray) -> np.ndarray:
+    """Per-channel MEDIAN intensity over true background pixels → ``(3,)``.
+
+    Anchors ``I_0`` to the actual unstained intensity instead of a whole-image
+    percentile (reference: _white_point.py:54-60 / HistomicsTK
+    ``background_intensity`` semantics). ``background_mask`` is ``(y, x)``
+    True over non-tissue pixels.
+    """
+    rgb = _as_float_rgb(image)
+    mask = np.asarray(background_mask, dtype=bool)
+    if mask.shape != rgb.shape[:2]:
+        raise ValueError(
+            f"background_mask shape {mask.shape} does not match image {rgb.shape[:2]}."
+        )
+    if not mask.any():
+        raise ValueError("background_mask selects no pixels; cannot anchor a white point.")
+    return np.median(rgb[mask], axis=0).astype(np.float64)
 
 
 def estimate_white_point(image: Any, percentile: float = 95.0) -> np.ndarray:

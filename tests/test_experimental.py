@@ -1405,3 +1405,41 @@ def test_tiling_qc_no_neighbors_self_fraction():
     mad = np.median(np.abs(smoothed - med)) or 1e-9
     own_outlier = smoothed > med + 3.0 * mad * 1.4826
     np.testing.assert_array_equal(frac, own_outlier.astype(float))
+
+
+class TestWhitePointUtilities:
+    """Dtype-aware I_0 handling (reference:
+    tests/experimental/test_stain_white_point.py)."""
+
+    def test_default_white_point_dtypes(self):
+        assert (exp_im.default_white_point(np.zeros((4, 4, 3), np.uint8)) == 255.0).all()
+        assert (exp_im.default_white_point(np.zeros((4, 4, 3), np.uint16)) == 65535.0).all()
+        assert (exp_im.default_white_point(np.zeros((4, 4, 3), np.float32)) == 1.0).all()
+
+    def test_validate_passes_on_uint8(self):
+        exp_im.validate_rgb_range((np.ones((4, 4, 3)) * 200).astype(np.uint8))
+
+    def test_validate_passes_on_float_unit_range(self):
+        exp_im.validate_rgb_range(np.full((4, 4, 3), 0.8, np.float32))
+
+    def test_validate_raises_on_8bit_in_uint16(self):
+        with pytest.raises(ValueError, match="8-bit data stored in a uint16"):
+            exp_im.validate_rgb_range((np.ones((4, 4, 3)) * 200).astype(np.uint16))
+
+    def test_background_median_recovered(self):
+        img = np.full((20, 20, 3), 50, np.uint8)
+        img[:10] = [240, 235, 230]  # background half
+        mask = np.zeros((20, 20), bool)
+        mask[:10] = True
+        wp = exp_im.white_point_from_background(img, mask)
+        np.testing.assert_allclose(wp, [240, 235, 230])
+
+    def test_background_requires_pixels(self):
+        img = np.full((8, 8, 3), 100, np.uint8)
+        with pytest.raises(ValueError, match="selects no pixels"):
+            exp_im.white_point_from_background(img, np.zeros((8, 8), bool))
+
+    def test_background_mask_shape_checked(self):
+        img = np.full((8, 8, 3), 100, np.uint8)
+        with pytest.raises(ValueError, match="does not match"):
+            exp_im.white_point_from_background(img, np.ones((4, 4), bool))
