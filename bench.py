@@ -4,7 +4,7 @@ Workload: 1000-permutation neighborhood enrichment on a 1M-cell k=6 spatial
 graph (the Xenium-scale config) — the reference's flagship hot path
 (numba CSR loop × loky pool, /root/reference/src/squidpy/gr/_nhood.py:208-229).
 The timed region covers what the user pays for per call: generating the
-permutations AND counting, on device, in chunks of 250 permutations
+permutations AND counting, on device, in chunks of ``CHUNK`` permutations
 (column-layout pipeline: payload-carrying sort shuffles + shared-index row
 gathers + batched one-hot MXU contractions — ops/nhood.py, _core/rng.py).
 

@@ -94,8 +94,12 @@ class DatasetRegistry:
     def names(self, dataset_type: str | None = None) -> list[str]:
         return [n for n, e in self.datasets.items() if dataset_type is None or e.type == dataset_type]
 
-    def __contains__(self, name: object) -> bool:
-        return name in self.datasets
+    def __contains__(self, item: object) -> bool:
+        # consistent with __iter__ (which yields entries): accept an entry
+        # OR its name
+        if isinstance(item, DatasetEntry):
+            return self.datasets.get(item.name) is item
+        return item in self.datasets
 
     def __getitem__(self, name: str) -> DatasetEntry:
         try:

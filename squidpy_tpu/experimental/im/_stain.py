@@ -110,31 +110,70 @@ class StainReference:
     max_concentrations: NDArrayA
 
 
+def _rgb_scale_factor(arr: np.ndarray) -> float:
+    """Multiplier taking ``arr``'s unit convention to the internal 0-255
+    scale every absorbance kernel in this module assumes.
+
+    Integer images scale by their dtype's full range (uint8 -> 1, uint16 ->
+    255/65535); float images with max <= 1.5 are taken as [0, 1] convention
+    (x255), larger floats as already 0-255.
+    """
+    if np.issubdtype(arr.dtype, np.integer):
+        return 255.0 / float(np.iinfo(arr.dtype).max)
+    data_max = float(arr.max()) if arr.size else 0.0
+    return 255.0 if data_max <= 1.5 else 1.0
+
+
 def _as_float_rgb(image: Any) -> np.ndarray:
+    """Canonicalize any supported RGB representation to 0-255-scale float32.
+
+    float32 throughout: ample for uint8 pixel data, and this host's float64
+    log10/power fall back to scalar libm (~400x slower than f32 SIMD).
+    """
     arr = np.asarray(image)
     arr = arr.squeeze()
     if arr.ndim != 3 or arr.shape[-1] != 3:
         raise ValueError(f"Expected an RGB image of shape (y, x, 3), found `{arr.shape}`.")
-    # float32 throughout: ample for uint8 pixel data, and this host's float64
-    # log10/power fall back to scalar libm (~400x slower than f32 SIMD)
-    return arr.astype(np.float32)
+    factor = _rgb_scale_factor(arr)
+    out = arr.astype(np.float32)
+    if factor != 1.0:
+        out *= np.float32(factor)
+    return out
+
+
+def _ingest_rgb(image: Any, white_point: NDArrayA | None) -> tuple[np.ndarray, np.ndarray | None]:
+    """Canonicalize an image AND a user-supplied white point (given in the
+    image's own units) to the internal 0-255 scale together, so the two can
+    never disagree on convention."""
+    arr = np.asarray(image).squeeze()
+    if arr.ndim != 3 or arr.shape[-1] != 3:
+        raise ValueError(f"Expected an RGB image of shape (y, x, 3), found `{arr.shape}`.")
+    factor = _rgb_scale_factor(arr)
+    rgb = arr.astype(np.float32)
+    if factor != 1.0:
+        rgb *= np.float32(factor)
+    wp = None if white_point is None else np.asarray(white_point, dtype=float) * factor
+    return rgb, wp
 
 
 def default_white_point(image: Any) -> np.ndarray:
-    """Dtype-aware full-white ``I_0``: 255 for uint8, 65535 for uint16, 1.0
-    for float images (reference semantics,
-    experimental/im/_stain/_white_point.py:22-28)."""
-    dt = np.asarray(image).dtype
-    if np.issubdtype(dt, np.integer):
-        return np.full(3, float(np.iinfo(dt).max), dtype=np.float64)
-    return np.full(3, 1.0, dtype=np.float64)
+    """Full-white ``I_0`` in the image's own unit convention: the dtype max
+    for integer images (255 / 65535), 1.0 for [0, 1] floats, 255 for
+    0-255-scale floats (reference semantics,
+    experimental/im/_stain/_white_point.py:22-28, extended to be value-aware
+    for floats so it always agrees with the kernels' canonicalization)."""
+    arr = np.asarray(image)
+    if np.issubdtype(arr.dtype, np.integer):
+        return np.full(3, float(np.iinfo(arr.dtype).max), dtype=np.float64)
+    data_max = float(arr.max()) if arr.size else 0.0
+    return np.full(3, 255.0 if data_max > 1.5 else 1.0, dtype=np.float64)
 
 
 def validate_rgb_range(image: Any) -> None:
-    """Raise when values clearly don't match the dtype's range: 8-bit data
-    in a wider integer container, or 0-255 values stored as float (the
-    absorbance math would silently mis-scale). Pass an explicit
-    ``white_point`` to bypass (reference: _white_point.py:31-50)."""
+    """Raise when values clearly don't match any supported convention: 8-bit
+    data in a wider integer container, or floats whose maximum sits between
+    the [0, 1] and 0-255 conventions (neither scale is plausible). Pass an
+    explicit ``white_point`` to bypass (reference: _white_point.py:31-50)."""
     arr = np.asarray(image)
     data_max = float(arr.max()) if arr.size else 0.0
     if np.issubdtype(arr.dtype, np.integer):
@@ -144,16 +183,11 @@ def validate_rgb_range(image: Any) -> None:
                 f"like 8-bit data stored in a {arr.dtype} container. Convert to uint8, or pass "
                 "`white_point`."
             )
-    elif data_max > 1.5 and data_max <= 255.0 and arr.dtype.kind == "f" and data_max > 1.5:
-        # float images are expected in [0, 1]; 0-255 floats are accepted by
-        # the array-level API (canonicalized to 0-255 internally) ONLY when
-        # plausibly full-range — a max between 1.5 and 2 is ambiguous enough
-        # to reject
-        if data_max < 3.0:
-            raise ValueError(
-                f"float image with maximum {data_max:.2f} — neither [0, 1] nor 0-255 scale. "
-                "Rescale to [0, 1] or pass `white_point`."
-            )
+    elif arr.dtype.kind == "f" and 1.5 < data_max < 3.0:
+        raise ValueError(
+            f"float image with maximum {data_max:.2f} — neither [0, 1] nor 0-255 scale. "
+            "Rescale to one of those conventions or pass `white_point`."
+        )
 
 
 def white_point_from_background(image: Any, background_mask: np.ndarray) -> np.ndarray:
@@ -280,8 +314,11 @@ def fit_stain_reference(
         elif method == "vahadane":
             vp = resolve_params(method_params, VahadaneParams, "method_params")
             beta = vp.beta
-            kwargs = {"lambda1": vp.lambda1, "n_iter": vp.n_iter, "random_state": vp.random_state}
-    rgb = _as_float_rgb(image)
+            # merge under any explicitly passed kwargs (those win)
+            kwargs = {"lambda1": vp.lambda1, "n_iter": vp.n_iter, "random_state": vp.random_state, **kwargs}
+        else:
+            raise ValueError(f"`method_params` is not supported for method `{method}`.")
+    rgb, white_point = _ingest_rgb(image, white_point)
     n_px = rgb.shape[0] * rgb.shape[1]
     if max_pixels is not None and n_px > 4 * max_pixels:
         # sample-first fit: the stain vectors and percentile statistics

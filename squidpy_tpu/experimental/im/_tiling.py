@@ -194,8 +194,11 @@ def compute_cell_info_multiscale(
             label=lid,
             centroid_y=c.centroid_y * sy,
             centroid_x=c.centroid_x * sx,
-            bbox_h=int(np.ceil(c.bbox_h * sy)),
-            bbox_w=int(np.ceil(c.bbox_w * sx)),
+            # scale the box END up and the START down so the scaled box
+            # always covers the cell (floor(y0*s)+ceil(h*s) can undercover
+            # by a pixel when the two fractional parts sum past 1)
+            bbox_h=int(np.ceil((c.bbox_y0 + c.bbox_h) * sy)) - int(np.floor(c.bbox_y0 * sy)),
+            bbox_w=int(np.ceil((c.bbox_x0 + c.bbox_w) * sx)) - int(np.floor(c.bbox_x0 * sx)),
             bbox_y0=int(np.floor(c.bbox_y0 * sy)),
             bbox_x0=int(np.floor(c.bbox_x0 * sx)),
         )

@@ -140,24 +140,29 @@ class PermutationTestABC(ABC):
         if self.interactions.empty:
             raise ValueError("The interactions are empty")
 
-        # uppercase first, then drop duplicates
+        # gene symbols are case-normalized on both sides before any matching
         self._data.columns = self._data.columns.str.upper()
-        self.interactions[SOURCE] = self.interactions[SOURCE].str.upper()
-        self.interactions[TARGET] = self.interactions[TARGET].str.upper()
+        for col in (SOURCE, TARGET):
+            self.interactions[col] = self.interactions[col].str.upper()
+        self._dedupe_interactions()
 
-        self.interactions.dropna(subset=(SOURCE, TARGET), inplace=True, how="any")
-        self.interactions.drop_duplicates(subset=(SOURCE, TARGET), inplace=True, keep="first")
-
-        n_genes_prior = self._data.shape[1]
-        self._data = self._data.loc[:, ~self._data.columns.duplicated()]
-        if self._data.shape[1] != n_genes_prior:
-            logg.warning(f"Removed `{n_genes_prior - self._data.shape[1]}` duplicate gene(s)")
+        gene_dupes = self._data.columns.duplicated()
+        if gene_dupes.any():
+            logg.warning(f"Removed `{int(gene_dupes.sum())}` duplicate gene(s)")
+            self._data = self._data.loc[:, ~gene_dupes]
 
         self._filter_interactions_complexes(complex_policy)
         self._filter_interactions_by_genes()
         self._trim_data()
-        self.interactions.drop_duplicates(subset=(SOURCE, TARGET), inplace=True, keep="first")
+        self._dedupe_interactions()
         return self
+
+    def _dedupe_interactions(self) -> None:
+        """Drop NaN-bearing and repeated (source, target) pairs, keeping the
+        first occurrence so interaction metadata stays aligned."""
+        self._interactions = self.interactions.dropna(subset=[SOURCE, TARGET]).drop_duplicates(
+            subset=[SOURCE, TARGET]
+        )
 
     def test(
         self,
@@ -276,40 +281,48 @@ class PermutationTestABC(ABC):
         self._filtered_data = self._data.loc[:, cols]
 
     def _filter_interactions_by_genes(self) -> None:
-        self._interactions = self.interactions[
-            self.interactions[SOURCE].isin(self._data.columns)
-            & self.interactions[TARGET].isin(self._data.columns)
-        ]
+        known = self._data.columns
+        keep = self.interactions[SOURCE].isin(known) & self.interactions[TARGET].isin(known)
+        self._interactions = self.interactions.loc[keep]
         if self.interactions.empty:
             raise ValueError("After filtering by genes, no interactions remain.")
 
+    def _resolve_complex_min(self, annotation: str | None, cache: dict[str, str | None]) -> str | None:
+        """CellPhoneDB 'min' policy: a complex contributes its least-expressed
+        member (by mean over cells); members absent from the data are ignored,
+        and a complex with no present member resolves to ``None``."""
+        if annotation is None:
+            return None
+        if "_" not in annotation:
+            return annotation
+        if annotation not in cache:
+            members = [g for g in annotation.split("_") if g in self._data.columns]
+            if len(members) > 1:
+                cache[annotation] = str(self._data[members].mean().idxmin())
+            else:
+                cache[annotation] = members[0] if members else None
+        return cache[annotation]
+
     def _filter_interactions_complexes(self, complex_policy: ComplexPolicy) -> None:
-        """Resolve ``A_B_C`` complexes: 'min' picks the member with minimum mean
-        expression (CellPhoneDB), 'all' expands all member combinations."""
-
-        def find_min_gene_in_complex(_complex: str | None) -> str | None:
-            if _complex is None:
-                return None
-            if "_" not in _complex:
-                return _complex
-            complexes = [c for c in _complex.split("_") if c in self._data.columns]
-            if not len(complexes):
-                return None
-            if len(complexes) == 1:
-                return complexes[0]
-            df = self._data[complexes].mean()
-            return str(df.index[df.argmin()])
-
+        """Resolve ``A_B_C`` complex annotations (semantics of reference
+        /root/reference/src/squidpy/gr/_ligrec.py:489-552): ``'min'`` picks the
+        member with minimum mean expression, ``'all'`` expands every
+        source-member x target-member combination."""
         if complex_policy == ComplexPolicy.MIN:
-            self.interactions[SOURCE] = self.interactions[SOURCE].apply(find_min_gene_in_complex)
-            self.interactions[TARGET] = self.interactions[TARGET].apply(find_min_gene_in_complex)
+            resolved: dict[str, str | None] = {}
+            for col in (SOURCE, TARGET):
+                self.interactions[col] = self.interactions[col].map(
+                    lambda v: self._resolve_complex_min(v, resolved)
+                )
         elif complex_policy == ComplexPolicy.ALL:
-            src = self.interactions.pop(SOURCE).apply(lambda s: str(s).split("_")).explode()
-            src.name = SOURCE
-            tgt = self.interactions.pop(TARGET).apply(lambda s: str(s).split("_")).explode()
-            tgt.name = TARGET
-            self._interactions = pd.merge(self.interactions, src, how="left", left_index=True, right_index=True)
-            self._interactions = pd.merge(self.interactions, tgt, how="left", left_index=True, right_index=True)
+            member_lists = {col: self.interactions[col].map(lambda v: str(v).split("_")) for col in (SOURCE, TARGET)}
+            table = self.interactions.drop(columns=[SOURCE, TARGET])
+            # joining the member lists back by original row index, then
+            # exploding, yields the per-row cartesian product while metadata
+            # columns replicate along
+            for col in (SOURCE, TARGET):
+                table = table.join(member_lists[col].rename(col)).explode(col)
+            self._interactions = table
         else:
             raise NotImplementedError(f"Complex policy {complex_policy!r} is not implemented.")
 

@@ -51,6 +51,24 @@ GraphMatrixT = TypeVar("GraphMatrixT")
 GraphPostprocessor = Callable[[GraphMatrixT, GraphMatrixT], tuple[GraphMatrixT, GraphMatrixT]]
 
 
+def _standard_postprocessors(
+    *,
+    interval: tuple[float, float] | None = None,
+    percentile: float | None = None,
+    transform: str | Transform | None = None,
+) -> list[GraphPostprocessor]:
+    """Postprocessor stack shared by the built-in builders: optional
+    distance-interval pruning, optional percentile pruning, then the
+    adjacency transform (always last)."""
+    steps: list[GraphPostprocessor] = []
+    if interval is not None:
+        steps.append(DistanceIntervalPostprocessor(tuple(sorted(interval))))
+    if percentile is not None:
+        steps.append(PercentilePostprocessor(percentile))
+    steps.append(TransformPostprocessor(Transform(transform) if transform is not None else Transform.NONE))
+    return steps
+
+
 class GraphBuilder(ABC, Generic[CoordT, GraphMatrixT]):
     """Base class for spatial graph construction strategies.
 
@@ -65,16 +83,16 @@ class GraphBuilder(ABC, Generic[CoordT, GraphMatrixT]):
         percentile: float | None = None,
         postprocessors: Sequence[GraphPostprocessor] = (),
     ) -> None:
-        self.transform = Transform.NONE if transform is None else Transform(transform)
-        self.set_diag = set_diag
+        self.transform = Transform(transform) if transform is not None else Transform.NONE
+        self.set_diag = bool(set_diag)
         self.percentile = percentile
         self._postprocessors: list[GraphPostprocessor] = list(postprocessors)
 
     def build(self, coords: CoordT) -> tuple[GraphMatrixT, GraphMatrixT]:
-        adj, dst = self.build_graph(coords)
-        for postprocessor in self.postprocessors():
-            adj, dst = postprocessor(adj, dst)
-        return adj, dst
+        graph = self.build_graph(coords)
+        for step in self.postprocessors():
+            graph = step(*graph)
+        return graph
 
     @abstractmethod
     def build_graph(self, coords: CoordT) -> tuple[GraphMatrixT, GraphMatrixT]:
@@ -114,16 +132,18 @@ class GraphBuilderCSR(GraphBuilder[NDArrayA, csr_matrix], ABC):
         mats: Sequence[tuple[csr_matrix, csr_matrix]],
         ixs: Sequence[int],
     ) -> tuple[csr_matrix, csr_matrix]:
-        adj = block_diag([m[0] for m in mats], format="csr")
-        dst = block_diag([m[1] for m in mats], format="csr")
-        # Only permute back when libraries are interleaved in obs order; for
-        # contiguous libraries block_diag is already in the right order.
-        ixs_arr = np.asarray(ixs)
-        if ixs_arr.size and np.any(np.diff(ixs_arr) < 0):
-            order = np.argsort(ixs_arr)
-            adj = adj[order, :][:, order]
-            dst = dst[order, :][:, order]
-        return cast(csr_matrix, adj), cast(csr_matrix, dst)
+        """Stack per-library blocks and restore the original obs order.
+
+        The two full fancy-index copies are skipped when libraries were
+        already contiguous in obs order (``ixs`` sorted) — the common case.
+        """
+        adj_blocks, dst_blocks = zip(*mats)
+        combined = [block_diag(blocks, format="csr") for blocks in (adj_blocks, dst_blocks)]
+        pos = np.asarray(ixs)
+        if pos.size and np.any(pos[1:] < pos[:-1]):
+            inv = np.argsort(pos)
+            combined = [m[inv][:, inv] for m in combined]
+        return cast(csr_matrix, combined[0]), cast(csr_matrix, combined[1])
 
 
 def _knn_to_csr(
@@ -150,11 +170,8 @@ class KNNBuilder(GraphBuilderCSR):
         percentile: float | None = None,
     ) -> None:
         assert_positive(n_neighs, name="n_neighs")
-        postprocessors: list[GraphPostprocessor] = []
-        if percentile is not None:
-            postprocessors.append(PercentilePostprocessor(percentile))
-        postprocessors.append(TransformPostprocessor(Transform.NONE if transform is None else Transform(transform)))
-        super().__init__(transform=transform, set_diag=set_diag, percentile=percentile, postprocessors=postprocessors)
+        steps = _standard_postprocessors(percentile=percentile, transform=transform)
+        super().__init__(transform=transform, set_diag=set_diag, percentile=percentile, postprocessors=steps)
         self.n_neighs = n_neighs
 
     def uns_params(self) -> dict[str, Any]:
@@ -180,13 +197,12 @@ class RadiusBuilder(GraphBuilderCSR):
         set_diag: bool = False,
         percentile: float | None = None,
     ) -> None:
-        postprocessors: list[GraphPostprocessor] = []
-        if isinstance(radius, tuple):
-            postprocessors.append(DistanceIntervalPostprocessor(tuple(sorted(radius))))
-        if percentile is not None:
-            postprocessors.append(PercentilePostprocessor(percentile))
-        postprocessors.append(TransformPostprocessor(Transform.NONE if transform is None else Transform(transform)))
-        super().__init__(transform=transform, set_diag=set_diag, percentile=percentile, postprocessors=postprocessors)
+        steps = _standard_postprocessors(
+            interval=radius if isinstance(radius, tuple) else None,
+            percentile=percentile,
+            transform=transform,
+        )
+        super().__init__(transform=transform, set_diag=set_diag, percentile=percentile, postprocessors=steps)
         self.radius = radius
 
     def uns_params(self) -> dict[str, Any]:
@@ -223,13 +239,8 @@ class DelaunayBuilder(GraphBuilderCSR):
     ) -> None:
         if isinstance(radius, (int, float)):
             radius = (0.0, float(radius))
-        postprocessors: list[GraphPostprocessor] = []
-        if radius is not None:
-            postprocessors.append(DistanceIntervalPostprocessor(tuple(sorted(radius))))
-        if percentile is not None:
-            postprocessors.append(PercentilePostprocessor(percentile))
-        postprocessors.append(TransformPostprocessor(Transform.NONE if transform is None else Transform(transform)))
-        super().__init__(transform=transform, set_diag=set_diag, percentile=percentile, postprocessors=postprocessors)
+        steps = _standard_postprocessors(interval=radius, percentile=percentile, transform=transform)
+        super().__init__(transform=transform, set_diag=set_diag, percentile=percentile, postprocessors=steps)
         self.radius = radius
 
     def uns_params(self) -> dict[str, Any]:
@@ -266,8 +277,8 @@ class GridBuilder(GraphBuilderCSR):
     ) -> None:
         assert_positive(n_neighs, name="n_neighs")
         assert_positive(n_rings, name="n_rings")
-        postprocessors = [TransformPostprocessor(Transform.NONE if transform is None else Transform(transform))]
-        super().__init__(transform=transform, set_diag=set_diag, percentile=None, postprocessors=postprocessors)
+        steps = _standard_postprocessors(transform=transform)
+        super().__init__(transform=transform, set_diag=set_diag, percentile=None, postprocessors=steps)
         self.n_neighs = n_neighs
         self.n_rings = n_rings
         self.delaunay = delaunay

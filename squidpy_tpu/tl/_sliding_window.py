@@ -19,6 +19,29 @@ from squidpy_tpu.utils import logg
 __all__ = ["sliding_window"]
 
 
+def _window_coords(adata: Any, coord_columns: tuple[str, str], spatial_key: str) -> pd.DataFrame:
+    """Locate the (x, y) columns: explicit obs columns win over obsm."""
+    x_col, y_col = coord_columns
+    if x_col in adata.obs.columns and y_col in adata.obs.columns:
+        return adata.obs.loc[:, [x_col, y_col]].copy()
+    if spatial_key in adata.obsm:
+        xy = np.asarray(adata.obsm[spatial_key])[:, :2]
+        return pd.DataFrame(xy, index=adata.obs.index, columns=[x_col, y_col])
+    raise ValueError(
+        f"Coordinates not found. Provide `{coord_columns}` in `adata.obs` or specify a "
+        f"suitable `spatial_key` in `adata.obsm`."
+    )
+
+
+def _auto_window_size(xy: np.ndarray, target_windows: float = 4.0) -> int:
+    """Pick a window size that tiles the larger coordinate extent into
+    ``target_windows`` windows, widened by ~1% (divide by 3.95 rather than 4)
+    so cells sitting exactly on the max border don't spill into a sliver
+    extra window with only 1-2 members."""
+    extent = float(np.max(np.ptp(xy, axis=0)))
+    return max(int(extent / (target_windows - 0.05)), 1)
+
+
 def sliding_window(
     adata: Any,
     library_key: str | None = None,
@@ -40,27 +63,11 @@ def sliding_window(
     if copy:
         adata = adata.copy()
 
+    coords = _window_coords(adata, coord_columns, spatial_key)
     x_col, y_col = coord_columns
-    if x_col in adata.obs and y_col in adata.obs:
-        coords = adata.obs[[x_col, y_col]].copy()
-    elif spatial_key in adata.obsm:
-        coords = pd.DataFrame(
-            np.asarray(adata.obsm[spatial_key])[:, :2],
-            index=adata.obs.index,
-            columns=[x_col, y_col],
-        )
-    else:
-        raise ValueError(
-            f"Coordinates not found. Provide `{coord_columns}` in `adata.obs` or specify a "
-            f"suitable `spatial_key` in `adata.obsm`."
-        )
 
     if window_size is None:
-        coord_range = max(
-            coords[x_col].max() - coords[x_col].min(),
-            coords[y_col].max() - coords[y_col].min(),
-        )
-        window_size = max(int(np.floor(coord_range // 3.95)), 1)
+        window_size = _auto_window_size(coords.to_numpy())
     if window_size <= 0:
         raise ValueError("Window size must be larger than 0.")
 
