@@ -5,8 +5,8 @@ graph (the Xenium-scale config) — the reference's flagship hot path
 (numba CSR loop × loky pool, /root/reference/src/squidpy/gr/_nhood.py:208-229).
 The timed region covers what the user pays for per call: generating the
 permutations AND counting, on device, in chunks of ``CHUNK`` permutations
-(column-layout pipeline: payload-carrying sort shuffles + shared-index row
-gathers + batched one-hot MXU contractions — ops/nhood.py, _core/rng.py).
+(column-layout pipeline: O(n) keyed index-cipher shuffles + shared-index row
+gathers + batched one-hot MXU contractions — ops/nhood.py, _core/index_cipher.py).
 
 Prints ONE JSON line: permutations/sec, with ``vs_baseline`` the speedup over
 a vectorized numpy CPU implementation of the identical statistic measured
@@ -39,19 +39,21 @@ CPU_PERMS = 3
 def _device_bench() -> float:
     import jax.numpy as jnp
 
-    from squidpy_tpu._core.rng import permutation_columns, spawn_keys
+    from squidpy_tpu._core.index_cipher import cipher_label_columns
+    from squidpy_tpu._core.rng import spawn_keys
     from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
 
     rng = np.random.default_rng(0)
     indices = jnp.asarray(rng.integers(0, N_CELLS, size=(N_CELLS, K)).astype(np.int32))
     mask = jnp.ones((N_CELLS, K), dtype=bool)
-    labels = jnp.asarray(rng.integers(0, N_CLS, size=N_CELLS).astype(np.int32))
+    labels = rng.integers(0, N_CLS, size=N_CELLS).astype(np.int32)
+    class_counts = np.bincount(labels, minlength=N_CLS)
 
     def run(seed: int) -> int:
         keys = spawn_keys(seed, N_PERMS)
         totals = []
         for c0 in range(0, N_PERMS, CHUNK):
-            cols = permutation_columns(keys[c0 : c0 + CHUNK], labels, payload_dtype=jnp.uint8)
+            cols = cipher_label_columns(keys[c0 : c0 + CHUNK], class_counts, out_dtype=jnp.uint8)
             counts = permuted_pair_counts_cols(indices, mask, cols, N_CLS)
             # per-perm sums stay < 2^31 (a whole-chunk int32 sum overflows
             # at 500 perms x 6M edges)

@@ -1,8 +1,8 @@
 """The combined north-star measurement, in one process on one v5e chip.
 
 Workload (BASELINE.json / SURVEY §6): on a 1M-cell k=6 spatial graph,
-  1. nhood_enrichment with 1000 permutations (including on-device shuffle
-     generation), and
+  1. nhood_enrichment with 1000 permutations (including O(n) index-cipher
+     shuffle generation on device), and
   2. Moran's I over 15,104 genes (59 × 256-gene blocks as 512-wide scans,
      expression generated on device per block — the host tunnel moves
      ~17 MB/s, so a real 60 GB matrix could never be shipped from this host;
@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from squidpy_tpu._core.rng import permutation_columns, spawn_keys
+from squidpy_tpu._core.index_cipher import cipher_label_columns
+from squidpy_tpu._core.rng import spawn_keys
 from squidpy_tpu.ops.autocorr import moran_scores
 from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
 
@@ -55,12 +56,13 @@ def moran_all_blocks(idx, w, key, n_blocks):
 def run_once(seed: int, idx, w, labels) -> tuple[float, float]:
     mask = jnp.ones((N, K), bool)
 
+    class_counts = np.bincount(np.asarray(labels), minlength=N_CLS)
     t0 = time.time()
-    chunk = 500  # the measured gather/sort sweet spot (still well inside HBM)
+    chunk = 500  # the measured gather sweet spot (still well inside HBM)
     keys = spawn_keys(seed, N_PERMS)
     totals = []
     for c0 in range(0, N_PERMS, chunk):
-        cols = permutation_columns(keys[c0 : c0 + chunk], labels, payload_dtype=jnp.uint8)
+        cols = cipher_label_columns(keys[c0 : c0 + chunk], class_counts, out_dtype=jnp.uint8)
         # per-perm sums stay < 2^31 (a whole-chunk int32 sum would overflow)
         totals.append(jnp.sum(permuted_pair_counts_cols(idx, mask, cols, N_CLS), axis=(1, 2)))
     # readbacks AFTER all dispatches (each forces its chunk's completion;

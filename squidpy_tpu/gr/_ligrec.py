@@ -95,12 +95,25 @@ class PermutationTestABC(ABC):
             data_obj = adata
 
         X = data_obj.X
+        owned = issparse(X)  # whether X is our private copy (safe to mutate)
         X = np.asarray(csc_matrix(X).todense()) if issparse(X) else np.asarray(X)
+        # dtype policy (applies to the whole pipeline: host BLAS, tunnel
+        # transfer, device kernel): exact float64 only for small matrices
+        # under x64 — the golden-parity regime — float32 at scale, where this
+        # 1-core host's f64 BLAS and the emulated-f64 device math would
+        # dominate the call
+        import jax
+
+        exact = jax.config.jax_enable_x64 and X.size <= 4_000_000
+        want = np.float64 if exact else np.float32
+        if X.dtype != want:
+            X = X.astype(want)
+            owned = True
         # replace NaNs only when present: fillna unconditionally copies the
         # whole (possibly multi-100MB) matrix
         if np.isnan(X).any():
-            X = np.nan_to_num(X, nan=0.0, posinf=np.inf, neginf=-np.inf)
-        self._data = pd.DataFrame(X, index=adata.obs_names, columns=data_obj.var_names)
+            X = np.nan_to_num(X, nan=0.0, posinf=np.inf, neginf=-np.inf, copy=not owned)
+        self._data = pd.DataFrame(X, index=adata.obs_names, columns=data_obj.var_names, copy=False)
 
         self._interactions: pd.DataFrame | None = None
         self._filtered_data: pd.DataFrame | None = None
@@ -431,16 +444,29 @@ def _analysis(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Observed means/mask on host, permutation loop on device.
 
-    Host precision follows the device policy: float64 for small/x64 runs
-    (exact parity with the reference's float64 pipeline, golden-pickle tests)
-    and float32 at scale — this 1-core host's f64 BLAS and the extra 160MB+
-    copies otherwise dominate the whole test.
+    Precision follows the dtype fixed at :class:`PermutationTestABC`
+    construction: float64 for small/x64 runs (exact parity with the
+    reference's float64 pipeline, golden-pickle tests), float32 at scale.
     """
-    import jax
-
-    f64 = jax.config.jax_enable_x64 and data.size <= 5e7
-    host_t = np.float64 if f64 else np.float32
+    host_t = np.float32 if data.dtype == np.float32 else np.float64
     data_h = data if data.dtype == host_t else data.astype(host_t)
+
+    # Ship the expression matrix FIRST (async device_put overlaps the host
+    # mean/mask pass below) and in the narrowest lossless container: raw
+    # counts are typically small non-negative integers, so a u8/u16 cast
+    # moves 4-8x fewer bytes through the ~17 MB/s host<->device tunnel —
+    # the measured round-2 bottleneck of this call. The widening back to
+    # float happens on device.
+    x_ship: np.ndarray = data_h
+    if data_h.size and np.issubdtype(data_h.dtype, np.floating):
+        dmax = float(data_h.max())
+        dmin = float(data_h.min())
+        if 0.0 <= dmin and dmax < 65536.0 and not np.any(data_h != np.floor(data_h)):
+            x_ship = data_h.astype(np.uint8 if dmax < 256.0 else np.uint16)
+    x_dev = jnp.asarray(x_ship)
+    if x_dev.dtype != data_h.dtype:
+        x_dev = x_dev.astype(data_h.dtype)
+
     # observed per-cluster means and expression-fraction mask
     onehot = np.zeros((len(clustering), n_cls), dtype=host_t)
     onehot[np.arange(len(clustering)), clustering] = 1.0
@@ -458,7 +484,6 @@ def _analysis(
     mask_ok = mask[rec[:, None], c1[None, :]] & mask[lig[:, None], c2[None, :]]
 
     # device permutation pass matches the host precision chosen above
-    x_dev = jnp.asarray(data_h)
     keys = spawn_keys(seed, n_perms)
     shuffled = permutation_batch(keys, jnp.asarray(clustering))
     from squidpy_tpu.parallel.sharded import auto_ligrec_counts

@@ -140,14 +140,20 @@ def nhood_enrichment(
         lib_codes = adata.obs[library_key].cat.codes.to_numpy()
 
     def _compute_perms() -> dict[str, NDArrayA]:
+        from squidpy_tpu._core.index_cipher import MIN_CIPHER_N, cipher_label_columns
         from squidpy_tpu.parallel.sharded import auto_permuted_pair_counts_cols
 
         # Shuffles are generated AND counted in column layout (perm axis
-        # minor): generation is one payload-carrying sort per permutation and
-        # counting gathers shared-index label rows — see ops/nhood.py and
-        # _core/rng.py. Chunking bounds the sort/gather working set; every
+        # minor). At scale, generation is an O(n) keyed index cipher (pure
+        # ALU, no sort — see _core/index_cipher.py); small inputs and
+        # library-stratified shuffles use the payload-carrying batched sorts
+        # in _core/rng.py. Counting gathers shared-index label rows
+        # (ops/nhood.py). Chunking bounds the per-chunk working set; every
         # chunk reuses one compiled kernel (the tail chunk is padded with
         # repeated keys and its extra counts dropped).
+        n_cells = int(labels_dev.shape[0])
+        use_cipher = lib_codes is None and n_cells >= MIN_CIPHER_N
+        class_counts = np.bincount(int_clust, minlength=n_cls)
         keys = spawn_keys(seed, n_perms)
         chunk = min(n_perms, 500)
         parts: list[NDArrayA] = []
@@ -156,11 +162,12 @@ def nhood_enrichment(
             n_real = kc.shape[0]
             if n_real < chunk:
                 kc = jnp.concatenate([kc, jnp.broadcast_to(kc[-1:], (chunk - n_real, *kc.shape[1:]))])
-            # u8 label payload when codes fit: ~30% less sort traffic and 4x
-            # smaller counting row gathers, bitwise-identical permutations
+            # u8 labels when codes fit: 4x smaller counting row gathers
             pt = jnp.uint8 if n_cls <= 255 else None
             if lib_codes is not None:
                 cols = shuffle_group_columns(kc, labels_dev, lib_codes, payload_dtype=pt)
+            elif use_cipher:
+                cols = cipher_label_columns(kc, class_counts, out_dtype=pt)
             else:
                 cols = permutation_columns(kc, labels_dev, payload_dtype=pt)
             counts_c = auto_permuted_pair_counts_cols(graph.indices, graph.mask, cols, n_cls)

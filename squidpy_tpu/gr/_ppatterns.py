@@ -20,6 +20,7 @@ from scipy import stats
 from squidpy_tpu._constants._constants import SpatialAutocorr
 from squidpy_tpu._constants._pkg_constants import Key
 from squidpy_tpu._core.graph import SpatialGraph
+from squidpy_tpu._core.index_cipher import MIN_CIPHER_N, cipher_index_batch
 from squidpy_tpu._core.rng import permutation_batch, spawn_keys
 from squidpy_tpu.gr._utils import (
     _assert_categorical_obs,
@@ -196,7 +197,11 @@ def spatial_autocorr(
     if n_perms is not None:
         assert_positive(n_perms, name="n_perms")
         keys = spawn_keys(seed, n_perms)
-        perms_idx = permutation_batch(keys, jnp.arange(n_cells))
+        if n_cells >= MIN_CIPHER_N:
+            # O(n) keyed index cipher: no per-permutation sort
+            perms_idx = cipher_index_batch(keys, n_cells)
+        else:
+            perms_idx = permutation_batch(keys, jnp.arange(n_cells))
     else:
         perms_idx = None
 
