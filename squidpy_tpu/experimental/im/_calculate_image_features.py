@@ -49,13 +49,32 @@ _MORPHOLOGY_PROPS = frozenset(_DEFAULT_MORPHOLOGY) | {
     "filled_area", "euler_number", "perimeter_crofton",
 }
 _INTENSITY_PROPS = frozenset({"intensity_mean", "intensity_std", "intensity_min", "intensity_max"})
+# cp_measure-group flags map onto this build's native kernels
+# (reference grammar: experimental/im/_calculate_image_features.py:89-110):
+# intensity/sizeshape/texture reuse the skimage/squidpy families they
+# duplicate; granularity/zernike/radial/correlation run as batched device
+# kernels in ops/cellfeats.py. The rank/threshold colocalization variants
+# (costes, manders_fold, rwc) are not implemented; `cp_measure:correlation`
+# computes per-cell-pairwise Pearson.
 _CP_MEASURE_GROUPS = frozenset(
-    {"cp_measure:intensity", "cp_measure:sizeshape", "cp_measure:texture", "cp_measure:granularity", "cp_measure:zernike"}
+    {
+        "cp_measure:intensity", "cp_measure:sizeshape", "cp_measure:texture",
+        "cp_measure:granularity", "cp_measure:zernike", "cp_measure:feret",
+        "cp_measure:radial", "cp_measure:correlation",
+        "cp_measure:correlation_pearson",
+    }
+)
+_CP_UNSUPPORTED = frozenset(
+    {"cp_measure:correlation_costes", "cp_measure:correlation_manders_fold", "cp_measure:correlation_rwc"}
 )
 _ALL_FEATURES = (
-    {"skimage:morphology", "skimage:intensity"}
+    _CP_MEASURE_GROUPS
+    | {"skimage:morphology", "skimage:intensity"}
     | {"squidpy:summary", "squidpy:texture", "squidpy:histogram"}
 )
+GRANULARITY_LENGTH = 16
+ZERNIKE_NMAX = 9
+RADIAL_BINS = 4
 GLCM_LEVELS = 32
 HIST_BINS = 16
 
@@ -68,6 +87,10 @@ class ParsedFeatures(NamedTuple):
     summary: bool
     texture: bool
     histogram: bool
+    granularity: bool = False
+    zernike: bool = False
+    radial: bool = False
+    correlation: bool = False
 
 
 def parse_features(features: list[str] | str | None) -> ParsedFeatures:
@@ -91,6 +114,10 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
             summary=True,
             texture=True,
             histogram=True,
+            granularity=True,
+            zernike=True,
+            radial=True,
+            correlation=True,
         )
     if isinstance(features, str):
         features = [features]
@@ -98,13 +125,32 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
     morphology: set[str] | None = None
     intensity: set[str] | None = None
     summary = texture = histogram = False
+    granularity = zernike = radial = correlation = False
     for f in features:
-        if f in _CP_MEASURE_GROUPS:
+        if f in _CP_UNSUPPORTED:
             raise ValueError(
-                f"`{f}` requires cp_measure, which is not available in this build; "
-                f"use the `skimage:*`/`squidpy:*` families instead."
+                f"`{f}` is not implemented in this build; `cp_measure:correlation` "
+                f"computes per-cell Pearson correlation between channel pairs."
             )
-        if f == "skimage:morphology":
+        if f == "cp_measure:intensity":
+            intensity = set(_INTENSITY_PROPS)
+        elif f == "cp_measure:sizeshape":
+            # CellProfiler's sizeshape group includes the shape Zernikes
+            morphology = set(_MORPHOLOGY_PROPS)
+            zernike = True
+        elif f == "cp_measure:texture":
+            texture = True
+        elif f == "cp_measure:granularity":
+            granularity = True
+        elif f == "cp_measure:zernike":
+            zernike = True
+        elif f == "cp_measure:feret":
+            morphology = (morphology or set()) | {"feret_diameter_max"}
+        elif f == "cp_measure:radial":
+            radial = True
+        elif f in ("cp_measure:correlation", "cp_measure:correlation_pearson"):
+            correlation = True
+        elif f == "skimage:morphology":
             morphology = set(_MORPHOLOGY_PROPS)
         elif f == "skimage:intensity":
             intensity = set(_INTENSITY_PROPS)
@@ -139,6 +185,10 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
         summary=summary,
         texture=texture,
         histogram=histogram,
+        granularity=granularity,
+        zernike=zernike,
+        radial=radial,
+        correlation=correlation,
     )
 
 
@@ -272,24 +322,83 @@ def _per_cell_squidpy_features(
             for b in range(HIST_BINS):
                 out[f"histogram_bin{b}__ch{c}"] = hist[:, b]
 
-    if parsed.texture:
-        props = ("contrast", "dissimilarity", "homogeneity", "energy", "ASM", "correlation")
+    needs_crops = parsed.texture or parsed.zernike or parsed.radial or parsed.granularity or (
+        parsed.correlation and len(channels) >= 2
+    )
+    if needs_crops:
         bb = regionprops(tile_labels, ["label", "bbox"])
         heights = bb["bbox-2"] - bb["bbox-0"]
         widths = bb["bbox-3"] - bb["bbox-1"]
         side = _round_up(int(max(heights.max(initial=1), widths.max(initial=1))), 32)
-        crops = np.zeros((n_cells, side, side), dtype=np.float32)
         masks = np.zeros((n_cells, side, side), dtype=bool)
-        stacked = np.stack([c.astype(np.float32) for c in channels])
-        for c in range(len(channels)):
+        for i in range(n_cells):
+            y0, x0, y1, x1 = bb["bbox-0"][i], bb["bbox-1"][i], bb["bbox-2"][i], bb["bbox-3"][i]
+            masks[i, : y1 - y0, : x1 - x0] = tile_labels[y0:y1, x0:x1] == ids[i]
+
+        def channel_crops(c: int) -> np.ndarray:
+            crops = np.zeros((n_cells, side, side), dtype=np.float32)
+            chan = channels[c].astype(np.float32)
             for i in range(n_cells):
                 y0, x0, y1, x1 = bb["bbox-0"][i], bb["bbox-1"][i], bb["bbox-2"][i], bb["bbox-3"][i]
-                h, w = y1 - y0, x1 - x0
-                crops[i, :h, :w] = stacked[c, y0:y1, x0:x1]
-                masks[i, :h, :w] = tile_labels[y0:y1, x0:x1] == ids[i]
-            tex = per_cell_texture_batch(crops, masks, props=props, levels=GLCM_LEVELS)
-            for pi, prop in enumerate(props):
-                out[f"texture_{prop}__ch{c}"] = tex[:, pi]
+                crops[i, : y1 - y0, : x1 - x0] = chan[y0:y1, x0:x1]
+            return crops
+
+        if parsed.zernike:
+            from squidpy_tpu.ops.cellfeats import zernike_batch, zernike_table
+
+            mags, _ = zernike_batch(masks, n_max=ZERNIKE_NMAX)
+            for zi, (zn, zm, _t) in enumerate(zernike_table(ZERNIKE_NMAX)):
+                out[f"zernike_{zn}_{zm}"] = mags[:, zi]
+
+        per_channel_crops: dict[int, np.ndarray] = {}
+
+        def get_crops(c: int) -> np.ndarray:
+            if c not in per_channel_crops:
+                per_channel_crops[c] = channel_crops(c)
+            return per_channel_crops[c]
+
+        if parsed.texture:
+            props = ("contrast", "dissimilarity", "homogeneity", "energy", "ASM", "correlation")
+            for c in range(len(channels)):
+                tex = per_cell_texture_batch(get_crops(c), masks, props=props, levels=GLCM_LEVELS)
+                for pi, prop in enumerate(props):
+                    out[f"texture_{prop}__ch{c}"] = tex[:, pi]
+
+        if parsed.granularity:
+            from squidpy_tpu.ops.cellfeats import granularity_batch
+
+            for c in range(len(channels)):
+                gs = granularity_batch(get_crops(c), masks, length=GRANULARITY_LENGTH)
+                for i in range(GRANULARITY_LENGTH):
+                    out[f"granularity_{i + 1}__ch{c}"] = gs[:, i]
+
+        if parsed.radial:
+            from squidpy_tpu.ops.cellfeats import (
+                radial_distribution_batch,
+                zernike_batch as _zb,
+                zernike_table as _zt,
+            )
+
+            for c in range(len(channels)):
+                crops = get_crops(c)
+                rd = radial_distribution_batch(masks, crops, bins=RADIAL_BINS)
+                for b in range(RADIAL_BINS):
+                    out[f"radial_frac_at_d_{b + 1}of{RADIAL_BINS}__ch{c}"] = rd["frac_at_d"][:, b]
+                    out[f"radial_mean_frac_{b + 1}of{RADIAL_BINS}__ch{c}"] = rd["mean_frac"][:, b]
+                    out[f"radial_cv_{b + 1}of{RADIAL_BINS}__ch{c}"] = rd["radial_cv"][:, b]
+                zmag, zph = _zb(masks, intensity=crops, n_max=ZERNIKE_NMAX)
+                for zi, (zn, zm, _t) in enumerate(_zt(ZERNIKE_NMAX)):
+                    out[f"radial_zernike_mag_{zn}_{zm}__ch{c}"] = zmag[:, zi]
+                    out[f"radial_zernike_phase_{zn}_{zm}__ch{c}"] = zph[:, zi]
+
+        if parsed.correlation and len(channels) >= 2:
+            from squidpy_tpu.ops.cellfeats import pearson_correlation_batch
+
+            for a in range(len(channels)):
+                for b in range(a + 1, len(channels)):
+                    out[f"correlation_pearson__ch{a}_ch{b}"] = pearson_correlation_batch(
+                        masks, get_crops(a), get_crops(b)
+                    )
     return out
 
 
@@ -314,9 +423,12 @@ def _featurize_tile(
             continue
         data[p] = res[p]
 
-    needs_pixels = parsed.summary or parsed.texture or parsed.histogram or parsed.intensity_props
-    if needs_pixels and image is not None:
-        channels = _tile_channels(tile_image, n_channels)
+    needs_pixels = (
+        parsed.summary or parsed.texture or parsed.histogram or parsed.intensity_props
+        or parsed.granularity or parsed.radial or parsed.correlation
+    )
+    if (needs_pixels and image is not None) or parsed.zernike:
+        channels = _tile_channels(tile_image, n_channels) if image is not None else []
         data.update(_per_cell_squidpy_features(tile_labels, channels, res["label"], parsed))
     return pd.DataFrame(data)
 
