@@ -43,7 +43,27 @@ Input_t = Union[Pathlike_t, NDArrayA, "ImageContainer"]
 
 
 def _open_image_file(path: Pathlike_t) -> NDArrayA:
-    """Read an image file (jpeg/png/tiff/…) via PIL into a numpy array."""
+    """Read an image file (jpeg/png/tiff/…) into a numpy array.
+
+    TIFFs decode through the in-repo container parser when the encoding is
+    supported (incl. BigTIFF/tiled, which PIL may reject at WSI scale);
+    anything else — and exotic TIFF compressions — falls back to PIL.
+    """
+    from squidpy_tpu.im._tiff import TiffReader, is_tiff
+
+    if is_tiff(path):
+        reader = TiffReader(path)
+        if all(p.supported for p in reader.pages):
+            if len(reader.pages) == 1:
+                return reader.read_full()
+            pages = [reader.read_full(i) for i in range(len(reader.pages))]
+            if len({p.shape for p in pages}) == 1:
+                arr = np.stack(pages, axis=0)  # (pages, y, x[, c])
+                if arr.ndim == 3:  # pages as channels
+                    arr = np.transpose(arr, (1, 2, 0))
+                return arr
+            return pages[0]  # pyramid: full-resolution page
+
     from PIL import Image
 
     Image.MAX_IMAGE_PIXELS = None
