@@ -9,8 +9,9 @@ same AnnData-facing API and key conventions as the reference.
 
 from __future__ import annotations
 
-from squidpy_tpu import datasets, experimental, gr, im, pl, read, tl
+from squidpy_tpu import datasets, experimental, gr, im, pl, read, tl, utils
 from squidpy_tpu._core import AnnData, SpatialGraph, concat, read_h5ad
+from squidpy_tpu.utils._warmup import warmup
 
 __all__ = [
     "gr",
@@ -20,10 +21,12 @@ __all__ = [
     "read",
     "datasets",
     "experimental",
+    "utils",
     "AnnData",
     "SpatialGraph",
     "concat",
     "read_h5ad",
+    "warmup",
     "__version__",
 ]
 

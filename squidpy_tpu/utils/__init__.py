@@ -1,5 +1,6 @@
 from squidpy_tpu.utils._logging import logg, verbosity
 from squidpy_tpu.utils._profiling import annotate, profile
+from squidpy_tpu.utils._warmup import warmup
 from squidpy_tpu.utils._utils import (
     NDArrayA,
     _ensure_dim_order,
@@ -27,6 +28,7 @@ __all__ = [
     "verbosity",
     "profile",
     "annotate",
+    "warmup",
     "chunked_vmap",
     "deprecated",
     "deprecated_params",

@@ -375,3 +375,84 @@ class TestDeprecationHelpers:
             assert old_fn(1) == 2
         with pytest.warns(FutureWarning):
             old_fn(2)
+
+
+class TestChunkedVmap:
+    def test_matches_unchunked(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.utils import chunked_vmap
+
+        xs = jnp.arange(23.0).reshape(23, 1)
+        out = chunked_vmap(lambda x: x * 2 + 1, xs, chunk_size=5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xs) * 2 + 1)
+
+    def test_single_chunk(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.utils import chunked_vmap
+
+        xs = jnp.ones((3, 2))
+        out = chunked_vmap(lambda x: x.sum(), xs, chunk_size=100)
+        assert out.shape == (3,)
+
+    def test_chunk_size_invariance(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.utils import chunked_vmap
+
+        xs = jnp.arange(40.0).reshape(20, 2)
+        a = chunked_vmap(lambda x: x @ x, xs, chunk_size=3)
+        b = chunked_vmap(lambda x: x @ x, xs, chunk_size=20)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestToHost:
+    def test_dtype_conversion(self):
+        import jax.numpy as jnp
+
+        from squidpy_tpu.utils import to_host
+
+        x = jnp.arange(6, dtype=jnp.float32).reshape(2, 3)
+        out = to_host(x, dtype=np.float64)
+        assert isinstance(out, np.ndarray) and out.dtype == np.float64
+
+    def test_passthrough_numpy(self):
+        from squidpy_tpu.utils import to_host
+
+        x = np.arange(4)
+        assert to_host(x) is not None
+        np.testing.assert_array_equal(to_host(x), x)
+
+
+class TestKnnOps:
+    def test_brute_force_matches_ckdtree(self):
+        from scipy.spatial import cKDTree
+
+        from squidpy_tpu.ops.knn import brute_force_knn
+
+        rng = np.random.default_rng(0)
+        coords = rng.uniform(0, 100, (500, 2)).astype(np.float32)
+        dists, idx = brute_force_knn(coords, k=5)
+        tree = cKDTree(coords)
+        d_want, i_want = tree.query(coords, k=6)
+        # distances agree (index ties can differ at equal distance)
+        np.testing.assert_allclose(np.sort(dists, axis=1), np.sort(d_want[:, 1:], axis=1), atol=1e-3)
+
+    def test_knn_excludes_self(self):
+        from squidpy_tpu.ops.knn import brute_force_knn
+
+        rng = np.random.default_rng(1)
+        coords = rng.uniform(0, 10, (64, 2)).astype(np.float32)
+        _, idx = brute_force_knn(coords, k=3)
+        rows = np.arange(64)[:, None]
+        assert not np.any(np.asarray(idx) == rows)
+
+    def test_duplicate_points_no_self_loop(self):
+        from squidpy_tpu.ops.knn import brute_force_knn
+
+        coords = np.zeros((8, 2), np.float32)  # all identical
+        dists, idx = brute_force_knn(coords, k=2)
+        rows = np.arange(8)[:, None]
+        assert not np.any(np.asarray(idx) == rows)
+        np.testing.assert_allclose(np.asarray(dists), 0.0, atol=1e-5)

@@ -1,0 +1,267 @@
+"""Dataset registry + downloader — reference tests/datasets suite."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import squidpy_tpu as sq
+
+
+class TestDatasets:
+    def test_registry_parses(self):
+        reg = sq.datasets.get_registry() if hasattr(sq.datasets, "get_registry") else None
+        from squidpy_tpu.datasets._registry import get_registry
+
+        reg = get_registry()
+        assert "imc" in reg.datasets
+        assert reg.get("imc").shape == (4668, 34)
+        assert reg.get("visium_hne_image").type == "image"
+        assert len(reg.names("visium_10x")) >= 5
+
+    def test_loaders_exist(self):
+        for name in ["imc", "seqfish", "mibitof", "visium_hne_adata", "four_i", "merfish", "slideseqv2"]:
+            assert callable(getattr(sq.datasets, name))
+
+    def test_unknown_dataset_raises(self):
+        with pytest.raises(ValueError, match="Unknown dataset"):
+            sq.datasets.download("not_a_dataset")
+
+    def test_download_offline_message(self, tmp_path):
+        with pytest.raises(ExceptionGroup, match="download|Failed"):
+            sq.datasets.download("imc", path=tmp_path)
+
+
+def test_downloader_mirror_failover(tmp_path):
+    """All mirrors tried in order; total failure raises ExceptionGroup with
+    one nested error per attempted URL."""
+    from squidpy_tpu.datasets._registry import (
+        DatasetDownloader,
+        DatasetEntry,
+        DatasetRegistry,
+        FileEntry,
+    )
+
+    reg = DatasetRegistry(s3_base_url="http://127.0.0.1:1/none/")
+    fe = FileEntry(name="x.h5ad", s3_key="x.h5ad", fallback_urls=("http://127.0.0.1:1/mirror/x.h5ad",))
+    assert fe.get_urls(reg.s3_base_url) == [
+        "http://127.0.0.1:1/none/x.h5ad",
+        "http://127.0.0.1:1/mirror/x.h5ad",
+    ]
+    reg.datasets["fake"] = DatasetEntry(name="fake", type="anndata", files=[fe])
+    with pytest.raises(ExceptionGroup) as exc:
+        DatasetDownloader(reg).download("fake", path=tmp_path)
+    assert len(exc.value.exceptions) == 2
+
+
+class TestDatasetRegistryProtocol:
+    """Registry object-model behaviors (reference:
+    /root/reference/tests/datasets/test_registry.py)."""
+
+    @staticmethod
+    def _registry():
+        from squidpy_tpu.datasets import get_registry
+
+        return get_registry()
+
+    def test_contains_and_getitem(self):
+        reg = self._registry()
+        assert "imc" in reg
+        assert "bogus" not in reg
+        assert reg["imc"].name == "imc"
+        with pytest.raises(KeyError, match="Unknown dataset"):
+            reg["bogus"]
+
+    def test_iter_and_len(self):
+        reg = self._registry()
+        entries = list(reg)
+        assert len(entries) == len(reg) > 10
+        assert all(hasattr(e, "files") for e in entries)
+
+    def test_property_lists_partition_by_type(self):
+        reg = self._registry()
+        assert set(reg.anndata_names) == set(reg.names("anndata"))
+        assert "imc" in reg.anndata_names
+        assert len(reg.image_names) == 3
+        assert len(reg.visium_names) == 5
+        assert len(reg.spatialdata_names) == 2
+        typed = (
+            set(reg.anndata_names) | set(reg.image_names)
+            | set(reg.visium_names) | set(reg.spatialdata_names)
+        )
+        assert typed == set(reg.all_names)
+
+    def test_entry_fields(self):
+        reg = self._registry()
+        e = reg["imc"]
+        assert e.type == "anndata"
+        assert len(e.files) == 1
+        f = e.files[0]
+        assert f.name.endswith(".h5ad")
+        assert f.sha256 is None or len(f.sha256) == 64
+
+    def test_image_entries_have_library_id(self):
+        reg = self._registry()
+        for name in reg.image_names:
+            assert reg[name].library_id is not None
+
+    def test_get_urls_order(self):
+        from squidpy_tpu.datasets._registry import FileEntry
+
+        f = FileEntry(name="a.h5ad", s3_key="data/a.h5ad",
+                      fallback_urls=("https://mirror1/a", "https://mirror2/a"))
+        urls = f.get_urls("https://s3.base/")
+        assert urls == ["https://s3.base/data/a.h5ad", "https://mirror1/a", "https://mirror2/a"]
+        assert f.get_urls("") == ["https://mirror1/a", "https://mirror2/a"]
+
+    def test_visium_entries_have_matrix_and_positions(self):
+        reg = self._registry()
+        for name in reg.visium_names:
+            fnames = {f.name for f in reg[name].files}
+            assert "filtered_feature_bc_matrix.h5" in fnames
+
+
+class TestDatasetDownloaderBehavior:
+    def test_default_cache_dir_env_override(self, tmp_path, monkeypatch):
+        from squidpy_tpu.datasets._registry import _default_cache_dir
+
+        monkeypatch.setenv("SQUIDPY_TPU_DATA", str(tmp_path / "cache"))
+        assert _default_cache_dir() == tmp_path / "cache"
+
+    def test_singletons(self):
+        from squidpy_tpu.datasets import get_downloader, get_registry
+
+        assert get_registry() is get_registry()
+        assert get_downloader() is get_downloader()
+
+    def test_cached_file_reused_without_network(self, tmp_path):
+        import hashlib
+
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        payload = b"not a real h5ad"
+        sha = hashlib.sha256(payload).hexdigest()
+        reg = DatasetRegistry(s3_base_url="https://unreachable.invalid")
+        reg.datasets["fake"] = DatasetEntry(
+            name="fake", type="anndata",
+            files=[FileEntry(name="fake.h5ad", s3_key="fake.h5ad", sha256=sha)],
+        )
+        d = DatasetDownloader(reg)
+        target = tmp_path / "fake" / "fake.h5ad"
+        target.parent.mkdir(parents=True)
+        target.write_bytes(payload)
+        # checksum matches -> served from cache, no network touched
+        got = d._fetch_file(reg.datasets["fake"], reg.datasets["fake"].files[0], tmp_path)
+        assert got == target
+
+    def test_corrupted_cache_redownloads_and_fails_offline(self, tmp_path):
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        reg = DatasetRegistry(s3_base_url="")
+        reg.datasets["fake"] = DatasetEntry(
+            name="fake", type="anndata",
+            files=[FileEntry(name="fake.h5ad", s3_key="", sha256="0" * 64)],
+        )
+        d = DatasetDownloader(reg)
+        target = tmp_path / "fake" / "fake.h5ad"
+        target.parent.mkdir(parents=True)
+        target.write_bytes(b"corrupt")
+        with pytest.raises(ExceptionGroup, match="Place the file manually"):
+            d._fetch_file(reg.datasets["fake"], reg.datasets["fake"].files[0], tmp_path)
+        assert not target.exists()  # corrupted cache was evicted
+
+class TestRegistryProtocolExtras:
+    @staticmethod
+    def _registry():
+        from squidpy_tpu.datasets import get_registry
+
+        return get_registry()
+
+    def test_contains_accepts_entries(self):
+        reg = self._registry()
+        entry = reg["imc"]
+        assert entry in reg  # consistent with __iter__ yielding entries
+        from squidpy_tpu.datasets._registry import DatasetEntry
+
+        foreign = DatasetEntry(name="imc", type="anndata", files=[])
+        assert foreign not in reg  # same name, different object
+
+    def test_names_unknown_type_empty(self):
+        assert self._registry().names("bogus_type") == []
+
+    def test_get_returns_none_for_unknown(self):
+        assert self._registry().get("not_a_dataset") is None
+
+    def test_known_shapes_match_survey(self):
+        """Dataset scales recorded in SURVEY/BASELINE are the registry's."""
+        reg = self._registry()
+        assert reg["imc"].shape == (4668, 34)
+        assert reg["seqfish"].shape == (19416, 351)
+        assert reg["four_i"].shape == (270876, 43)
+
+    def test_loader_docstrings_mention_dataset(self):
+        import squidpy_tpu as sq_
+
+        for name in ("imc", "seqfish", "mibitof"):
+            fn = getattr(sq_.datasets, name)
+            assert fn.__doc__ and "Shape" in fn.__doc__
+
+
+class TestDownloaderEdgeCases:
+    def test_multi_file_entry_all_fetched_or_group_raises(self, tmp_path):
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        reg = DatasetRegistry(s3_base_url="http://127.0.0.1:1/x/")
+        reg.datasets["multi"] = DatasetEntry(
+            name="multi", type="visium_10x",
+            files=[
+                FileEntry(name="a.h5", s3_key="a.h5"),
+                FileEntry(name="b.png", s3_key="b.png"),
+            ],
+        )
+        with pytest.raises(ExceptionGroup):
+            DatasetDownloader(reg).download("multi", path=tmp_path)
+
+    def test_sha_mismatch_evicts_and_raises(self, tmp_path):
+        import hashlib
+
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        good = hashlib.sha256(b"right").hexdigest()
+        reg = DatasetRegistry(s3_base_url="")
+        reg.datasets["f"] = DatasetEntry(
+            name="f", type="anndata",
+            files=[FileEntry(name="f.h5ad", s3_key="", sha256=good)],
+        )
+        d = DatasetDownloader(reg)
+        target = tmp_path / "f" / "f.h5ad"
+        target.parent.mkdir(parents=True)
+        target.write_bytes(b"wrong bytes")
+        with pytest.raises(ExceptionGroup):
+            d._fetch_file(reg.datasets["f"], reg.datasets["f"].files[0], tmp_path)
+        assert not target.exists()
+
+    def test_no_sha_cached_file_trusted(self, tmp_path):
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        reg = DatasetRegistry(s3_base_url="http://127.0.0.1:1/")
+        reg.datasets["f"] = DatasetEntry(
+            name="f", type="anndata", files=[FileEntry(name="f.h5ad", s3_key="f.h5ad")],
+        )
+        d = DatasetDownloader(reg)
+        target = tmp_path / "f" / "f.h5ad"
+        target.parent.mkdir(parents=True)
+        target.write_bytes(b"anything")
+        got = d._fetch_file(reg.datasets["f"], reg.datasets["f"].files[0], tmp_path)
+        assert got == target

@@ -178,3 +178,134 @@ class TestNicheCommon:
 
         jsd = _jensen_shannon_divergence(domain_adata, "utag_niche_res=0.5", "lib")
         assert np.isfinite(jsd)
+
+
+class TestNicheInternals:
+    """Unit tests of the graph helpers behind all flavors
+    (reference: gr/_niche.py:399-540, 767-800)."""
+
+    def test_setdiag_zero_eliminates(self):
+        from scipy import sparse as sps
+
+        from squidpy_tpu.gr._niche import _setdiag
+
+        a = sps.eye(4, format="csr") + sps.csr_matrix(
+            ([1.0], ([0], [1])), shape=(4, 4)
+        )
+        out = _setdiag(a, 0)
+        assert out.diagonal().sum() == 0
+        assert out.nnz == 1  # only the (0,1) entry survives
+
+    def test_setdiag_one(self):
+        from scipy import sparse as sps
+
+        from squidpy_tpu.gr._niche import _setdiag
+
+        a = sps.csr_matrix((4, 4))
+        out = _setdiag(a, 1)
+        np.testing.assert_array_equal(out.diagonal(), np.ones(4))
+
+    def test_hop_reaches_two_step_neighbors_only(self):
+        from scipy import sparse as sps
+
+        from squidpy_tpu.gr._niche import _hop, _setdiag
+
+        # path graph 0-1-2-3
+        rows = [0, 1, 1, 2, 2, 3]
+        cols = [1, 0, 2, 1, 3, 2]
+        adj = sps.csr_matrix((np.ones(6), (rows, cols)), shape=(4, 4))
+        visited = _setdiag(adj.copy(), 1)
+        hop2, visited2 = _hop(adj, adj, visited)
+        # node 0's fresh 2-hop neighborhood is exactly {2}
+        assert set(hop2[0].nonzero()[1]) == {2}
+        # visited accumulates: 0 now knows {0, 1, 2}
+        assert set(visited2[0].nonzero()[1]) == {0, 1, 2}
+
+    def test_normalize_rows_sum_to_one(self):
+        from scipy import sparse as sps
+
+        from squidpy_tpu.gr._niche import _normalize
+
+        rng = np.random.default_rng(0)
+        a = sps.random(10, 10, density=0.4, random_state=0, format="csr")
+        out = _normalize(a)
+        sums = np.asarray(out.sum(axis=1)).ravel()
+        nonzero = np.asarray(a.sum(axis=1)).ravel() > 0
+        np.testing.assert_allclose(sums[nonzero], 1.0, atol=1e-12)
+        assert (sums[~nonzero] == 0).all()
+
+    def test_neighborhood_profile_rows(self, domain_adata):
+        from squidpy_tpu.gr._niche import _neighborhood_profile
+
+        adj = domain_adata.obsp["spatial_connectivities"]
+        prof = _neighborhood_profile(domain_adata, "cell_type", adj, abs_nhood=False)
+        assert prof.shape == (domain_adata.n_obs, 2)
+        np.testing.assert_allclose(prof.sum(axis=1), 1.0, atol=1e-9)
+        # absolute counts: rows sum to the node degree (k=6)
+        prof_abs = _neighborhood_profile(domain_adata, "cell_type", adj, abs_nhood=True)
+        np.testing.assert_allclose(prof_abs.sum(axis=1), 6.0, atol=1e-9)
+
+
+class TestNicheMetrics:
+    def test_fide_perfect_when_niches_are_domains(self, domain_adata):
+        from squidpy_tpu.gr._niche import _fide_score
+
+        domain_adata.obs["perfect"] = pd.Categorical(["d1"] * 150 + ["d2"] * 150)
+        score = _fide_score(domain_adata, "perfect", average=True)
+        assert score > 0.95  # blobs are far apart: almost no cross edges
+
+    def test_fide_low_for_random_labels(self, domain_adata):
+        from squidpy_tpu.gr._niche import _fide_score
+
+        rng = np.random.default_rng(0)
+        domain_adata.obs["rand"] = pd.Categorical(rng.choice(["x", "y"], 300))
+        perfect = _fide_score(
+            domain_adata.assign_obs("perfect", pd.Categorical(["d1"] * 150 + ["d2"] * 150))
+            if hasattr(domain_adata, "assign_obs") else domain_adata, "rand", average=True
+        )
+        assert perfect < 0.7
+
+    def test_jsd_zero_for_identical_slides(self, domain_adata):
+        from squidpy_tpu.gr._niche import _jensen_shannon_divergence
+
+        domain_adata.obs["niche"] = pd.Categorical(["a", "b"] * 150)
+        domain_adata.obs["lib"] = pd.Categorical(["s1"] * 150 + ["s2"] * 150)
+        # both slides see the identical 50/50 label distribution
+        assert _jensen_shannon_divergence(domain_adata, "niche", "lib") == pytest.approx(0.0, abs=1e-12)
+
+    def test_jsd_positive_for_disjoint_slides(self, domain_adata):
+        from squidpy_tpu.gr._niche import _jensen_shannon_divergence
+
+        domain_adata.obs["niche"] = pd.Categorical(["a"] * 150 + ["b"] * 150)
+        domain_adata.obs["lib"] = pd.Categorical(["s1"] * 150 + ["s2"] * 150)
+        assert _jensen_shannon_divergence(domain_adata, "niche", "lib") > 0.8
+
+    def test_single_library_jsd_zero(self, domain_adata):
+        from squidpy_tpu.gr._niche import _jensen_shannon_divergence
+
+        domain_adata.obs["niche"] = pd.Categorical(["a", "b"] * 150)
+        domain_adata.obs["lib"] = pd.Categorical(["only"] * 300)
+        assert _jensen_shannon_divergence(domain_adata, "niche", "lib") == 0.0
+
+
+class TestNicheValidation:
+    def test_distance_ignored_for_utag(self, domain_adata):
+        # utag always aggregates 1-hop; passing distance is accepted/ignored
+        sq.gr.calculate_niche(
+            domain_adata, flavor="utag", n_neighbors=6, resolutions=0.5
+        )
+        assert any(c.startswith("utag_niche") for c in domain_adata.obs.columns)
+
+    def test_cellcharter_requires_aggregation_default(self, domain_adata):
+        sq.gr.calculate_niche(
+            domain_adata, flavor="cellcharter", n_neighbors=6, n_components=2
+        )
+        assert "cellcharter_niche" in domain_adata.obs.columns
+
+    def test_resolutions_list(self, domain_adata):
+        sq.gr.calculate_niche(
+            domain_adata, flavor="neighborhood", groups="cell_type",
+            n_neighbors=6, resolutions=[0.3, 0.7],
+        )
+        cols = [c for c in domain_adata.obs.columns if c.startswith("nhood_niche_res")]
+        assert len(cols) == 2
