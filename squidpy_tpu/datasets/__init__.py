@@ -63,9 +63,16 @@ def visium(sample_id: str, *, path: Any = None, include_hires_tiff: bool = False
 
 
 __all__ = [
+    # Type aliases (reference: datasets/__init__.py:31-59)
+    "AnnDataDatasets",
+    "ImageDatasets",
+    "VisiumDatasets",
+    "SpatialDataDatasets",
     "DatasetRegistry",
     "DatasetDownloader",
     "download",
+    "get_downloader",
+    "get_registry",
     "four_i",
     "imc",
     "seqfish",

@@ -235,6 +235,7 @@ _DOWNLOADER: DatasetDownloader | None = None
 
 
 def get_registry() -> DatasetRegistry:
+    """The process-wide :class:`DatasetRegistry` singleton."""
     global _REGISTRY
     if _REGISTRY is None:
         _REGISTRY = DatasetRegistry.from_yaml()
@@ -242,6 +243,7 @@ def get_registry() -> DatasetRegistry:
 
 
 def get_downloader() -> DatasetDownloader:
+    """The process-wide :class:`DatasetDownloader` singleton."""
     global _DOWNLOADER
     if _DOWNLOADER is None:
         _DOWNLOADER = DatasetDownloader()

@@ -265,3 +265,34 @@ class TestDownloaderEdgeCases:
         target.write_bytes(b"anything")
         got = d._fetch_file(reg.datasets["f"], reg.datasets["f"].files[0], tmp_path)
         assert got == target
+
+
+class TestTypedAliases:
+    """Reference's dataset-name type aliases (datasets/__init__.py:31-59),
+    derived here from the registry so they never drift from the YAML."""
+
+    def test_aliases_exported_and_partition(self):
+        from typing import get_args
+
+        import squidpy_tpu as sq_
+
+        ann = set(get_args(sq_.datasets.AnnDataDatasets))
+        img = set(get_args(sq_.datasets.ImageDatasets))
+        vis = set(get_args(sq_.datasets.VisiumDatasets))
+        sd = set(get_args(sq_.datasets.SpatialDataDatasets))
+        reg = sq_.datasets.get_registry()
+        assert ann == set(reg.names("anndata"))
+        assert img == set(reg.names("image"))
+        assert vis == set(reg.names("visium_10x"))
+        assert sd == set(reg.names("spatialdata"))
+        assert not (ann & img) and not (ann & sd)
+
+    def test_every_alias_name_has_a_loader_or_visium(self):
+        from typing import get_args
+
+        import squidpy_tpu as sq_
+
+        for name in get_args(sq_.datasets.AnnDataDatasets):
+            assert callable(getattr(sq_.datasets, name))
+        # visium_10x samples load through the shared `visium(sample_id)` entry
+        assert callable(sq_.datasets.visium)
