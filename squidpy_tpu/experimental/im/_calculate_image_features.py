@@ -53,19 +53,16 @@ _INTENSITY_PROPS = frozenset({"intensity_mean", "intensity_std", "intensity_min"
 # (reference grammar: experimental/im/_calculate_image_features.py:89-110):
 # intensity/sizeshape/texture reuse the skimage/squidpy families they
 # duplicate; granularity/zernike/radial/correlation run as batched device
-# kernels in ops/cellfeats.py. The rank/threshold colocalization variants
-# (costes, manders_fold, rwc) are not implemented; `cp_measure:correlation`
-# computes per-cell-pairwise Pearson.
+# kernels in ops/cellfeats.py (Pearson, Costes auto-threshold C1/C2,
+# Manders M1/M2, rank-weighted RWC1/RWC2 per channel pair).
+_CORRELATION_VARIANTS = frozenset({"pearson", "costes", "manders_fold", "rwc"})
 _CP_MEASURE_GROUPS = frozenset(
     {
         "cp_measure:intensity", "cp_measure:sizeshape", "cp_measure:texture",
         "cp_measure:granularity", "cp_measure:zernike", "cp_measure:feret",
         "cp_measure:radial", "cp_measure:correlation",
-        "cp_measure:correlation_pearson",
     }
-)
-_CP_UNSUPPORTED = frozenset(
-    {"cp_measure:correlation_costes", "cp_measure:correlation_manders_fold", "cp_measure:correlation_rwc"}
+    | {f"cp_measure:correlation_{v}" for v in _CORRELATION_VARIANTS}
 )
 _ALL_FEATURES = (
     _CP_MEASURE_GROUPS
@@ -90,7 +87,7 @@ class ParsedFeatures(NamedTuple):
     granularity: bool = False
     zernike: bool = False
     radial: bool = False
-    correlation: bool = False
+    correlation: frozenset[str] = frozenset()
 
 
 def parse_features(features: list[str] | str | None) -> ParsedFeatures:
@@ -102,10 +99,10 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
     ``skimage:intensity[:prop]`` select regionprops families (here computed
     by the device segment kernels, the names are the compatibility contract);
     ``squidpy:summary`` / ``squidpy:texture`` / ``squidpy:histogram`` select
-    the per-cell summary/GLCM/histogram features. ``cp_measure:*`` groups
-    raise a clear gate error — cp_measure/centrosome are unavailable in this
-    build and their sizeshape/intensity content is covered by the skimage
-    families.
+    the per-cell summary/GLCM/histogram features. ``cp_measure:*`` groups map
+    onto the native device kernels in :mod:`squidpy_tpu.ops.cellfeats`
+    (granularity/zernike/radial/correlation) or the equivalent
+    skimage/squidpy families they duplicate (intensity/sizeshape/texture/feret).
     """
     if features is None:
         return ParsedFeatures(
@@ -117,7 +114,7 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
             granularity=True,
             zernike=True,
             radial=True,
-            correlation=True,
+            correlation=frozenset(_CORRELATION_VARIANTS),
         )
     if isinstance(features, str):
         features = [features]
@@ -125,13 +122,9 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
     morphology: set[str] | None = None
     intensity: set[str] | None = None
     summary = texture = histogram = False
-    granularity = zernike = radial = correlation = False
+    granularity = zernike = radial = False
+    correlation: set[str] = set()
     for f in features:
-        if f in _CP_UNSUPPORTED:
-            raise ValueError(
-                f"`{f}` is not implemented in this build; `cp_measure:correlation` "
-                f"computes per-cell Pearson correlation between channel pairs."
-            )
         if f == "cp_measure:intensity":
             intensity = set(_INTENSITY_PROPS)
         elif f == "cp_measure:sizeshape":
@@ -148,8 +141,15 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
             morphology = (morphology or set()) | {"feret_diameter_max"}
         elif f == "cp_measure:radial":
             radial = True
-        elif f in ("cp_measure:correlation", "cp_measure:correlation_pearson"):
-            correlation = True
+        elif f == "cp_measure:correlation":
+            correlation |= _CORRELATION_VARIANTS
+        elif f.startswith("cp_measure:correlation_"):
+            variant = f.removeprefix("cp_measure:correlation_")
+            if variant not in _CORRELATION_VARIANTS:
+                raise ValueError(
+                    f"Unknown correlation variant `{variant}`. Available: {sorted(_CORRELATION_VARIANTS)}."
+                )
+            correlation.add(variant)
         elif f == "skimage:morphology":
             morphology = set(_MORPHOLOGY_PROPS)
         elif f == "skimage:intensity":
@@ -188,7 +188,7 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
         granularity=granularity,
         zernike=zernike,
         radial=radial,
-        correlation=correlation,
+        correlation=frozenset(correlation),
     )
 
 
@@ -392,13 +392,23 @@ def _per_cell_squidpy_features(
                     out[f"radial_zernike_phase_{zn}_{zm}__ch{c}"] = zph[:, zi]
 
         if parsed.correlation and len(channels) >= 2:
-            from squidpy_tpu.ops.cellfeats import pearson_correlation_batch
+            from squidpy_tpu.ops import cellfeats as cf
 
             for a in range(len(channels)):
                 for b in range(a + 1, len(channels)):
-                    out[f"correlation_pearson__ch{a}_ch{b}"] = pearson_correlation_batch(
-                        masks, get_crops(a), get_crops(b)
-                    )
+                    ca, cb = get_crops(a), get_crops(b)
+                    pair = f"ch{a}_ch{b}"
+                    if "pearson" in parsed.correlation:
+                        out[f"correlation_pearson__{pair}"] = cf.pearson_correlation_batch(masks, ca, cb)
+                    if "costes" in parsed.correlation:
+                        for k, v in cf.costes_coloc_batch(masks, ca, cb).items():
+                            out[f"correlation_{k}__{pair}"] = v
+                    if "manders_fold" in parsed.correlation:
+                        for k, v in cf.manders_batch(masks, ca, cb).items():
+                            out[f"correlation_{k}__{pair}"] = v
+                    if "rwc" in parsed.correlation:
+                        for k, v in cf.rwc_batch(masks, ca, cb).items():
+                            out[f"correlation_{k}__{pair}"] = v
     return out
 
 

@@ -221,3 +221,90 @@ class TestPipelineIntegration:
         np.testing.assert_allclose(
             np.asarray(a.X, float)[sa], np.asarray(b.X, float)[sb], rtol=1e-4, atol=1e-5
         )
+
+
+class TestColocalization:
+    """Costes / Manders / RWC channel colocalization kernels."""
+
+    def _mask(self, n=1, s=24):
+        return np.ones((n, s, s), bool)
+
+    def test_costes_identical_channels_high_overlap(self):
+        rng = np.random.default_rng(0)
+        from squidpy_tpu.ops.cellfeats import costes_coloc_batch
+
+        a = rng.random((1, 24, 24)).astype(np.float32)
+        res = costes_coloc_batch(self._mask(), a, a)
+        # identical channels colocalize almost completely
+        assert res["costes_c1"][0] > 0.8 and res["costes_c2"][0] > 0.8
+        assert 0.0 <= res["costes_threshold"][0] <= 1.0
+
+    def test_costes_independent_channels_low_overlap(self):
+        rng = np.random.default_rng(1)
+        from squidpy_tpu.ops.cellfeats import costes_coloc_batch
+
+        a = rng.random((1, 32, 32)).astype(np.float32)
+        b = rng.random((1, 32, 32)).astype(np.float32)
+        res = costes_coloc_batch(self._mask(s=32), a, b)
+        ident = costes_coloc_batch(self._mask(s=32), a, a)
+        assert res["costes_c1"][0] < ident["costes_c1"][0]
+
+    def test_manders_disjoint_signals_zero(self):
+        from squidpy_tpu.ops.cellfeats import manders_batch
+
+        a = np.zeros((1, 16, 16), np.float32)
+        b = np.zeros((1, 16, 16), np.float32)
+        a[0, :8] = 1.0   # top half
+        b[0, 8:] = 1.0   # bottom half
+        res = manders_batch(self._mask(s=16), a, b)
+        np.testing.assert_allclose(res["manders_m1"][0], 0.0, atol=1e-6)
+        np.testing.assert_allclose(res["manders_m2"][0], 0.0, atol=1e-6)
+
+    def test_manders_full_overlap_one(self):
+        from squidpy_tpu.ops.cellfeats import manders_batch
+
+        a = np.full((1, 16, 16), 2.0, np.float32)
+        res = manders_batch(self._mask(s=16), a, a)
+        np.testing.assert_allclose(res["manders_m1"][0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(res["manders_m2"][0], 1.0, atol=1e-6)
+
+    def test_rwc_identical_is_one_and_reversed_low(self):
+        rng = np.random.default_rng(2)
+        from squidpy_tpu.ops.cellfeats import rwc_batch
+
+        a = rng.random((1, 16, 16)).astype(np.float32)
+        same = rwc_batch(self._mask(s=16), a, a)
+        np.testing.assert_allclose(same["rwc1"][0], 1.0, atol=1e-6)
+        rev = rwc_batch(self._mask(s=16), a, a.max() - a)
+        assert rev["rwc1"][0] < 0.7
+
+    def test_pipeline_emits_all_coloc_columns(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        rng = np.random.default_rng(0)
+        labels = np.zeros((64, 64), np.int32)
+        labels[8:28, 8:28] = 1
+        labels[36:60, 30:60] = 2
+        img = rng.integers(10, 200, (64, 64, 2)).astype(np.uint8)
+        adata = exp_im.calculate_image_features(
+            img, labels, tile_size=64, features=["cp_measure:correlation"]
+        )
+        cols = set(adata.var_names)
+        for want in ("correlation_pearson", "correlation_costes_c1", "correlation_costes_c2",
+                     "correlation_manders_m1", "correlation_manders_m2",
+                     "correlation_rwc1", "correlation_rwc2"):
+            assert f"{want}__ch0_ch1" in cols, want
+
+    def test_variant_subselection(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        rng = np.random.default_rng(0)
+        labels = np.zeros((48, 48), np.int32)
+        labels[8:40, 8:40] = 1
+        img = rng.integers(10, 200, (48, 48, 2)).astype(np.uint8)
+        adata = exp_im.calculate_image_features(
+            img, labels, tile_size=48, features=["cp_measure:correlation_rwc"]
+        )
+        cols = list(adata.var_names)
+        assert any(c.startswith("correlation_rwc") for c in cols)
+        assert not any(c.startswith("correlation_pearson") for c in cols)

@@ -122,8 +122,8 @@ class TestExperimentalFeatures:
 
         from squidpy_tpu.experimental.im._calculate_image_features import parse_features
 
-        with _pytest.raises(ValueError, match="not implemented"):
-            parse_features(["cp_measure:correlation_costes"])
+        with _pytest.raises(ValueError, match="Unknown correlation variant"):
+            parse_features(["cp_measure:correlation_bogus"])
         with _pytest.raises(ValueError, match="Unknown feature"):
             parse_features(["bogus:family"])
         with _pytest.raises(ValueError, match="Unknown skimage morphology"):
