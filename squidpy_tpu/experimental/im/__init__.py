@@ -10,6 +10,7 @@ from squidpy_tpu.experimental.im._detect_tissue import (
 from squidpy_tpu.experimental.im._make_tiles import make_tiles, make_tiles_from_spots
 from squidpy_tpu.experimental.im._qc import QCMetric, qc_image
 from squidpy_tpu.experimental.im._stain import (
+    apply_stain_normalization,
     MacenkoParams,
     ReinhardParams,
     StainReference,
@@ -37,6 +38,7 @@ from squidpy_tpu.experimental.im._tiling import (
 )
 
 __all__ = [
+    "apply_stain_normalization",
     "BackgroundDetectionParams",
     "FelzenszwalbParams",
     "MacenkoParams",

@@ -28,6 +28,7 @@ __all__ = [
     "default_white_point",
     "validate_rgb_range",
     "white_point_from_background",
+    "apply_stain_normalization",
     "fit_stain_reference",
     "normalize_stains",
     "decompose_stains",
@@ -534,3 +535,33 @@ def reinhard_normalize(
     ) + jnp.asarray(target_means)
     rgb_out = _lab_to_rgb(out)
     return np.asarray(rgb_out).astype(out_dtype)
+
+
+def apply_stain_normalization(
+    image: Any,
+    reference: "StainReference | Any" = None,
+    method: Literal["macenko", "vahadane", "reinhard"] = "macenko",
+    **kwargs: Any,
+) -> np.ndarray:
+    """One-call stain normalization: fit a reference if needed, then apply.
+
+    ``reference`` may be a fitted :class:`StainReference`, a reference IMAGE
+    to fit on, or ``None`` (self-normalization: fit and apply on ``image`` —
+    useful to standardize within one slide). ``method='reinhard'`` routes to
+    :func:`reinhard_normalize` with the reference image's LAB statistics.
+
+    The reference names this export without defining it
+    (/root/reference/src/squidpy/experimental/im/__init__.py:34 is a dangling
+    re-export); this build provides the working convenience wrapper.
+    """
+    if method == "reinhard":
+        if isinstance(reference, StainReference):
+            raise TypeError("`method='reinhard'` takes a reference IMAGE, not a StainReference.")
+        return reinhard_normalize(image, reference_image=reference if reference is not None else image, **kwargs)
+    if reference is None:
+        ref = fit_stain_reference(image, method=method, **kwargs)
+    elif isinstance(reference, StainReference):
+        ref = reference
+    else:
+        ref = fit_stain_reference(reference, method=method, **kwargs)
+    return normalize_stains(image, ref, method=method, **kwargs)

@@ -817,3 +817,69 @@ class TestLazyImage:
         p, arr = self._png(tmp_path)
         full = np.asarray(LazyImage(p))
         np.testing.assert_array_equal(full[..., :3], arr)
+
+
+class TestCoordsAlgebra:
+    """Crop-geometry algebra (im/_coords.py; reference semantics im/_coords.py:20-182,
+    with the reference's center_y bug consciously fixed)."""
+
+    def test_tuple_serializer_roundtrip_and_scaling(self):
+        from squidpy_tpu.im._coords import CropCoords
+
+        c = CropCoords(1.0, 2.0, 11.0, 22.0)
+        assert CropCoords.from_tuple(c.to_tuple()) == c
+        assert (2 * c) == CropCoords(2.0, 4.0, 22.0, 44.0)
+        assert (c * 0.5) == CropCoords(0.5, 1.0, 5.5, 11.0)
+
+    def test_center_properties(self):
+        from squidpy_tpu.im._coords import CropCoords
+
+        c = CropCoords(x0=10, y0=100, x1=20, y1=140)
+        assert c.center_x == 15.0
+        assert c.center_y == 120.0  # the reference returns y0 + dx/2 here (bug)
+        assert c.dx == 10 and c.dy == 40
+
+    def test_transpose_swaps_axes(self):
+        from squidpy_tpu.im._coords import CropCoords, CropPadding
+
+        c = CropCoords(1, 2, 11, 22)
+        assert c.T == CropCoords(2, 1, 22, 11)
+        p = CropPadding(1, 2, 3, 4)
+        assert p.T == CropPadding(3, 4, 1, 2)
+
+    def test_slice_matches_numpy_convention(self):
+        from squidpy_tpu.im._coords import CropCoords
+
+        arr = np.arange(100).reshape(10, 10)
+        c = CropCoords(x0=2, y0=3, x1=5, y1=7)
+        ys, xs = c.slice
+        sub = arr[ys, xs]
+        assert sub.shape == (4, 3)
+        assert sub[0, 0] == arr[3, 2]
+
+    def test_padding_roundtrip(self):
+        from squidpy_tpu.im._coords import CropCoords, CropPadding
+
+        inner = CropCoords(5, 6, 15, 26)
+        pad = CropPadding(x_pre=2, x_post=3, y_pre=1, y_post=4)
+        grown = inner + pad
+        assert grown == CropCoords(3, 5, 18, 30)
+        # subtracting the inner box recovers the padding
+        assert (grown - inner) == pad
+
+    def test_compose_coords_nested_crops(self):
+        from squidpy_tpu.im._coords import CropCoords, compose_coords
+
+        outer = CropCoords(10, 20, 110, 220)
+        inner = CropCoords(5, 7, 25, 37)  # relative to the outer crop
+        composed = compose_coords(outer, inner)
+        assert composed == CropCoords(15, 27, 35, 57)
+
+    def test_circular_mask_area(self):
+        from squidpy_tpu.im._coords import _circular_mask
+
+        arr = np.zeros((41, 41))
+        mask = _circular_mask(arr, y=20, x=20, radius=10)
+        area = mask.sum()
+        assert abs(area - np.pi * 100) / (np.pi * 100) < 0.05
+        assert mask[20, 20] and not mask[0, 0]

@@ -391,3 +391,90 @@ class TestLigrecReferenceBehaviors:
         want = np.full((3, 4), np.nan)
         want[1, 1] = 0.0
         np.testing.assert_array_equal(pv, want)
+
+
+class TestExpressionShipping:
+    """Round-3 transfer compression: the expression matrix crosses the
+    host-device boundary in its narrowest lossless container."""
+
+    def _adata(self, X):
+        import pandas as pd
+
+        import squidpy_tpu as sq_
+
+        n = X.shape[0]
+        return sq_.AnnData(
+            X=X,
+            obs=pd.DataFrame(
+                {"cl": pd.Categorical(np.random.default_rng(1).choice(list("abc"), n))},
+                index=[f"c{i}" for i in range(n)],
+            ),
+            var=pd.DataFrame(index=[f"G{i}" for i in range(X.shape[1])]),
+        )
+
+    def _interactions(self, genes=20, k=8):
+        import pandas as pd
+
+        rng = np.random.default_rng(2)
+        names = [f"G{i}" for i in range(genes)]
+        return pd.DataFrame({"source": rng.choice(names, k), "target": rng.choice(names, k)})
+
+    def test_integral_counts_bitwise_reproducible(self):
+        import squidpy_tpu as sq_
+
+        rng = np.random.default_rng(0)
+        X = rng.poisson(1.0, (300, 20)).astype(float)  # u8-compressible
+        a = sq_.gr.ligrec(self._adata(X), cluster_key="cl", interactions=self._interactions(),
+                          n_perms=50, seed=3, copy=True, use_raw=False)
+        b = sq_.gr.ligrec(self._adata(X), cluster_key="cl", interactions=self._interactions(),
+                          n_perms=50, seed=3, copy=True, use_raw=False)
+        np.testing.assert_array_equal(
+            a["pvalues"].to_numpy(float), b["pvalues"].to_numpy(float)
+        )
+
+    def test_fractional_data_takes_float_path(self):
+        import squidpy_tpu as sq_
+
+        rng = np.random.default_rng(0)
+        X = rng.gamma(2.0, 1.0, (300, 20))  # non-integral: no compression
+        res = sq_.gr.ligrec(self._adata(X), cluster_key="cl", interactions=self._interactions(),
+                            n_perms=50, seed=3, copy=True, use_raw=False)
+        pv = res["pvalues"].to_numpy(float)
+        assert np.isfinite(pv).any()
+        assert ((pv >= 0) | np.isnan(pv)).all() and ((pv <= 1) | np.isnan(pv)).all()
+
+    def test_negative_values_no_compression_crash(self):
+        import squidpy_tpu as sq_
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(0.0, 1.0, (200, 20))  # negatives: must skip u8 cast
+        res = sq_.gr.ligrec(self._adata(X), cluster_key="cl", interactions=self._interactions(),
+                            n_perms=20, seed=0, copy=True, use_raw=False)
+        assert res["means"].shape[0] > 0
+
+    def test_u16_range_counts(self):
+        import squidpy_tpu as sq_
+
+        rng = np.random.default_rng(0)
+        X = rng.integers(0, 5000, (200, 20)).astype(float)  # u16-compressible
+        res = sq_.gr.ligrec(self._adata(X), cluster_key="cl", interactions=self._interactions(),
+                            n_perms=20, seed=0, copy=True, use_raw=False)
+        assert np.isfinite(res["means"].to_numpy(float)).any()
+
+    def test_dtype_policy_small_x64_is_exact_f64(self):
+        from squidpy_tpu.gr._ligrec import PermutationTest
+
+        rng = np.random.default_rng(0)
+        X = rng.poisson(1.0, (100, 10)).astype(np.float64)
+        pt = PermutationTest(self._adata(X), use_raw=False)
+        assert pt._data.to_numpy().dtype == np.float64  # small + x64 -> exact path
+
+    def test_dtype_policy_large_is_f32(self):
+        from squidpy_tpu.gr._ligrec import PermutationTestABC
+
+        rng = np.random.default_rng(0)
+        # > 4e6 elements -> f32 at construction
+        X = rng.poisson(1.0, (5000, 1000)).astype(np.float64)
+        pt = PermutationTestABC.__new__(PermutationTestABC)
+        PermutationTestABC.__init__(pt, self._adata(X), use_raw=False)
+        assert pt._data.to_numpy().dtype == np.float32

@@ -239,3 +239,29 @@ class TestReinhard:
     def test_requires_reference_or_stats(self, he_rgb):
         with pytest.raises((ValueError, TypeError)):
             exp_im.reinhard_normalize(he_rgb)
+
+
+class TestApplyStainNormalization:
+    """The one-call wrapper (the reference EXPORTS this name but never
+    defines it — /root/reference/src/squidpy/experimental/im/__init__.py:34)."""
+
+    def test_self_normalization(self, he_rgb):
+        out = exp_im.apply_stain_normalization(he_rgb, max_pixels=None)
+        assert out.dtype == np.uint8 and out.shape == he_rgb.shape
+
+    def test_with_fitted_reference(self, he_rgb):
+        ref = exp_im.fit_stain_reference(he_rgb, max_pixels=None)
+        out = exp_im.apply_stain_normalization(he_rgb, reference=ref, max_pixels=None)
+        assert out.shape == he_rgb.shape
+
+    def test_with_reference_image(self, he_rgb):
+        other = np.clip(he_rgb.astype(np.int32) - 30, 1, 255).astype(np.uint8)
+        out = exp_im.apply_stain_normalization(other, reference=he_rgb, max_pixels=None)
+        assert out.shape == he_rgb.shape
+
+    def test_reinhard_route(self, he_rgb):
+        out = exp_im.apply_stain_normalization(he_rgb, reference=he_rgb, method="reinhard")
+        assert out.shape == he_rgb.shape
+        ref = exp_im.fit_stain_reference(he_rgb, max_pixels=None)
+        with pytest.raises(TypeError, match="reference IMAGE"):
+            exp_im.apply_stain_normalization(he_rgb, reference=ref, method="reinhard")
