@@ -4,9 +4,11 @@ Functional counterpart of
 /root/reference/src/squidpy/experimental/im/_calculate_image_features.py:874-1156:
 a centroid pass assigns every segmented cell to exactly one tile, tiles are
 read with halo margins, non-owned cells are zeroed, and per-cell features
-(morphology regionprops + per-channel intensity stats, optionally per-cell
-texture) are computed — here through the device segment-reduction kernels
-(:func:`squidpy_tpu.ops.features.regionprops`) instead of cp_measure/skimage,
+(morphology regionprops, per-channel intensity stats, GLCM texture,
+histograms, and the cp_measure-equivalent granularity / Zernike / radial /
+colocalization families) are computed — through the device segment-reduction
+kernels (:func:`squidpy_tpu.ops.features.regionprops`) and the batched crop
+kernels (:mod:`squidpy_tpu.ops.cellfeats`) instead of cp_measure/skimage,
 with tiles streamed through :func:`squidpy_tpu.experimental.im.run_tiled`.
 Results assemble into an AnnData (one obs per cell).
 """
