@@ -221,7 +221,10 @@ def spatial_autocorr(
     def _score_blocks() -> dict[str, np.ndarray]:
         score_parts: list[np.ndarray] = []
         sims_parts: list[np.ndarray] = []
-        row_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=1)).ravel())
+        # cast to the backend float BEFORE jnp.asarray: an explicit f64
+        # numpy operand on a non-x64 backend emits a truncation warning
+        host_float = np.float64 if jax.config.jax_enable_x64 else np.float32
+        row_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=1), dtype=host_float).ravel())
         for start_col in range(0, n_feats, gene_block_size):
             block = _to_dense_block(vals, slice(start_col, start_col + gene_block_size))
             n_block = block.shape[1]
