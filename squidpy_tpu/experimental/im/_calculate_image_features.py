@@ -447,7 +447,7 @@ def _featurize_tile(
 
 def calculate_image_features(
     image: Any,
-    labels: Any,
+    labels: Any = None,
     *,
     features: list[str] | str | None = None,
     channels: Sequence[int] | None = None,
@@ -463,6 +463,11 @@ def calculate_image_features(
     key_added: str = "cell_features",
     sdata: Any = None,
     table_key: str | None = None,
+    image_key: str | None = None,
+    labels_key: str | None = None,
+    shapes_key: str | None = None,
+    scale: str = "full",
+    inplace: bool = True,
 ) -> AnnData:
     """Per-cell features over a (possibly on-disk) image + label pair.
 
@@ -484,6 +489,24 @@ def calculate_image_features(
     ``obsm['spatial']``), and attaches it to ``sdata.tables[key_added]`` when
     a SpatialData-like object is passed.
     """
+    # reference-surface compatibility: first arg may be a SpatialData-like
+    # (image_key/labels_key/shapes_key select elements; a shapes table of
+    # circles is rasterized into labels) — reference signature
+    # /root/reference/src/squidpy/experimental/im/_calculate_image_features.py:874-887
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
+
+    if is_sdata(image):
+        sdata = image
+        if labels is None:
+            labels = labels_key if labels_key is not None else shapes_key
+        image = resolve_element(sdata, image_key, tree="images", scale=scale, what="image")
+    if sdata is not None and isinstance(labels, str):
+        if shapes_key is not None and labels == shapes_key:
+            shapes = sdata.shapes[shapes_key]
+            labels = _rasterize_circles(shapes, np.asarray(image).shape)
+        else:
+            labels = resolve_element(sdata, labels, tree="labels", scale=scale, what="labels")
+
     parsed = parse_features(features)
     if morphology_props is not None:
         unknown = set(morphology_props) - _MORPHOLOGY_PROPS
@@ -575,6 +598,36 @@ def calculate_image_features(
     adata.uns["cell_features"] = {"tile_size": tile_size, "n_tiles": len(specs)}
     logg.info("Finish", time=start)
 
-    if sdata is not None and hasattr(sdata, "tables"):
+    if sdata is not None and inplace and hasattr(sdata, "tables"):
         sdata.tables[key_added] = adata
     return adata
+
+
+def _rasterize_circles(shapes: Any, image_shape: tuple[int, ...]) -> np.ndarray:
+    """Rasterize a circle table (columns ``x``/``y``/``radius``, e.g. Visium
+    spots) into an integer label image — the stand-in for the reference's
+    geopandas rasterization (``shapes_key`` path,
+    /root/reference/src/squidpy/experimental/im/_calculate_image_features.py:635-716)."""
+    import pandas as pd
+
+    df = pd.DataFrame(shapes)
+    cols = {c.lower(): c for c in df.columns}
+    missing = [c for c in ("x", "y", "radius") if c not in cols]
+    if missing:
+        raise ValueError(
+            f"Shapes table must provide columns x/y/radius to rasterize, missing {missing}. "
+            "(Polygon geometries require the geopandas-backed reference path.)"
+        )
+    h, w = image_shape[:2] if len(image_shape) >= 2 else image_shape
+    out = np.zeros((h, w), np.int32)
+    for lid, row in enumerate(df.itertuples(index=False), start=1):
+        x = float(getattr(row, cols["x"]))
+        y = float(getattr(row, cols["y"]))
+        r = float(getattr(row, cols["radius"]))
+        y0, y1 = max(int(y - r), 0), min(int(y + r) + 1, h)
+        x0, x1 = max(int(x - r), 0), min(int(x + r) + 1, w)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        out[y0:y1, x0:x1][(yy - y) ** 2 + (xx - x) ** 2 <= r * r] = lid
+    return out

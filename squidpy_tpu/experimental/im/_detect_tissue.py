@@ -232,6 +232,7 @@ def _segment_weka_mask(
 
 def detect_tissue(
     image: Any,
+    image_key: str | None = None,
     method: Literal["otsu", "kmeans", "felzenszwalb", "weka"] = "otsu",
     downscale_to: int = 2048,
     sigma: float = 2.0,
@@ -244,6 +245,17 @@ def detect_tissue(
     label_components: bool = False,
     method_params: Any = None,
     background_params: Any = None,
+    *,
+    scale: str = "auto",
+    channel_format: Literal["infer", "rgb", "rgba", "multichannel"] = "infer",
+    background_detection_params: Any = None,
+    corners_are_background: bool = True,
+    border_margin_px: int | None = None,
+    min_specimen_area_frac: float | None = None,
+    n_samples: int | None = None,
+    auto_max_pixels: int | None = None,
+    new_labels_key: str | None = None,
+    inplace: bool = True,
     **kwargs: Any,
 ) -> np.ndarray:
     """Detect tissue; returns a full-resolution boolean mask (or an
@@ -274,7 +286,37 @@ def detect_tissue(
     none); ``background_params`` takes a :class:`BackgroundDetectionParams`
     controlling which corners seed the background prior.
     """
+    # reference-surface compatibility (sdata-native call sites and kwarg
+    # names, /root/reference/src/squidpy/experimental/im/_detect_tissue.py:208-226)
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element, store_labels
+
+    sdata = image if is_sdata(image) else None
+    image = resolve_element(image, image_key, tree="images", scale=scale, what="image")
+    if background_detection_params is not None:
+        background_params = background_detection_params
+    if not corners_are_background and background_params is None:
+        background_params = BackgroundDetectionParams(
+            ymin_xmin_is_bg=False, ymin_xmax_is_bg=False,
+            ymax_xmin_is_bg=False, ymax_xmax_is_bg=False,
+        )
+    if border_margin_px is not None:
+        border_margin = border_margin_px
+    if min_specimen_area_frac is not None:
+        min_region_fraction = min_specimen_area_frac
+    if auto_max_pixels is not None:
+        # the reference bounds processing by pixel COUNT; downscale_to bounds
+        # the max side — convert (n_samples is the same knob at fit level)
+        downscale_to = max(int(np.sqrt(auto_max_pixels)), 64)
+    elif n_samples is not None:
+        downscale_to = max(int(np.sqrt(n_samples)), 64)
+    if sdata is not None and new_labels_key is not None:
+        label_components = True  # the stored element is a labeled mask
+
     arr = np.asarray(image).squeeze()
+    if channel_format == "rgba" and arr.ndim == 3 and arr.shape[-1] == 4:
+        arr = arr[..., :3]
+    if arr.ndim == 3 and channel_format == "rgb" and arr.shape[-1] != 3:
+        raise ValueError(f"channel_format='rgb' but image has {arr.shape[-1]} channels.")
     gray = arr.mean(axis=-1) if arr.ndim == 3 else arr.astype(float)
     gray = gray.astype(np.float32)
     if gray.max() > 1.0:
@@ -363,8 +405,11 @@ def detect_tissue(
     else:
         full = mask.astype(bool)
     logg.info(f"Detected tissue covering {full.mean():.1%} of the image")
+    result: np.ndarray = full
     if label_components:
         labeled, n = ndi.label(full)
         logg.info(f"Labeled `{n}` tissue specimen(s)")
-        return labeled.astype(np.int32)
-    return full
+        result = labeled.astype(np.int32)
+    if sdata is not None and inplace:
+        store_labels(sdata, new_labels_key or f"{image_key or 'image'}_tissue", result)
+    return result

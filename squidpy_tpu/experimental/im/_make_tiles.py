@@ -46,6 +46,9 @@ def make_tiles(
     min_tissue_fraction: float = 1.0,
     sdata: Any = None,
     image_key: str = "image",
+    image_mask_key: str | None = None,
+    tissue_mask_key: str | None = None,
+    scale: str = "full",
     new_shapes_key: str | None = None,
     preview: bool = False,
     **detect_kwargs: Any,
@@ -58,6 +61,19 @@ def make_tiles(
     Returns a DataFrame with one row per tile: ``pixel_y0/x0/y1/x1``,
     ``tile_row``/``tile_col``, ``tissue_fraction``, ``tile_classification``.
     """
+    # reference-surface compatibility: first arg may be SpatialData-like,
+    # with the image/mask selected by keys (reference signature,
+    # /root/reference/src/squidpy/experimental/im/_make_tiles.py:163-180)
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
+
+    if is_sdata(image):
+        sdata = image
+        image = resolve_element(sdata, image_key, tree="images", scale=scale, what="image")
+    mask_key = tissue_mask_key or image_mask_key
+    if tissue_mask is None and mask_key is not None and sdata is not None:
+        tissue_mask = np.asarray(
+            resolve_element(sdata, mask_key, tree="labels", scale=scale, what="tissue_mask")
+        ).squeeze() > 0
     arr = np.asarray(image).squeeze()
     h, w = (arr.shape[:2]) if arr.ndim >= 2 else arr.shape
     if tissue_mask is None:
@@ -133,14 +149,31 @@ def make_tiles_from_spots(
     min_tissue_fraction: float = 1.0,
     sdata: Any = None,
     spots_key: str = "spots",
+    image_key: str | None = None,
+    tissue_mask_key: str | None = None,
+    scale: str = "full",
     new_shapes_key: str | None = None,
     preview: bool = False,
     **detect_kwargs: Any,
 ) -> pd.DataFrame:
     """One tile per Visium spot, sized from the vertical spot spacing.
 
-    ``spots`` is an ``(n, 2)`` array of (x, y) centers.
+    ``spots`` is an ``(n, 2)`` array of (x, y) centers, or a SpatialData-like
+    whose ``shapes[spots_key]`` holds x/y columns.
     """
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
+
+    if is_sdata(spots):
+        sdata = spots
+        table = pd.DataFrame(sdata.shapes[spots_key])
+        cols = {c.lower(): c for c in table.columns}
+        spots = table[[cols["x"], cols["y"]]].to_numpy(dtype=float)
+        if image is None and image_key is not None:
+            image = resolve_element(sdata, image_key, tree="images", scale=scale, what="image")
+        if tissue_mask is None and tissue_mask_key is not None:
+            tissue_mask = np.asarray(
+                resolve_element(sdata, tissue_mask_key, tree="labels", scale=scale, what="tissue_mask")
+            ).squeeze() > 0
     spots = np.asarray(spots, dtype=float)
     if tile_size is None:
         ys = np.unique(np.round(spots[:, 1]))

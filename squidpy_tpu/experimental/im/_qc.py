@@ -174,12 +174,20 @@ def _batched_metrics(
 
 def qc_image(
     image: Any,
-    tile_size: int = 256,
+    image_key: str | None = None,
+    tile_size: int | str = 256,
     metrics: Sequence[str | QCMetric] | None = None,
     outlier_percentile: float = 2.0,
     key_added: str | None = None,
     detect_tissue: bool = False,
     detect_outliers: bool = True,
+    *,
+    scale: str = "full",
+    is_hne: bool = False,
+    outlier_threshold: float | None = None,
+    progress: bool = True,
+    tissue_mask_key: str | None = None,
+    preview: bool = False,
     **kwargs: Any,
 ) -> AnnData:
     """Tile the image and compute per-tile QC metric scores.
@@ -194,10 +202,27 @@ def qc_image(
     the tile; reference ``_classify_tiles_by_tissue``, _qc_image.py:353-392)
     and restricts the unfocus ranking to tissue tiles (background gets NaN).
     """
+    # reference-surface compatibility (sdata-native call sites,
+    # /root/reference/src/squidpy/experimental/im/_qc_image.py:45-59)
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element, store_table
+
+    sdata = image if is_sdata(image) else None
+    image = resolve_element(image, image_key, tree="images", scale=scale, what="image")
+    if outlier_threshold is not None:
+        # reference expresses the flag cut as a fraction; internal knob is %
+        outlier_percentile = float(outlier_threshold) * 100.0
+
     arr = np.asarray(image).squeeze()
     if arr.ndim == 3 and arr.shape[-1] not in (1, 3):
         raise ValueError(f"Expected grayscale or RGB image, found shape `{arr.shape}`.")
     rgb = arr if (arr.ndim == 3 and arr.shape[-1] == 3) else None
+    if tile_size == "auto":
+        side = max(arr.shape[0], arr.shape[1])
+        tile_size = int(np.clip(((side // 8) // 32) * 32, 64, 512))
+    tile_size = int(tile_size)
+    if metrics is None and is_hne and rgb is not None:
+        metrics = [*(m.value for m in _DEFAULT_METRICS),
+                   QCMetric.HEMATOXYLIN_MEAN, QCMetric.EOSIN_MEAN, QCMetric.HE_RATIO]
     gray = arr if arr.ndim == 2 else arr.mean(axis=-1)
     gray = gray.astype(np.float32)
     if gray.max() > 1.0:
@@ -252,7 +277,19 @@ def qc_image(
     adata.obsm["spatial"] = np.column_stack([(obs["x0"] + obs["x1"]) / 2, (obs["y0"] + obs["y1"]) / 2])
     adata.uns["qc_image"] = {"tile_size": tile_size, "grid_shape": (ny, nx), "image_shape": (h, w)}
 
-    if detect_tissue:
+    if tissue_mask_key is not None and sdata is not None:
+        # explicit tissue mask from sdata.labels overrides the heuristic
+        tmask = np.asarray(
+            resolve_element(sdata, tissue_mask_key, tree="labels", scale=scale, what="tissue_mask")
+        ).squeeze() > 0
+        fr = np.zeros(n_true)
+        for i, (r, c) in enumerate(zip(*np.divmod(np.arange(n_true), nx))):
+            sub = tmask[r * tile_size : (r + 1) * tile_size, c * tile_size : (c + 1) * tile_size]
+            fr[i] = sub.mean() if sub.size else 0.0
+        adata.obs["is_tissue"] = fr > 0.5
+        adata.obs["is_background"] = ~adata.obs["is_tissue"].to_numpy()
+        detect_tissue = True  # downstream unfocus restriction applies
+    elif detect_tissue:
         tf = np.asarray(scores[QCMetric.TISSUE_FRACTION.value], dtype=np.float64)[:n_true]
         adata.obs["is_tissue"] = tf > 0.5
         adata.obs["is_background"] = ~adata.obs["is_tissue"].to_numpy()
@@ -268,6 +305,12 @@ def qc_image(
             [m.value for m in metrics],
             within=adata.obs["is_tissue"].to_numpy() if detect_tissue else None,
         )
+    if sdata is not None:
+        store_table(sdata, key_added or f"{image_key or 'image'}_qc", adata)
+    if preview:
+        from squidpy_tpu.experimental import pl as _exp_pl
+
+        _exp_pl.qc_image(adata, metrics=[metrics[0].value])
     logg.info("Finish", time=start)
     return adata
 

@@ -60,8 +60,11 @@ def _join_stitched_labels(labels: np.ndarray, group_ids: set[int], close_radius:
 
 def make_stitched_labels(
     labels: Any,
-    qc_table: Any,
+    qc_table: Any = None,
     *,
+    qc_table_key: str | None = None,
+    scale: str = "full",
+    inplace: bool = True,
     merge_strategy: str | Callable[[pd.Series], Any] = "sum",
     write_table: bool = True,
     join_labels: bool = False,
@@ -84,6 +87,13 @@ def make_stitched_labels(
     connected component (reference ``_join_stitched_labels``,
     /root/reference/src/squidpy/experimental/im/_stitched_labels.py:99-137).
     """
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
+
+    if is_sdata(labels):
+        sdata = labels
+        labels = resolve_element(sdata, labels_key, tree="labels", scale=scale, what="labels")
+    if qc_table is None and sdata is not None:
+        qc_table = sdata.tables[qc_table_key or f"{labels_key}_qc"]
     obs = qc_table.obs
     if "stitch_group_id" not in obs:
         raise KeyError("`stitch_group_id` not found; run `assign_stitch_groups` first.")
@@ -114,7 +124,7 @@ def make_stitched_labels(
             var=pd.DataFrame(index=merged.columns.astype(str)),
         )
 
-    if sdata is not None:
+    if sdata is not None and inplace:
         if hasattr(sdata, "labels"):
             sdata.labels[labels_key_added or f"{labels_key}_stitched"] = stitched
         if table is not None and hasattr(sdata, "tables"):

@@ -140,6 +140,9 @@ def calculate_tiling_qc(
     nmads_smoothed: float = 3.0,
     outlier_use_cut: bool = True,
     outlier_use_smoothed: bool = True,
+    scale: str = "full",
+    downsample: int = 1,
+    inplace: bool = True,
 ) -> AnnData:
     """Score every cell for tile-boundary artifacts.
 
@@ -155,6 +158,14 @@ def calculate_tiling_qc(
     ``tiling_qc_params`` takes a :class:`TilingQCParams` instance (or a
     mapping of its field names) and overrides the individual knobs.
     """
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
+
+    if is_sdata(labels):
+        sdata = labels
+        labels = resolve_element(sdata, labels_key, tree="labels", scale=scale, what="labels")
+    if downsample and int(downsample) > 1:
+        d = int(downsample)
+        labels = np.asarray(labels)[..., ::d, ::d]
     qp = resolve_params(tiling_qc_params, TilingQCParams, "tiling_qc_params")
     if tiling_qc_params is not None:
         nmads_cut, min_run_px = qp.nmads_cut, qp.min_run_px
@@ -215,5 +226,6 @@ def calculate_tiling_qc(
     logg.info(f"Flagged `{int(df['tile_cut'].sum())}` of `{len(df)}` cells as tile-cut", time=start)
 
     if sdata is not None and hasattr(sdata, "tables"):
-        sdata.tables[table_key_added or f"{labels_key}_qc"] = adata
+        if inplace:
+            sdata.tables[table_key_added or f"{labels_key}_qc"] = adata
     return adata

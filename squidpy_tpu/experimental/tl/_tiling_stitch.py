@@ -378,8 +378,12 @@ def _assemble(
 
 def assign_stitch_groups(
     labels: Any,
-    qc_table: Any,
+    qc_table: Any = None,
     *,
+    sdata: Any = None,
+    labels_key: str = "labels",
+    qc_table_key: str | None = None,
+    scale: str = "full",
     tile_size: int | None = None,
     min_confidence: float = 0.7,
     max_gap: float = 3.0,
@@ -412,6 +416,13 @@ def assign_stitch_groups(
         params = StitchParams(
             min_confidence=min_confidence, max_gap=max_gap, max_group_size=max_group_size
         )
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
+
+    if is_sdata(labels):
+        sdata = labels
+        labels = resolve_element(sdata, labels_key, tree="labels", scale=scale, what="labels")
+    if qc_table is None and sdata is not None:
+        qc_table = sdata.tables[qc_table_key or f"{labels_key}_qc"]
     labels_arr = np.asarray(labels).squeeze()
     obs = qc_table.obs
     flagged = obs.get("is_outlier", obs.get("tile_cut"))
