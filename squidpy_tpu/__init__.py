@@ -10,7 +10,7 @@ same AnnData-facing API and key conventions as the reference.
 from __future__ import annotations
 
 from squidpy_tpu import datasets, experimental, gr, im, pl, read, tl, utils
-from squidpy_tpu._core import AnnData, SpatialGraph, concat, read_h5ad
+from squidpy_tpu._core import AnnData, SpatialData, SpatialGraph, concat, read_h5ad
 from squidpy_tpu.utils._warmup import warmup
 
 __all__ = [
@@ -24,6 +24,7 @@ __all__ = [
     "utils",
     "AnnData",
     "SpatialGraph",
+    "SpatialData",
     "concat",
     "read_h5ad",
     "warmup",

@@ -206,3 +206,57 @@ class TestTilingQcStitchSdata:
         qc = exp_tl.calculate_tiling_qc(sdata, labels_key="seg", tile_size=60, downsample=2, inplace=False)
         assert qc.n_obs == 2
         assert "seg_qc" not in sdata.tables
+
+
+class TestSpatialDataContainer:
+    """The in-repo minimal SpatialData (sq.SpatialData): element trees +
+    zarr persistence; drop-in for the duck-typed experimental surface."""
+
+    def _build(self):
+        import squidpy_tpu as sq
+
+        rng = np.random.default_rng(0)
+        sd = sq.SpatialData(
+            images={"he": rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)},
+            labels={"seg": np.repeat(np.arange(4, dtype=np.int32), 1024).reshape(64, 64)},
+            shapes={"spots": pd.DataFrame({"x": [10.0, 50.0], "y": [10.0, 50.0], "radius": [5.0, 5.0]})},
+        )
+        sd.tables["t"] = sq.AnnData(
+            X=np.eye(2), obs=pd.DataFrame(index=["a", "b"]), var=pd.DataFrame(index=["g1", "g2"])
+        )
+        return sd
+
+    def test_write_read_roundtrip(self, tmp_path):
+        import squidpy_tpu as sq
+
+        sd = self._build()
+        sd.write(tmp_path / "sd.zarr")
+        back = sq.SpatialData.read(tmp_path / "sd.zarr")
+        np.testing.assert_array_equal(back.images["he"], sd.images["he"])
+        np.testing.assert_array_equal(back.labels["seg"], sd.labels["seg"])
+        pd.testing.assert_frame_equal(
+            back.shapes["spots"].reset_index(drop=True), sd.shapes["spots"]
+        )
+        assert back.tables["t"].shape == (2, 2)
+
+    def test_multiscale_roundtrip(self, tmp_path):
+        import squidpy_tpu as sq
+
+        sd = sq.SpatialData(images={"pyr": {"scale0": np.ones((16, 16), np.float32),
+                                            "scale1": np.ones((8, 8), np.float32)}})
+        sd.write(tmp_path / "p.zarr")
+        back = sq.SpatialData.read(tmp_path / "p.zarr")
+        assert back.images["pyr"]["scale1"].shape == (8, 8)
+
+    def test_works_with_experimental_api(self):
+        sd = self._build()
+        adata = exp_im.calculate_image_features(
+            sd, image_key="he", labels_key="seg", tile_size=64,
+            features=["skimage:morphology:area"],
+        )
+        assert adata.n_obs == 3  # labels 1..3 (0 = background)
+        assert "cell_features" in sd.tables
+
+    def test_repr(self):
+        sd = self._build()
+        assert "images" in repr(sd) and "he" in repr(sd)
