@@ -17,7 +17,7 @@ from typing import Any, Literal
 import jax.numpy as jnp
 import numpy as np
 
-from squidpy_tpu.utils import NDArrayA, logg
+from squidpy_tpu.utils import NDArrayA
 
 __all__ = [
     "MacenkoParams",

@@ -27,7 +27,6 @@ from squidpy_tpu.gr._utils import (
     _save_data,
     extract_adata_if_sdata,
 )
-from squidpy_tpu.ops.sepal import sepal_diffusion
 from squidpy_tpu.utils import logg
 
 __all__ = ["sepal"]

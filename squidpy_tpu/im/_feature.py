@@ -18,7 +18,6 @@ import numpy as np
 import pandas as pd
 
 from squidpy_tpu._constants._constants import ImageFeature
-from squidpy_tpu._constants._pkg_constants import Key
 from squidpy_tpu.gr._utils import _save_data, extract_adata_if_sdata
 from squidpy_tpu.im._container import ImageContainer
 from squidpy_tpu.utils import logg

@@ -401,3 +401,74 @@ class TestAnalyticNhood:
     def test_invalid_mode(self, graph_adata):
         with pytest.raises(ValueError, match="one of"):
             sq.gr.nhood_enrichment(graph_adata, cluster_key="leiden", mode="bogus")
+
+
+class TestDeviceBFS:
+    """Batched multi-source hop distances (ops/bfs.py) behind group
+    closeness at scale."""
+
+    def test_matches_scipy_dijkstra(self):
+        from scipy import sparse as sp_
+        from scipy.sparse.csgraph import dijkstra
+
+        from squidpy_tpu.ops.bfs import _INF, hop_distances
+
+        rng = np.random.default_rng(0)
+        n, k = 300, 4
+        nbrs = rng.integers(0, n, (n, k))
+        rows = np.repeat(np.arange(n), k)
+        adj = sp_.csr_matrix((np.ones(n * k), (rows, nbrs.ravel())), shape=(n, n))
+        und = ((adj + adj.T) > 0).astype(np.float64).tocsr()
+        seeds = np.zeros((n, 3), bool)
+        seeds[:5, 0] = True
+        seeds[100:104, 1] = True
+        seeds[250, 2] = True
+        got = hop_distances(und.indptr, und.indices, seeds)
+        for c in range(3):
+            want = dijkstra(und, directed=False, unweighted=True,
+                            indices=np.flatnonzero(seeds[:, c]), min_only=True)
+            finite = np.isfinite(want)
+            np.testing.assert_array_equal(got[finite, c], want[finite].astype(np.int64))
+            assert (got[~finite, c] >= _INF).all()
+
+    def test_disconnected_unreachable_sentinel(self):
+        from scipy import sparse as sp_
+
+        from squidpy_tpu.ops.bfs import _INF, hop_distances
+
+        # two disjoint edges: 0-1, 2-3
+        adj = sp_.csr_matrix((np.ones(4), ([0, 1, 2, 3], [1, 0, 3, 2])), shape=(4, 4))
+        seeds = np.zeros((4, 1), bool)
+        seeds[0, 0] = True
+        d = hop_distances(adj.indptr, adj.indices, seeds)[:, 0]
+        assert list(d[:2]) == [0, 1]
+        assert (d[2:] >= _INF).all()
+
+    def test_closeness_from_hop_distances_matches_host(self):
+        """Group closeness recomputed from the device BFS table equals the
+        host dijkstra implementation (the op is exact, just not dispatched —
+        see ops/bfs.py's measured trade-off note)."""
+        from squidpy_tpu.gr import _nhood as nh
+        from squidpy_tpu.ops.bfs import _INF, hop_distances
+
+        rng = np.random.default_rng(1)
+        n, k = 400, 4
+        from scipy import sparse as sp_
+
+        nbrs = rng.integers(0, n, (n, k))
+        rows = np.repeat(np.arange(n), k)
+        adj = sp_.csr_matrix((np.ones(n * k), (rows, nbrs.ravel())), shape=(n, n))
+        und = ((adj + adj.T) > 0).astype(np.float64).tocsr()
+        member = np.zeros((3, n), bool)
+        member[0, :20] = True
+        member[1, 50:90] = True
+        member[2, 390:] = True
+
+        host = nh._group_closeness_centrality(und, member)
+        dist = hop_distances(und.indptr, und.indices, member.T)
+        dev = np.zeros(3)
+        for c, inside in enumerate(member):
+            d = dist[~inside, c]
+            total = float(d[d < _INF].sum())
+            dev[c] = (len(d) / total) if total > 0 else 0.0
+        np.testing.assert_allclose(dev, host, rtol=1e-12)
