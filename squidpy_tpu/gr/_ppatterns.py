@@ -182,6 +182,12 @@ def spatial_autocorr(
         return geary_scores(graph.indices, graph.weights, y, s0_)
 
     s0 = float(g_csr.sum())
+    if s0 == 0.0:
+        # edgeless graph: the statistic is undefined (the reference's numpy
+        # path yields 0/0 → NaN with a RuntimeWarning); propagate NaN rather
+        # than raising ZeroDivisionError from the Python-scalar `n / s0`
+        logg.warning("The spatial graph has no edges; autocorrelation scores will be `NaN`")
+        s0 = float("nan")
     n_cells, n_feats = np.asarray(vals).shape if not sp.issparse(vals) else vals.shape
     if gene_block_size is None:
         # keep the (n_cells, block) expression buffer + grouped-unroll gather
@@ -391,6 +397,8 @@ def _normality_variance(w: Any, mode: SpatialAutocorr) -> float:
     """
     n = w.shape[0]
     s0 = float(w.sum())
+    if s0 == 0.0:  # edgeless graph: variance undefined (see spatial_autocorr)
+        return float("nan")
     sym = w + w.transpose()
     sym_sq = sym.multiply(sym) if sp.issparse(sym) else np.multiply(sym, sym)
     s1 = float(sym_sq.sum()) / 2.0

@@ -244,3 +244,12 @@ def test_nhood_plot_after_analytic_mode(adata_ref):
 
     assert plt.gcf().axes
     plt.close("all")
+
+
+def test_interactive_module_is_deprecation_stub():
+    """pl._interactive raises on import with the reference's removal message
+    (reference: pl/_interactive/__init__.py deprecation stub)."""
+    import importlib
+
+    with pytest.raises(ImportError, match="napari-spatialdata"):
+        importlib.import_module("squidpy_tpu.pl._interactive")

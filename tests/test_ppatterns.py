@@ -444,3 +444,18 @@ class TestDegreeBuckets:
             with_perms["I"].to_numpy(), scores_only["I"].to_numpy(), rtol=1e-10
         )
         assert np.isfinite(with_perms["pval_sim"].to_numpy()).all()
+
+
+class TestEdgelessGraph:
+    """An edgeless spatial graph yields NaN autocorrelation (not a raised
+    ZeroDivisionError) — matching the reference's 0/0 → NaN numpy behavior."""
+
+    @pytest.mark.parametrize("mode", ["moran", "geary"])
+    def test_edgeless_graph_nan_scores(self, dummy_adata, mode):
+        n = dummy_adata.n_obs
+        dummy_adata.obsp["spatial_connectivities"] = sp.csr_matrix((n, n))
+        dummy_adata.uns["spatial_neighbors"] = {"connectivities_key": "spatial_connectivities"}
+        df = sq.gr.spatial_autocorr(dummy_adata, mode=mode, copy=True)
+        col = "I" if mode == "moran" else "C"
+        assert np.isnan(df[col].to_numpy()).all()
+        assert np.isnan(df["pval_norm"].to_numpy()).all()
