@@ -175,7 +175,7 @@ def _batched_metrics(
 def qc_image(
     image: Any,
     image_key: str | None = None,
-    tile_size: int | str = 256,
+    tile_size: int | tuple[int, int] | str = 256,
     metrics: Sequence[str | QCMetric] | None = None,
     outlier_percentile: float = 2.0,
     key_added: str | None = None,
@@ -216,10 +216,20 @@ def qc_image(
     if arr.ndim == 3 and arr.shape[-1] not in (1, 3):
         raise ValueError(f"Expected grayscale or RGB image, found shape `{arr.shape}`.")
     rgb = arr if (arr.ndim == 3 and arr.shape[-1] == 3) else None
-    if tile_size == "auto":
+    if isinstance(tile_size, str):
+        if tile_size != "auto":
+            raise ValueError(f"Expected `tile_size` to be an int, (ty, tx) tuple or 'auto', found `{tile_size!r}`.")
         side = max(arr.shape[0], arr.shape[1])
-        tile_size = int(np.clip(((side // 8) // 32) * 32, 64, 512))
-    tile_size = int(tile_size)
+        auto = int(np.clip(((side // 8) // 32) * 32, 64, 512))
+        ty = tx = auto
+    elif isinstance(tile_size, (tuple, list)):
+        # reference surface: tile_size is (ty, tx), rectangular tiles allowed
+        # (/root/reference/src/squidpy/experimental/im/_qc_image.py:51)
+        ty, tx = (int(t) for t in tile_size)
+    else:
+        ty = tx = int(tile_size)
+    if ty <= 0 or tx <= 0:
+        raise ValueError(f"Expected positive tile sizes, found `({ty}, {tx})`.")
     if metrics is None and is_hne and rgb is not None:
         metrics = [*(m.value for m in _DEFAULT_METRICS),
                    QCMetric.HEMATOXYLIN_MEAN, QCMetric.EOSIN_MEAN, QCMetric.HE_RATIO]
@@ -233,10 +243,13 @@ def qc_image(
     if detect_tissue and QCMetric.TISSUE_FRACTION not in compute_metrics:
         compute_metrics.append(QCMetric.TISSUE_FRACTION)
     h, w = gray.shape
-    ny, nx = (h + tile_size - 1) // tile_size, (w + tile_size - 1) // tile_size
-    pad_h, pad_w = ny * tile_size - h, nx * tile_size - w
+    # tiles larger than the image degrade to a single full-image tile
+    # (reflect padding cannot exceed the axis extent anyway)
+    ty, tx = min(ty, h), min(tx, w)
+    ny, nx = (h + ty - 1) // ty, (w + tx - 1) // tx
+    pad_h, pad_w = ny * ty - h, nx * tx - w
     gray_p = np.pad(gray, ((0, pad_h), (0, pad_w)), mode="reflect")
-    tiles_gray = gray_p.reshape(ny, tile_size, nx, tile_size).transpose(0, 2, 1, 3).reshape(-1, tile_size, tile_size)
+    tiles_gray = gray_p.reshape(ny, ty, nx, tx).transpose(0, 2, 1, 3).reshape(-1, ty, tx)
     tiles_rgb = None
     if rgb is not None:
         rgb_f = rgb.astype(np.float32)
@@ -244,7 +257,7 @@ def qc_image(
             rgb_f = rgb_f / 255.0
         rgb_p = np.pad(rgb_f, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
         tiles_rgb = jnp.asarray(
-            rgb_p.reshape(ny, tile_size, nx, tile_size, 3).transpose(0, 2, 1, 3, 4).reshape(-1, tile_size, tile_size, 3)
+            rgb_p.reshape(ny, ty, nx, tx, 3).transpose(0, 2, 1, 3, 4).reshape(-1, ty, tx, 3)
         )
 
     start = logg.info(f"Computing `{len(metrics)}` QC metrics over `{ny * nx}` tiles on device")
@@ -266,16 +279,22 @@ def qc_image(
         {
             "tile_row": rows,
             "tile_col": cols,
-            "y0": rows * tile_size,
-            "x0": cols * tile_size,
-            "y1": np.minimum((rows + 1) * tile_size, h),
-            "x1": np.minimum((cols + 1) * tile_size, w),
+            "y0": rows * ty,
+            "x0": cols * tx,
+            "y1": np.minimum((rows + 1) * ty, h),
+            "x1": np.minimum((cols + 1) * tx, w),
         },
         index=[f"tile_{r}_{c}" for r, c in zip(rows, cols)],
     )
     adata = AnnData(X=X, obs=obs, var=pd.DataFrame(index=[m.value for m in metrics]))
     adata.obsm["spatial"] = np.column_stack([(obs["x0"] + obs["x1"]) / 2, (obs["y0"] + obs["y1"]) / 2])
-    adata.uns["qc_image"] = {"tile_size": tile_size, "grid_shape": (ny, nx), "image_shape": (h, w)}
+    adata.uns["qc_image"] = {
+        "tile_size": (ty, tx),
+        "tile_size_y": ty,
+        "tile_size_x": tx,
+        "grid_shape": (ny, nx),
+        "image_shape": (h, w),
+    }
 
     if tissue_mask_key is not None and sdata is not None:
         # explicit tissue mask from sdata.labels overrides the heuristic
@@ -284,7 +303,7 @@ def qc_image(
         ).squeeze() > 0
         fr = np.zeros(n_true)
         for i, (r, c) in enumerate(zip(*np.divmod(np.arange(n_true), nx))):
-            sub = tmask[r * tile_size : (r + 1) * tile_size, c * tile_size : (c + 1) * tile_size]
+            sub = tmask[r * ty : (r + 1) * ty, c * tx : (c + 1) * tx]
             fr[i] = sub.mean() if sub.size else 0.0
         adata.obs["is_tissue"] = fr > 0.5
         adata.obs["is_background"] = ~adata.obs["is_tissue"].to_numpy()

@@ -59,8 +59,13 @@ def gaussian_blur(img: np.ndarray, sigma: float, truncate: float = 4.0) -> np.nd
 def rgb2gray(img: np.ndarray) -> np.ndarray:
     """ITU-R 601 luminance conversion (skimage ``rgb2gray`` weights)."""
     arr = np.asarray(img, dtype=np.float64)
-    if arr.shape[-1] != 3:
-        raise ValueError(f"Expected 3 channels for RGB→gray conversion, found `{arr.shape[-1]}`.")
+    # ndim guard matters: per-z slices arrive with a singleton channel axis
+    # squeezed, so a 2D (y, x) array must not have its x-extent read as a
+    # channel count (and a width-3 2D array must not silently "convert")
+    if arr.ndim < 3 or arr.shape[-1] != 3:
+        raise ValueError(
+            f"Expected an RGB image with 3 channels in the last axis, found shape `{arr.shape}`."
+        )
     if arr.max() > 1.0:
         arr = arr / 255.0
     return arr @ np.array([0.2125, 0.7154, 0.0721])

@@ -149,3 +149,40 @@ class TestMakeTiles:
         assert len(df) == 2
         cls = df["tile_classification"].tolist()
         assert cls.count("tissue") == 1
+
+
+class TestQCTileSizeForms:
+    """tile_size accepts the reference's (ty, tx) tuple form
+    (/root/reference/src/squidpy/experimental/im/_qc_image.py:51) and
+    degrades gracefully when tiles exceed the image."""
+
+    def _img(self, h=64, w=96):
+        rng = np.random.default_rng(0)
+        return rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+
+    def test_rectangular_tuple(self):
+        qc = exp_im.qc_image(self._img(), tile_size=(32, 48))
+        assert qc.uns["qc_image"]["grid_shape"] == (2, 2)
+        assert qc.uns["qc_image"]["tile_size"] == (32, 48)
+        assert qc.uns["qc_image"]["tile_size_y"] == 32
+        assert qc.uns["qc_image"]["tile_size_x"] == 48
+        # pixel bounds reflect the rectangular pitch
+        assert qc.obs["x0"].max() == 48
+        assert qc.obs["y0"].max() == 32
+
+    def test_tile_larger_than_image_single_tile(self):
+        qc = exp_im.qc_image(self._img(), tile_size=(128, 128))
+        assert qc.uns["qc_image"]["grid_shape"] == (1, 1)
+        assert qc.uns["qc_image"]["tile_size"] == (64, 96)
+        assert qc.n_obs == 1
+
+    def test_int_and_tuple_agree_when_square(self):
+        a = exp_im.qc_image(self._img(), tile_size=32)
+        b = exp_im.qc_image(self._img(), tile_size=(32, 32))
+        np.testing.assert_allclose(a.X, b.X)
+
+    def test_invalid_tile_size(self):
+        with pytest.raises(ValueError, match="positive tile sizes"):
+            exp_im.qc_image(self._img(), tile_size=(0, 32))
+        with pytest.raises(ValueError, match="int, \\(ty, tx\\) tuple or 'auto'"):
+            exp_im.qc_image(self._img(), tile_size="bogus")
