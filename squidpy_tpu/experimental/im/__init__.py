@@ -13,6 +13,7 @@ from squidpy_tpu.experimental.im._stain import (
     apply_stain_normalization,
     MacenkoParams,
     ReinhardParams,
+    StainFittingError,
     StainReference,
     VahadaneParams,
     decompose_stains,
@@ -60,6 +61,7 @@ __all__ = [
     "validate_rgb_range",
     "white_point_from_background",
     "reinhard_normalize",
+    "StainFittingError",
     "StainReference",
     "CellInfo",
     "TileSpec",

@@ -22,6 +22,7 @@ from squidpy_tpu.utils import NDArrayA
 __all__ = [
     "MacenkoParams",
     "ReinhardParams",
+    "StainFittingError",
     "StainReference",
     "VahadaneParams",
     "estimate_white_point",
@@ -38,7 +39,23 @@ __all__ = [
 # Ruifrok & Johnston canonical H&E absorbance vectors (published constants)
 RUIFROK_H = np.array([0.650, 0.704, 0.286])
 RUIFROK_E = np.array([0.072, 0.990, 0.105])
+# canonical-reference mapping form consumed by ``fit_stain_reference``
+# (reference contract: experimental/im/_stain/_validation.py RUIFROK_HE)
+RUIFROK_HE: dict[str, np.ndarray] = {"hematoxylin": RUIFROK_H, "eosin": RUIFROK_E}
 DEFAULT_LUMINOSITY_THRESHOLD = 0.8
+_DECOMPOSITION_METHODS = ("macenko", "vahadane")
+_VALID_METHODS = ("macenko", "vahadane", "reinhard")
+
+
+class StainFittingError(RuntimeError):
+    """A stain fit failed its sanity checks: empty tissue mask, degenerate
+    NMF, or fitted H/E vectors outside the canonical deviation gate
+    (reference: experimental/im/_stain/_validation.py:15)."""
+
+    def __init__(self, message: str, image_key: str | None = None) -> None:
+        if image_key is not None:
+            message = f"{message} (image_key={image_key!r})"
+        super().__init__(message)
 
 
 @dataclass(frozen=True)
@@ -100,15 +117,38 @@ def _unit_columns(m: NDArrayA) -> NDArrayA:
     return m / np.maximum(np.linalg.norm(m, axis=0, keepdims=True), 1e-12)
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class StainReference:
-    """Fitted stain model: method, (3, 3) stain matrix (H, E, residual),
-    white point, and robust per-stain maximum concentrations."""
+    """Fitted stain model.
+
+    Decomposition methods carry the (3, 3) stain matrix (H, E, residual),
+    white point, and robust per-stain maximum concentrations; Reinhard
+    carries the Ruderman-LAB channel means/stds instead (reference field
+    contract: experimental/im/_stain/_reference.py:31-65).
+    """
 
     method: str
-    stain_matrix: NDArrayA
-    white_point: NDArrayA
-    max_concentrations: NDArrayA
+    stain_matrix: NDArrayA | None = None
+    mu: NDArrayA | None = None
+    sigma: NDArrayA | None = None
+    white_point: NDArrayA | None = None
+    max_concentrations: NDArrayA | None = None
+
+    def __eq__(self, other: object) -> bool:
+        # dataclass-generated __eq__ would compare ndarrays elementwise and
+        # raise on truthiness; compare method + fields array-safely instead
+        if not isinstance(other, StainReference):
+            return NotImplemented
+
+        def _same(a: Any, b: Any) -> bool:
+            if a is None or b is None:
+                return a is None and b is None
+            return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+
+        return self.method == other.method and all(
+            _same(getattr(self, f), getattr(other, f))
+            for f in ("stain_matrix", "mu", "sigma", "white_point", "max_concentrations")
+        )
 
 
 def _rgb_scale_factor(arr: np.ndarray) -> float:
@@ -210,12 +250,38 @@ def white_point_from_background(image: Any, background_mask: np.ndarray) -> np.n
     return np.median(rgb[mask], axis=0).astype(np.float64)
 
 
-def estimate_white_point(image: Any, percentile: float = 95.0) -> np.ndarray:
-    """Per-channel background (white point) estimate from bright pixels."""
+def estimate_white_point(
+    image: Any,
+    image_key: str | None = None,
+    *,
+    tissue_mask_key: str | None = None,
+    scale: str = "auto",
+    percentile: float = 95.0,
+) -> np.ndarray:
+    """Per-channel white-point ``I_0`` estimate.
+
+    Array form: mean over the brightest ``percentile`` of pixels. SpatialData
+    form (``estimate_white_point(sdata, image_key)``): the per-channel median
+    over non-tissue pixels — the complement of the ``detect_tissue`` mask
+    (reference semantics: experimental/im/_stain/_normalize.py:175-209;
+    a tissue mask is required there)."""
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
+
+    if is_sdata(image):
+        sdata = image
+        da = resolve_element(sdata, image_key, tree="images", scale=scale, what="image")
+        validate_rgb_range(da)
+        arr = np.asarray(da).squeeze()
+        tissue = _resolve_tissue_mask_bool(sdata, image_key, tissue_mask_key, arr.shape[:2])
+        return white_point_from_background(arr, ~tissue)
     rgb = _as_float_rgb(image)
-    lum = rgb.mean(axis=-1)
+    return _estimate_white_point_flat(rgb.reshape(-1, 3), percentile)
+
+
+def _estimate_white_point_flat(flat: np.ndarray, percentile: float = 95.0) -> np.ndarray:
+    lum = flat.mean(axis=-1)
     thr = np.percentile(lum, percentile)
-    bright = rgb[lum >= thr]
+    bright = flat[lum >= thr]
     if not len(bright):
         return np.full(3, 255.0)
     return np.clip(bright.mean(axis=0), 1.0, 255.0)
@@ -234,7 +300,7 @@ def _tissue_od(rgb: np.ndarray, white_point: np.ndarray, beta: float = 0.15) -> 
     keep = np.all(np.isfinite(od), axis=1) & (np.linalg.norm(od, axis=1) > beta)
     od = od[keep]
     if not len(od):
-        raise ValueError("No tissue pixels found for stain fitting; the OD mask is empty.")
+        raise StainFittingError("no tissue pixels for stain fitting; the OD mask is empty.")
     return od
 
 
@@ -274,29 +340,127 @@ def _vahadane_stain_matrix(od: np.ndarray, lambda1: float = 0.01, n_iter: int = 
     raise ValueError("Vahadane NMF produced a zero-norm stain vector.")
 
 
-def _canonicalize(raw: np.ndarray) -> np.ndarray:
-    """Order columns as (H, E) by similarity to the Ruifrok vectors and append
-    the unit complement as the residual third column."""
-    sims = np.array([[abs(raw[:, j] @ RUIFROK_H / np.linalg.norm(RUIFROK_H)) for j in range(2)]])
-    if sims[0, 1] > sims[0, 0]:
-        raw = raw[:, ::-1]
-    third = np.cross(raw[:, 0], raw[:, 1])
-    third = third / max(np.linalg.norm(third), 1e-12)
-    return np.column_stack([raw, third])
+def _angle_between_deg(u: np.ndarray, v: np.ndarray) -> float:
+    """Unsigned (sign-agnostic) angle between two vectors, in degrees."""
+    denom = max(float(np.linalg.norm(u) * np.linalg.norm(v)), 1e-12)
+    cos = abs(float(np.dot(u, v))) / denom
+    return float(np.degrees(np.arccos(np.clip(cos, 0.0, 1.0))))
+
+
+def _canonical_he_cols(canonical: Any) -> tuple[np.ndarray, np.ndarray]:
+    ref = RUIFROK_HE if canonical is None else dict(canonical)
+    h = np.asarray(ref["hematoxylin"], dtype=np.float64)
+    e = np.asarray(ref["eosin"], dtype=np.float64)
+    return h / np.linalg.norm(h), e / np.linalg.norm(e)
+
+
+def _canonicalize(
+    raw: np.ndarray,
+    canonical: Any = None,
+    *,
+    max_angle_deg: float | None = None,
+    image_key: str | None = None,
+) -> np.ndarray:
+    """Order columns as (H, E) by cosine against the canonical vectors, flip
+    signs so absorbance points along them, gate the deviation angle, and
+    append the unit complement as the residual third column (reference
+    semantics: experimental/im/_stain/_validation.py reorder/validate/
+    complement)."""
+    h_ref, e_ref = _canonical_he_cols(canonical)
+    cols = _unit_columns(np.asarray(raw, dtype=np.float64))
+    h_idx = int(np.argmax(np.abs(cols.T @ h_ref)))
+    ordered = np.stack([cols[:, h_idx], cols[:, 1 - h_idx]], axis=1)
+    for j, ref_v in enumerate((h_ref, e_ref)):
+        if ordered[:, j] @ ref_v < 0:
+            ordered[:, j] = -ordered[:, j]
+    if max_angle_deg is not None:
+        for name, j, ref_v in (("hematoxylin", 0, h_ref), ("eosin", 1, e_ref)):
+            ang = _angle_between_deg(ordered[:, j], ref_v)
+            if ang > max_angle_deg:
+                raise StainFittingError(
+                    f"fitted {name} vector deviates {ang:.1f} deg from its canonical "
+                    f"reference (max_angle_deg={max_angle_deg}); the image may not be "
+                    "H&E, or the tissue mask may be poor.",
+                    image_key=image_key,
+                )
+    third = np.cross(ordered[:, 0], ordered[:, 1])
+    nrm = float(np.linalg.norm(third))
+    if nrm < 1e-8:
+        raise StainFittingError(
+            "H and E stain vectors are colinear; cannot form a complement column.",
+            image_key=image_key,
+        )
+    return np.column_stack([ordered, third / nrm])
+
+
+# ---------------------------------------------------------------------------
+# SpatialData-form resolution (reference call surface:
+# experimental/im/_stain/_normalize.py:64-175)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_resize_mask(mask: np.ndarray, target_hw: tuple[int, int]) -> np.ndarray:
+    ty, tx = int(target_hw[0]), int(target_hw[1])
+    yy = np.minimum(np.arange(ty) * mask.shape[0] // ty, mask.shape[0] - 1)
+    xx = np.minimum(np.arange(tx) * mask.shape[1] // tx, mask.shape[1] - 1)
+    return mask[np.ix_(yy, xx)]
+
+
+def _resolve_tissue_mask_bool(
+    sdata: Any,
+    image_key: str | None,
+    tissue_mask_key: str | None,
+    target_hw: tuple[int, int],
+) -> np.ndarray:
+    """Materialised ``(y, x)`` boolean tissue mask aligned to ``target_hw``.
+
+    The mask is mandatory for the sdata-form stain fits (reference:
+    _normalize.py:79-110): missing masks raise a :class:`KeyError` asking
+    the caller to run ``detect_tissue`` first.
+    """
+    from squidpy_tpu.experimental._sdata import resolve_scale
+
+    labels = getattr(sdata, "labels", None) or {}
+    key = tissue_mask_key if tissue_mask_key is not None else (
+        f"{image_key}_tissue" if image_key is not None else None
+    )
+    if key is None or key not in labels:
+        raise KeyError(
+            f"No tissue mask `{key}` in sdata.labels — run `detect_tissue` first "
+            "(a tissue mask is required for stain fitting), or pass `tissue_mask_key`."
+        )
+    mask = np.asarray(resolve_scale(labels[key], "full")).squeeze() > 0
+    if mask.shape != tuple(target_hw):
+        mask = _nearest_resize_mask(mask, target_hw)
+    return mask
+
+
+def _store_image(sdata: Any, key: str, arr: np.ndarray) -> None:
+    if key in sdata.images:
+        raise ValueError(f"image key `{key}` already exists in sdata.images.")
+    sdata.images[key] = arr
 
 
 def fit_stain_reference(
     image: Any,
-    method: Literal["macenko", "vahadane"] = "macenko",
+    image_key: str | None = None,
+    method: Literal["macenko", "vahadane", "reinhard"] = "macenko",
     white_point: NDArrayA | None = None,
     alpha: float = 1.0,
     beta: float = 0.15,
     max_pixels: int | None = 200_000,
     seed: int = 0,
     method_params: Any = None,
+    *,
+    scale: str = "auto",
+    tissue_mask: np.ndarray | None = None,
+    tissue_mask_key: str | None = None,
+    max_angle_deg: float | None = None,
+    canonical_reference: Any = None,
+    sdata: Any = None,
     **kwargs: Any,
 ) -> StainReference:
-    """Fit a stain reference (matrix + robust max concentrations) on an image.
+    """Fit a stain reference on an image (or a SpatialData image element).
 
     ``max_pixels`` subsamples the tissue OD pixels before the SVD/NMF fit —
     stain vectors and percentile statistics converge with a few 10⁵ pixels,
@@ -304,23 +468,74 @@ def fit_stain_reference(
     step still runs on every pixel). ``None`` disables subsampling.
 
     ``method_params`` takes a :class:`MacenkoParams` / :class:`VahadaneParams`
-    instance (or a mapping of field names) and overrides the per-method knobs.
+    / :class:`ReinhardParams` instance (or a mapping of field names) and
+    overrides the per-method knobs.
+
+    SpatialData form — ``fit_stain_reference(sdata, image_key, method=...)``
+    (reference: experimental/im/_stain/_normalize.py:212-294) — fits on the
+    coarsest scale with a **mandatory** tissue mask
+    (``tissue_mask_key``, default ``f"{image_key}_tissue"``); array callers
+    may pass an explicit ``tissue_mask``. ``method='reinhard'`` fits
+    Ruderman-LAB channel statistics instead of a stain matrix. The fitted
+    H/E vectors are gated against ``canonical_reference`` (Ruifrok by
+    default): deviations beyond ``max_angle_deg`` raise
+    :class:`StainFittingError` (45° by default in the SpatialData form,
+    matching the reference's validation; the array form leaves the gate off
+    unless ``max_angle_deg`` is passed).
     """
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
+
+    if sdata is None and is_sdata(image):
+        sdata = image
+    if sdata is None and image_key in _VALID_METHODS:
+        # array-form convenience: fit_stain_reference(img, "vahadane")
+        method, image_key = image_key, None
+    if sdata is not None:
+        if max_angle_deg is None:
+            # the deviation gate is the reference sdata pipeline's default
+            # (_validation.py); the array form keeps it opt-in so arbitrary
+            # arrays (non-H&E fixtures, unit tests) fit without a gate
+            max_angle_deg = 45.0
+        da = resolve_element(sdata, image_key, tree="images", scale=scale, what="image")
+        validate_rgb_range(da)
+        image = np.asarray(da).squeeze()
+        if tissue_mask is None:
+            tissue_mask = _resolve_tissue_mask_bool(
+                sdata, image_key, tissue_mask_key, image.shape[:2]
+            )
+        if white_point is None and method in _DECOMPOSITION_METHODS:
+            # reference default: fixed full white in the image's own units
+            white_point = default_white_point(image)
+    if method not in _VALID_METHODS:
+        raise ValueError(f"Unknown stain method `{method}`. Valid: {list(_VALID_METHODS)}.")
+
+    mask_arr = None if tissue_mask is None else np.asarray(tissue_mask, dtype=bool)
+    if mask_arr is not None and not mask_arr.any():
+        raise StainFittingError(
+            "no tissue pixels for stain fitting; the mask is empty.", image_key=image_key
+        )
+
+    if method == "reinhard":
+        return _fit_reinhard_reference(image, mask_arr, method_params, image_key=image_key)
+
     if method_params is not None:
         from squidpy_tpu.experimental._params import resolve_params
 
         if method == "macenko":
             mp = resolve_params(method_params, MacenkoParams, "method_params")
             alpha, beta = mp.alpha, mp.beta
-        elif method == "vahadane":
+        else:  # vahadane
             vp = resolve_params(method_params, VahadaneParams, "method_params")
             beta = vp.beta
             # merge under any explicitly passed kwargs (those win)
             kwargs = {"lambda1": vp.lambda1, "n_iter": vp.n_iter, "random_state": vp.random_state, **kwargs}
-        else:
-            raise ValueError(f"`method_params` is not supported for method `{method}`.")
     rgb, white_point = _ingest_rgb(image, white_point)
-    n_px = rgb.shape[0] * rgb.shape[1]
+    if mask_arr is not None and mask_arr.shape != rgb.shape[:2]:
+        raise ValueError(
+            f"tissue_mask shape {mask_arr.shape} does not match image {rgb.shape[:2]}."
+        )
+    pixels = rgb.reshape(-1, 3) if mask_arr is None else rgb[mask_arr]
+    n_px = len(pixels)
     if max_pixels is not None and n_px > 4 * max_pixels:
         # sample-first fit: the stain vectors and percentile statistics
         # converge with a few 10^5 pixels, and sampling BEFORE the OD
@@ -328,36 +543,64 @@ def fit_stain_reference(
         # of shipping the full image through the host<->device tunnel
         # (reference fits on all pixels: _decomposition.py:143-181)
         rng_s = np.random.default_rng(seed)
-        flat = rgb.reshape(-1, 3)
         sel = rng_s.choice(n_px, size=4 * max_pixels, replace=False)
-        sample = flat[sel]
+        sample = pixels[sel]
         if white_point is not None:
             wp = np.asarray(white_point, dtype=float)
         else:
-            lum = sample.mean(axis=-1)
-            bright = sample[lum >= np.percentile(lum, 95.0)]
-            wp = np.clip(bright.mean(axis=0), 1.0, 255.0) if len(bright) else np.full(3, 255.0)
+            wp = _estimate_white_point_flat(sample)
         od = -np.log10(np.maximum(sample, 1.0) / wp)
         od = od[np.all(np.isfinite(od), axis=1) & (np.linalg.norm(od, axis=1) > beta)]
         if len(od) > max_pixels:
             od = od[rng_s.choice(len(od), size=max_pixels, replace=False)]
         if len(od) < min(10_000, max_pixels // 4):  # sparse tissue: fit on everything
-            od = _tissue_od(rgb, wp, beta)
+            od = _tissue_od(pixels, wp, beta)
     else:
-        wp = np.asarray(white_point, dtype=float) if white_point is not None else estimate_white_point(rgb)
-        od = _tissue_od(rgb, wp, beta)
+        wp = np.asarray(white_point, dtype=float) if white_point is not None else _estimate_white_point_flat(pixels)
+        od = _tissue_od(pixels, wp, beta)
         if max_pixels is not None and len(od) > max_pixels:
             od = od[np.random.default_rng(seed).choice(len(od), size=max_pixels, replace=False)]
     if method == "macenko":
         raw = _macenko_stain_matrix(od, alpha)
-    elif method == "vahadane":
-        raw = _vahadane_stain_matrix(od, **kwargs)
     else:
-        raise ValueError(f"Unknown stain method `{method}`. Valid: ['macenko', 'vahadane'].")
-    matrix = _canonicalize(raw)
+        raw = _vahadane_stain_matrix(od, **kwargs)
+    matrix = _canonicalize(
+        raw, canonical_reference, max_angle_deg=max_angle_deg, image_key=image_key
+    )
     conc = od @ np.linalg.pinv(matrix).T
     maxc = np.maximum(np.percentile(conc[:, :2], 99.0, axis=0), 1e-6)
     return StainReference(method=method, stain_matrix=matrix, white_point=wp, max_concentrations=maxc)
+
+
+def _fit_reinhard_reference(
+    image: Any,
+    mask_arr: np.ndarray | None,
+    method_params: Any,
+    *,
+    image_key: str | None = None,
+) -> StainReference:
+    """Ruderman-LAB channel statistics over tissue pixels → StainReference
+    (reference: experimental/im/_stain/_reinhard.py fit)."""
+    rp = ReinhardParams()
+    if method_params is not None:
+        from squidpy_tpu.experimental._params import resolve_params
+
+        rp = resolve_params(method_params, ReinhardParams, "method_params")
+    rgb = _as_float_rgb(image)
+    lab = _rgb_to_lab_host(rgb) if _apply_on_host(rgb) else np.asarray(_rgb_to_lab(jnp.asarray(rgb)))
+    if mask_arr is not None:
+        m = mask_arr
+    elif rp.mask_background:
+        m = rgb.mean(axis=-1) / 255.0 < rp.luminosity_threshold
+        if not m.any():
+            m = np.ones(rgb.shape[:2], dtype=bool)
+    else:
+        m = np.ones(rgb.shape[:2], dtype=bool)
+    sel = lab[m]
+    mu = sel.mean(axis=0).astype(np.float64)
+    sigma = sel.std(axis=0).astype(np.float64)
+    sigma[sigma == 0] = 1.0
+    return StainReference(method="reinhard", mu=mu, sigma=sigma)
 
 
 
@@ -371,17 +614,9 @@ def _apply_on_host(rgb: np.ndarray) -> bool:
     return rgb.shape[0] * rgb.shape[1] < _DEVICE_APPLY_MIN_PIXELS
 
 
-def decompose_stains(
-    image: Any,
-    reference: StainReference | None = None,
-    method: Literal["macenko", "vahadane"] = "macenko",
-    **kwargs: Any,
-) -> np.ndarray:
-    """Per-pixel stain concentrations ``(y, x, 3)`` = (hematoxylin, eosin,
-    residual) — the unmixing is one device matmul over all pixels."""
-    rgb = _as_float_rgb(image)
-    if reference is None:
-        reference = fit_stain_reference(rgb, method=method, **kwargs)
+def _decompose_array(rgb: np.ndarray, reference: StainReference) -> np.ndarray:
+    """(y, x, 3) per-pixel concentrations (H, E, residual) for a 0-255-scale
+    float image — one matmul over all pixels."""
     pinv_t = np.linalg.pinv(reference.stain_matrix).T
     if _apply_on_host(rgb):
         od = -np.log10(np.maximum(rgb, 1.0) / reference.white_point.astype(np.float32))
@@ -391,21 +626,232 @@ def decompose_stains(
     return np.asarray(conc).reshape(rgb.shape)
 
 
+def decompose_stains(
+    image: Any,
+    image_key: Any = None,
+    reference_or_method: Any = None,
+    *,
+    reference: StainReference | None = None,
+    method: Literal["macenko", "vahadane"] | None = None,
+    scale: str = "auto",
+    method_params: Any = None,
+    white_point: NDArrayA | None = None,
+    image_key_added: str | None = None,
+    inplace: bool = True,
+    output_dtype: Any = None,
+    tissue_mask_key: str | None = None,
+    include_residual: bool = True,
+    sdata: Any = None,
+    **kwargs: Any,
+) -> np.ndarray | dict[str, np.ndarray] | None:
+    """Per-pixel stain concentrations.
+
+    Array form returns ``(y, x, 3)`` = (hematoxylin, eosin, residual) — the
+    unmixing is one device matmul over all pixels.
+
+    SpatialData form — ``decompose_stains(sdata, image_key,
+    reference_or_method)`` (reference:
+    experimental/im/_stain/_normalize.py:397-498) — projects with a fitted
+    reference (or fits one first when a method name is given), and either
+    writes each stain as its own single-channel image
+    ``sdata.images[f"{prefix}_{stain}"]`` (``inplace=True``, atomic: all
+    target keys validated free before any write) or returns a
+    ``{name: (y, x) array}`` dict. ``output_dtype`` defaults to ``float16``
+    there; ``include_residual=False`` drops the diagnostic residual map.
+    """
+    from squidpy_tpu.experimental._sdata import is_sdata
+
+    if sdata is None and is_sdata(image):
+        sdata = image
+    # array-form compatibility: the second positional slot historically held
+    # the reference (or, with a method string and no sdata, the method)
+    if image_key is not None and not isinstance(image_key, str):
+        if reference is None and isinstance(image_key, StainReference):
+            reference = image_key
+        image_key = None
+    elif sdata is None and image_key in _DECOMPOSITION_METHODS:
+        method, image_key = image_key, None
+    if reference_or_method is not None:
+        if isinstance(reference_or_method, StainReference):
+            reference = reference_or_method
+        else:
+            method = reference_or_method
+    if sdata is not None:
+        from squidpy_tpu.experimental._sdata import resolve_element
+
+        if reference is not None:
+            if reference.method not in _DECOMPOSITION_METHODS or reference.stain_matrix is None:
+                raise ValueError(
+                    "decompose_stains requires a macenko/vahadane reference with a stain matrix."
+                )
+            method = reference.method
+        elif method is None:
+            method = "macenko"
+        if method not in _DECOMPOSITION_METHODS:
+            raise ValueError(
+                f"method must be one of {list(_DECOMPOSITION_METHODS)}; got {method!r}."
+            )
+        da = resolve_element(
+            sdata, image_key, tree="images",
+            scale=("full" if scale == "auto" else scale), what="image",
+        )
+        if reference is None:
+            reference = fit_stain_reference(
+                sdata,
+                image_key=image_key,
+                method=method,
+                scale="auto",
+                method_params=method_params,
+                white_point=white_point,
+                tissue_mask_key=tissue_mask_key,
+            )
+        conc = _decompose_array(_as_float_rgb(da), reference)
+        conc = conc.astype(np.float16 if output_dtype is None else np.dtype(output_dtype))
+        names = ["hematoxylin", "eosin"] + (["residual"] if include_residual else [])
+        if not inplace:
+            return {name: conc[..., i] for i, name in enumerate(names)}
+        prefix = image_key_added if image_key_added is not None else image_key
+        target_keys = [f"{prefix}_{name}" for name in names]
+        # atomic write: validate every key free before writing any
+        clashes = [k for k in target_keys if k in sdata.images]
+        if clashes:
+            raise ValueError(f"decompose_stains would overwrite existing image(s): {clashes}.")
+        for i, k in enumerate(target_keys):
+            sdata.images[k] = conc[..., i]
+        return None
+
+    rgb = _as_float_rgb(image)
+    if reference is None:
+        reference = fit_stain_reference(
+            rgb,
+            method=("macenko" if method is None else method),
+            method_params=method_params,
+            white_point=white_point,
+            **kwargs,
+        )
+    out = _decompose_array(rgb, reference)
+    return out if output_dtype is None else out.astype(np.dtype(output_dtype))
+
+
+def _cast_to_image_dtype(arr255: np.ndarray, src_factor: float, dtype: Any) -> np.ndarray:
+    """Take a 0-255-scale float result back to the source's unit convention
+    and cast: integer dtypes round + clip to their range, floats just scale
+    (reference's cast-at-the-write-boundary:
+    experimental/im/_stain/_conversion.py cast_to_image_dtype)."""
+    dtype = np.dtype(dtype)
+    out = arr255 / np.float32(src_factor) if src_factor != 1.0 else arr255
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(dtype)
+    return out.astype(dtype)
+
+
 def normalize_stains(
     image: Any,
-    reference: StainReference,
+    image_key: Any = None,
+    reference: StainReference | None = None,
     method: Literal["macenko", "vahadane"] = "macenko",
     out_dtype: Any = np.uint8,
+    *,
+    scale: str = "auto",
+    method_params: Any = None,
+    image_key_added: str | None = None,
+    inplace: bool = True,
+    output_dtype: Any = None,
+    tissue_mask_key: str | None = None,
+    preserve_background: bool = True,
+    sdata: Any = None,
     **kwargs: Any,
-) -> np.ndarray:
+) -> np.ndarray | None:
     """Normalize an image's stains to a fitted reference.
 
     Deconvolve with the source's own fitted matrix, rescale concentrations to
     the reference maxima, reconvolve with the reference matrix — the standard
     Macenko normalization pipeline, with the pixel passes on device.
+
+    SpatialData form — ``normalize_stains(sdata, image_key, reference)``
+    (reference: experimental/im/_stain/_normalize.py:295-396) — fits the
+    source statistics over the (mandatory) tissue mask, dispatches on
+    ``reference.method`` (Reinhard references transfer LAB statistics),
+    keeps background pixels byte-identical when ``preserve_background=True``,
+    and either writes ``sdata.images[image_key_added]`` (default
+    ``f"{image_key}_normalized"``; raises if taken) or returns the array
+    (``inplace=False``). ``output_dtype=None`` keeps the source dtype.
     """
+    from squidpy_tpu.experimental._sdata import is_sdata
+
+    if sdata is None and is_sdata(image):
+        sdata = image
+    # array-form compatibility: the second positional slot historically held
+    # the reference
+    if image_key is not None and not isinstance(image_key, str):
+        if reference is None and isinstance(image_key, StainReference):
+            reference = image_key
+        image_key = None
+    if sdata is not None:
+        from squidpy_tpu.experimental._sdata import resolve_element
+
+        if not isinstance(reference, StainReference):
+            raise TypeError(
+                "normalize_stains requires a fitted StainReference "
+                "(third argument in the SpatialData form)."
+            )
+        da = resolve_element(
+            sdata, image_key, tree="images",
+            scale=("full" if scale == "auto" else scale), what="image",
+        )
+        src_arr = np.asarray(da).squeeze()
+        validate_rgb_range(src_arr)
+        tissue = _resolve_tissue_mask_bool(sdata, image_key, tissue_mask_key, src_arr.shape[:2])
+        tgt_dtype = np.dtype(src_arr.dtype if output_dtype is None else output_dtype)
+        src_factor = _rgb_scale_factor(src_arr)
+        rgb255 = _as_float_rgb(src_arr)
+        if reference.method == "reinhard":
+            out255 = _reinhard_apply_masked(rgb255, reference, tissue, method_params)
+        else:
+            out255 = _normalize_core(
+                rgb255, reference, method=reference.method,
+                method_params=method_params, tissue_mask=tissue,
+            )
+        normalized = _cast_to_image_dtype(out255, src_factor, tgt_dtype)
+        if preserve_background:
+            # non-tissue pixels pass through from the source unchanged — the
+            # global colour map would otherwise tint background/white pixels
+            source_cast = (
+                src_arr if src_arr.dtype == tgt_dtype
+                else _cast_to_image_dtype(rgb255, src_factor, tgt_dtype)
+            )
+            normalized = np.where(tissue[..., None], normalized, source_cast)
+        if not inplace:
+            return normalized
+        key = image_key_added if image_key_added is not None else f"{image_key}_normalized"
+        _store_image(sdata, key, normalized)
+        return None
+
+    if not isinstance(reference, StainReference):
+        raise TypeError("normalize_stains requires a fitted StainReference.")
     rgb = _as_float_rgb(image)
-    src = fit_stain_reference(rgb, method=method, white_point=reference.white_point, **kwargs)
+    if reference.method == "reinhard":
+        out255 = _reinhard_apply_masked(rgb, reference, None, method_params)
+        return np.clip(out255, 0, 255).astype(out_dtype)
+    out255 = _normalize_core(rgb, reference, method=method, method_params=method_params, **kwargs)
+    return out255.astype(out_dtype)
+
+
+def _normalize_core(
+    rgb: np.ndarray,
+    reference: StainReference,
+    *,
+    method: str = "macenko",
+    method_params: Any = None,
+    tissue_mask: np.ndarray | None = None,
+    **kwargs: Any,
+) -> np.ndarray:
+    """0-255-scale normalized float image for a 0-255-scale float source."""
+    src = fit_stain_reference(
+        rgb, method=method, white_point=reference.white_point,
+        method_params=method_params, tissue_mask=tissue_mask, **kwargs,
+    )
     scale = np.ones(3)
     scale[:2] = reference.max_concentrations / src.max_concentrations
     # fold deconvolve -> rescale -> reconvolve into ONE 3x3 pixel matrix
@@ -414,12 +860,48 @@ def normalize_stains(
         wp32 = reference.white_point.astype(np.float32)
         od = -np.log10(np.maximum(rgb, 1.0) / wp32)
         od_out = (od.reshape(-1, 3) @ combined.astype(np.float32)).reshape(od.shape)
-        rgb_out = np.clip(wp32 * np.exp(od_out * np.float32(-np.log(10.0))), 0, 255)
-        return rgb_out.astype(out_dtype)
+        return np.clip(wp32 * np.exp(od_out * np.float32(-np.log(10.0))), 0, 255)
     od = _rgb_to_od(jnp.asarray(rgb), jnp.asarray(reference.white_point))
     od_out = jnp.dot(od.reshape(-1, 3), jnp.asarray(combined)).reshape(od.shape)
     rgb_out = _od_to_rgb(od_out, jnp.asarray(reference.white_point))
-    return np.asarray(rgb_out).astype(out_dtype)
+    return np.asarray(rgb_out)
+
+
+def _reinhard_apply_masked(
+    rgb255: np.ndarray,
+    reference: StainReference,
+    tissue_mask: np.ndarray | None,
+    method_params: Any,
+) -> np.ndarray:
+    """Reinhard LAB transfer toward a fitted reference's mu/sigma, with the
+    SOURCE statistics reduced over the tissue mask (or a luminosity mask when
+    none is given). Returns a 0-255-scale float image."""
+    rp = ReinhardParams()
+    if method_params is not None:
+        from squidpy_tpu.experimental._params import resolve_params
+
+        rp = resolve_params(method_params, ReinhardParams, "method_params")
+    if reference.mu is None or reference.sigma is None:
+        raise ValueError("Reinhard normalization requires a reference with mu/sigma statistics.")
+    # np.array (not asarray): the device result is read-only and the transfer
+    # below runs in place
+    lab = _rgb_to_lab_host(rgb255) if _apply_on_host(rgb255) else np.array(_rgb_to_lab(jnp.asarray(rgb255)))
+    if tissue_mask is not None and tissue_mask.any():
+        m = np.asarray(tissue_mask, dtype=bool)
+    elif rp.mask_background:
+        m = rgb255.mean(axis=-1) / 255.0 < rp.luminosity_threshold
+        if not m.any():
+            m = np.ones(rgb255.shape[:2], dtype=bool)
+    else:
+        m = np.ones(rgb255.shape[:2], dtype=bool)
+    sel = lab[m]
+    src_mean = sel.mean(axis=0).astype(np.float32)
+    src_std = sel.std(axis=0)
+    src_std[src_std == 0] = 1.0
+    lab -= src_mean
+    lab *= np.asarray(reference.sigma, dtype=np.float32) / src_std.astype(np.float32)
+    lab += np.asarray(reference.mu, dtype=np.float32)
+    return _lab_to_rgb_host(lab)
 
 
 # ---------------------------------------------------------------------------
@@ -556,7 +1038,13 @@ def apply_stain_normalization(
     """
     if method == "reinhard":
         if isinstance(reference, StainReference):
-            raise TypeError("`method='reinhard'` takes a reference IMAGE, not a StainReference.")
+            if reference.method != "reinhard" or reference.mu is None:
+                raise TypeError(
+                    "`method='reinhard'` takes a reference IMAGE or a reinhard StainReference."
+                )
+            return reinhard_normalize(
+                image, target_means=reference.mu, target_stds=reference.sigma, **kwargs
+            )
         return reinhard_normalize(image, reference_image=reference if reference is not None else image, **kwargs)
     if reference is None:
         ref = fit_stain_reference(image, method=method, **kwargs)

@@ -1,43 +1,183 @@
-"""Chunked region-property iteration over large label images (reference:
-/root/reference/src/squidpy/experimental/utils/_labels.py:19-)."""
+"""Chunked region-property iteration over large label images.
+
+Reference contract: /root/reference/src/squidpy/experimental/utils/_labels.py:19-57
+— yield ``(label_id, region, y0, x0)`` tuples with chunk-LOCAL region
+coordinates, reading at most ``chunk_size`` × ``chunk_size`` pixels at a time
+so memory stays bounded for WSI-scale label images; ``label_subset`` filters
+the yielded ids; background (0) is never yielded.
+
+The reference leans on ``skimage.measure.regionprops``; this build computes
+the per-chunk statistics vectorized (dense relabel + ``find_objects`` +
+bincount reductions) and yields a lightweight :class:`ChunkRegion` exposing
+the RegionProperties attributes its consumers read (``label``, ``bbox``,
+``slice``, ``area``, ``centroid``, ``image``, ``coords``,
+``mean_intensity``).
+"""
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Iterable, Iterator
 from typing import Any
 
 import numpy as np
 
-from squidpy_tpu.ops.features import regionprops
+__all__ = ["ChunkRegion", "iter_chunked_regionprops", "resolve_labels_array"]
 
-__all__ = ["iter_chunked_regionprops"]
+
+class ChunkRegion:
+    """A single labeled region inside one chunk (coordinates chunk-local)."""
+
+    __slots__ = ("label", "bbox", "area", "centroid", "_chunk", "_mean_intensity")
+
+    def __init__(
+        self,
+        label: int,
+        bbox: tuple[int, int, int, int],
+        area: int,
+        centroid: tuple[float, float],
+        chunk: np.ndarray,
+        mean_intensity: float | None = None,
+    ) -> None:
+        self.label = label
+        self.bbox = bbox
+        self.area = area
+        self.centroid = centroid
+        self._chunk = chunk
+        self._mean_intensity = mean_intensity
+
+    @property
+    def slice(self) -> tuple[slice, slice]:
+        r0, c0, r1, c1 = self.bbox
+        return (slice(r0, r1), slice(c0, c1))
+
+    @property
+    def image(self) -> np.ndarray:
+        """Boolean mask of the region inside its bbox."""
+        return self._chunk[self.slice] == self.label
+
+    @property
+    def coords(self) -> np.ndarray:
+        """(area, 2) chunk-local (row, col) pixel coordinates."""
+        r0, c0 = self.bbox[:2]
+        rr, cc = np.nonzero(self.image)
+        return np.column_stack([rr + r0, cc + c0])
+
+    @property
+    def mean_intensity(self) -> float:
+        if self._mean_intensity is None:
+            raise AttributeError("mean_intensity requires `intensity_image`.")
+        return self._mean_intensity
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"ChunkRegion(label={self.label}, bbox={self.bbox}, area={self.area})"
+
+
+def _chunk_regions(
+    chunk: np.ndarray,
+    subset: set[int] | None,
+    intensity: np.ndarray | None,
+) -> Iterator[ChunkRegion]:
+    from scipy import ndimage
+
+    uniq = np.unique(chunk)
+    uniq = uniq[uniq != 0]
+    if subset is not None:
+        uniq = uniq[np.isin(uniq, np.fromiter(subset, dtype=np.int64, count=len(subset)))]
+    if not len(uniq):
+        return
+    # dense relabel so find_objects/bincount stay O(n_present), not O(max id)
+    dense = np.searchsorted(uniq, chunk)
+    dense[chunk == 0] = -1
+    dense += 1  # 0 = background, 1..m = uniq order
+    slices = ndimage.find_objects(dense)
+    flat = dense.ravel()
+    area = np.bincount(flat, minlength=len(uniq) + 1)[1:]
+    h, w = chunk.shape
+    yy = np.repeat(np.arange(h, dtype=np.float64), w)
+    xx = np.tile(np.arange(w, dtype=np.float64), h)
+    cy = np.bincount(flat, weights=yy, minlength=len(uniq) + 1)[1:] / area
+    cx = np.bincount(flat, weights=xx, minlength=len(uniq) + 1)[1:] / area
+    mean_int = None
+    if intensity is not None:
+        if intensity.ndim == 3:  # channels: mean over all channels, like skimage's per-channel mean collapsed
+            intensity = intensity.mean(axis=-1)
+        mean_int = (
+            np.bincount(flat, weights=intensity.ravel().astype(np.float64), minlength=len(uniq) + 1)[1:] / area
+        )
+    for i, lid in enumerate(uniq):
+        sl = slices[i]
+        if sl is None:  # pragma: no cover - cannot happen after the isin filter
+            continue
+        bbox = (sl[0].start, sl[1].start, sl[0].stop, sl[1].stop)
+        yield ChunkRegion(
+            int(lid),
+            bbox,
+            int(area[i]),
+            (float(cy[i]), float(cx[i])),
+            chunk,
+            None if mean_int is None else float(mean_int[i]),
+        )
 
 
 def iter_chunked_regionprops(
     labels: Any,
-    properties: Sequence[str] = ("label", "area", "centroid"),
     chunk_size: int = 4096,
+    label_subset: Iterable[int] | None = None,
+    *,
     intensity_image: Any | None = None,
-) -> Iterator[dict[str, np.ndarray]]:
-    """Yield per-chunk regionprops dicts without materializing the full array.
+) -> Iterator[tuple[int, ChunkRegion, int, int]]:
+    """Yield ``(label_id, region, y0, x0)`` over chunked regionprops of a
+    labels array.
 
-    Cells spanning chunk borders appear in multiple chunks with partial
-    statistics — use :func:`squidpy_tpu.experimental.im.compute_cell_info_tiled`
-    when exact merged centroids are needed.
+    ``region`` coordinates (``bbox``, ``centroid``, ``slice``, ``coords``)
+    are LOCAL to the chunk; add ``y0`` / ``x0`` for global coordinates. Cells
+    spanning chunk borders appear once per intersected chunk with partial
+    statistics — merge across yields (as
+    :func:`squidpy_tpu.experimental.tl.assign_stitch_groups` does for
+    bboxes), or use
+    :func:`squidpy_tpu.experimental.im.compute_cell_info_tiled` when exact
+    merged centroids are needed. ``label_subset`` restricts the yielded ids;
+    background (0) is never yielded. ``intensity_image`` (same (y, x) shape,
+    optional trailing channels) enables ``region.mean_intensity``.
     """
-    h, w = labels.shape[-2], labels.shape[-1]
+    subset = None if label_subset is None else {int(x) for x in label_subset}
+    if subset is not None and not subset:
+        return
+    h, w = int(labels.shape[-2]), int(labels.shape[-1])
     for y0 in range(0, h, chunk_size):
         for x0 in range(0, w, chunk_size):
-            chunk = np.asarray(labels[..., y0 : y0 + chunk_size, x0 : x0 + chunk_size]).squeeze()
-            if chunk.max() == 0:
+            chunk = np.asarray(labels[..., y0 : y0 + chunk_size, x0 : x0 + chunk_size])
+            while chunk.ndim > 2:
+                chunk = chunk.squeeze(0)
+            if chunk.size == 0 or not chunk.any():
                 continue
-            intens = (
-                np.asarray(intensity_image[..., y0 : y0 + chunk_size, x0 : x0 + chunk_size]).squeeze()
-                if intensity_image is not None
-                else None
-            )
-            res = regionprops(chunk, list(properties), intensity_image=intens)
-            if "centroid-0" in res:
-                res["centroid-0"] = res["centroid-0"] + y0
-                res["centroid-1"] = res["centroid-1"] + x0
-            yield res
+            intens = None
+            if intensity_image is not None:
+                intens = np.asarray(intensity_image[y0 : y0 + chunk_size, x0 : x0 + chunk_size])
+            for region in _chunk_regions(chunk, subset, intens):
+                yield region.label, region, y0, x0
+
+
+def resolve_labels_array(sdata: Any, labels_key: str, scale: str | None = None) -> np.ndarray:
+    """Resolve a labels element to its 2-D array (reference:
+    /root/reference/src/squidpy/experimental/utils/_labels.py:59-73).
+
+    Single-scale elements pass through; multi-scale (dict-of-scales) elements
+    require an explicit ``scale`` and raise otherwise; ``scale`` on a
+    single-scale element logs a warning and is ignored.
+    """
+    from squidpy_tpu.utils import logg
+
+    labels = getattr(sdata, "labels", None) or {}
+    if labels_key not in labels:
+        raise KeyError(f"Labels element `{labels_key}` not found in sdata.labels.")
+    node = labels[labels_key]
+    if hasattr(node, "keys") and not hasattr(node, "shape"):  # multiscale dict
+        if scale is None:
+            raise ValueError(f"Labels `{labels_key}` is multi-scale; pass `scale` (e.g. 'scale0').")
+        if scale not in node:
+            raise KeyError(f"Scale `{scale}` not found in labels `{labels_key}`; available: {sorted(node)}.")
+        return np.asarray(node[scale]).squeeze()
+    if scale is not None:
+        logg.warning(f"`scale={scale!r}` ignored: labels at `{labels_key}` are single-scale.")
+    return np.asarray(node).squeeze()

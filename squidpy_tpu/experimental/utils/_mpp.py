@@ -182,17 +182,106 @@ def derive_mpp(
     return um_square_edge / edge_target
 
 
+def _shapes_element_geometry(elem: Any) -> tuple[Any, np.ndarray | None]:
+    """Extract ``(shapes, radii)`` for :func:`derive_mpp` from a shapes
+    element: a DataFrame with ``x``/``y`` (+ optional ``radius``) columns, a
+    column of polygon vertex arrays, or raw arrays."""
+    if hasattr(elem, "columns"):
+        cols = set(elem.columns)
+        if "geometry" in cols:
+            geoms = list(elem["geometry"])
+            if geoms and hasattr(geoms[0], "exterior"):  # shapely-like
+                polys = [np.asarray(g.exterior.coords)[:-1] for g in geoms]
+            else:
+                polys = [np.asarray(g, dtype=float) for g in geoms]
+            return polys, None
+        if {"x", "y"} <= cols:
+            pts = np.column_stack([np.asarray(elem["x"], float), np.asarray(elem["y"], float)])
+            radii = np.asarray(elem["radius"], float) if "radius" in cols else None
+            return pts, radii
+        raise ValueError(
+            f"Cannot extract geometry from shapes element with columns {sorted(cols)}; "
+            "need `x`/`y` (points) or `geometry` (polygons)."
+        )
+    return elem, None
+
+
+def _element_transform(elem: Any, coordinate_system: str) -> Any:
+    """Affine of ``elem`` into ``coordinate_system``, duck-typed.
+
+    The reference reads the spatialdata transform registry
+    (_derive_mpp.py:109-122); this build's elements are expressed in their
+    target frame (identity) unless the element carries an
+    ``attrs['transform']`` mapping — in which case an unregistered
+    ``coordinate_system`` raises, matching the reference."""
+    attrs = getattr(elem, "attrs", None)
+    transforms = attrs.get("transform") if isinstance(attrs, dict) else None
+    if isinstance(transforms, dict):
+        if coordinate_system not in transforms:
+            raise ValueError(
+                f"Coordinate system {coordinate_system!r} is not registered for this shapes "
+                f"element. Available: {sorted(transforms)}."
+            )
+        return transforms[coordinate_system]
+    return None
+
+
 def derive_mpp_from_shapes(
-    shapes: Any,
-    known_diameter_um: float = 55.0,
+    sdata: Any,
+    shapes_key: Any = None,
+    coordinate_system: str | None = None,
+    *,
+    um_between_centers: float | None = None,
+    um_diameter: float | None = None,
+    um_square_edge: float | None = None,
     radius_column: str = "radius",
 ) -> float:
-    """Derive microns-per-pixel from spot shapes of known physical diameter.
+    """Derive microns-per-pixel from a shapes element with a known physical
+    scale (reference surface:
+    /root/reference/src/squidpy/experimental/utils/_derive_mpp.py:22-150).
 
-    Legacy convenience wrapper over :func:`derive_mpp`'s diameter method:
-    ``shapes`` is a DataFrame-like with a radius column (pixels), or an
-    ``(n,)`` array of radii; Visium spots are 55 µm across by spec.
+    ``derive_mpp_from_shapes(sdata, shapes_key, coordinate_system,
+    um_between_centers=100)`` resolves ``sdata.shapes[shapes_key]`` (a
+    DataFrame with ``x``/``y`` [+ ``radius``] columns for points, or a
+    ``geometry`` column of polygon vertex arrays) and measures the chosen
+    physical quantity in ``coordinate_system``. Exactly one of
+    ``um_between_centers`` / ``um_diameter`` / ``um_square_edge`` must be
+    given; geometry/physical-input mismatches and anisotropic transforms
+    raise ``ValueError`` (see :func:`derive_mpp`). Elements are taken as
+    expressed in their target frame unless they carry an
+    ``attrs['transform']`` mapping.
+
+    Legacy array form: ``derive_mpp_from_shapes(radii)`` (or a DataFrame
+    with ``radius_column``) assumes Visium's 55 µm spot diameter;
+    ``um_diameter`` overrides it.
     """
+    shapes_trees = getattr(sdata, "shapes", None)
+    if isinstance(shapes_trees, dict) or (
+        shapes_trees is not None and hasattr(shapes_trees, "keys") and hasattr(shapes_trees, "__getitem__")
+    ):
+        if shapes_key is None:
+            raise ValueError("Pass `shapes_key` to select a shapes element from the SpatialData object.")
+        if shapes_key not in shapes_trees:
+            raise KeyError(f"Shapes element {shapes_key!r} not found in sdata.shapes.")
+        elem = shapes_trees[shapes_key]
+        if hasattr(elem, "__len__") and len(elem) == 0:
+            raise ValueError(f"Shapes element {shapes_key!r} is empty; cannot derive mpp.")
+        geom, radii = _shapes_element_geometry(elem)
+        transform = None if coordinate_system is None else _element_transform(elem, coordinate_system)
+        return derive_mpp(
+            geom,
+            um_between_centers=um_between_centers,
+            um_diameter=um_diameter,
+            um_square_edge=um_square_edge,
+            radii=radii,
+            transform=transform,
+        )
+
+    # legacy array form: (radii_or_df, known_diameter_um=55.0)
+    shapes = sdata
+    known_diameter_um = float(shapes_key) if shapes_key is not None else (
+        um_diameter if um_diameter is not None else 55.0
+    )
     if hasattr(shapes, "columns"):
         if radius_column not in shapes.columns:
             raise KeyError(f"Column `{radius_column}` not found in shapes.")

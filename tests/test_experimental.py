@@ -443,14 +443,124 @@ class TestUtils:
         assert derive_mpp_from_shapes(radii) == pytest.approx(1.0)
 
     def test_iter_chunked_regionprops(self):
+        """Reference yield contract (utils/_labels.py:19-57): (lid, region,
+        y0, x0) tuples with chunk-local coordinates; total area conserved."""
         from squidpy_tpu.experimental.utils import iter_chunked_regionprops
 
         labels, image = _synthetic_cells()
-        chunks = list(iter_chunked_regionprops(labels, chunk_size=130, intensity_image=image,
-                                               properties=["label", "area", "centroid", "mean_intensity"]))
-        assert len(chunks) >= 4
-        total_area = sum(c["area"].sum() for c in chunks)
-        assert total_area == (labels > 0).sum()
+        out = list(iter_chunked_regionprops(labels, chunk_size=130, intensity_image=image))
+        assert len(out) >= 4
+        assert all(lid == r.label and lid > 0 for lid, r, _, _ in out)
+        assert sum(r.area for _, r, _, _ in out) == (labels > 0).sum()
+        for lid, r, y0, x0 in out:
+            r0, c0, r1, c1 = r.bbox
+            assert r.image.shape == (r1 - r0, c1 - c0)
+            assert r.image.sum() == r.area
+            # global bbox stays inside the labels array
+            assert 0 <= r0 + y0 and r1 + y0 <= labels.shape[0]
+            assert 0 <= c0 + x0 and c1 + x0 <= labels.shape[1]
+            np.testing.assert_allclose(
+                r.centroid, r.coords.mean(axis=0), atol=1e-9
+            )
+            assert np.isfinite(r.mean_intensity)
+
+    def test_iter_chunked_regionprops_label_subset(self):
+        from squidpy_tpu.experimental.utils import iter_chunked_regionprops
+
+        labels, _ = _synthetic_cells()
+        present = [int(x) for x in np.unique(labels) if x][:2]
+        out = list(iter_chunked_regionprops(labels, chunk_size=130, label_subset=present))
+        assert {lid for lid, _, _, _ in out} == set(present)
+        assert list(iter_chunked_regionprops(labels, label_subset=[])) == []
+
+    def test_iter_chunked_regionprops_matches_unchunked(self):
+        """Chunked stats over one full-size chunk equal the global ones."""
+        from squidpy_tpu.experimental.utils import iter_chunked_regionprops
+
+        labels, _ = _synthetic_cells()
+        whole = {lid: r for lid, r, _, _ in iter_chunked_regionprops(labels, chunk_size=10_000)}
+        for lid in whole:
+            m = labels == lid
+            assert whole[lid].area == m.sum()
+            rr, cc = np.nonzero(m)
+            np.testing.assert_allclose(whole[lid].centroid, (rr.mean(), cc.mean()))
+
+    def test_resolve_labels_array(self):
+        from squidpy_tpu._core.spatialdata import SpatialData
+        from squidpy_tpu.experimental.utils import resolve_labels_array
+
+        lab = np.arange(16, dtype=np.int32).reshape(4, 4)
+        sdata = SpatialData(labels={"single": lab, "multi": {"scale0": lab, "scale1": lab[::2, ::2]}})
+        np.testing.assert_array_equal(resolve_labels_array(sdata, "single"), lab)
+        np.testing.assert_array_equal(resolve_labels_array(sdata, "multi", "scale1"), lab[::2, ::2])
+        with pytest.raises(ValueError, match="multi-scale"):
+            resolve_labels_array(sdata, "multi")
+        with pytest.raises(KeyError, match="scale7"):
+            resolve_labels_array(sdata, "multi", "scale7")
+        with pytest.raises(KeyError, match="nope"):
+            resolve_labels_array(sdata, "nope")
+
+    def test_derive_mpp_from_shapes_sdata_form(self):
+        """Reference call surface (_derive_mpp.py:22-30): (sdata, shapes_key,
+        coordinate_system, *, um_...)."""
+        import pandas as pd
+
+        from squidpy_tpu._core.spatialdata import SpatialData
+        from squidpy_tpu.experimental.utils import derive_mpp_from_shapes
+
+        yy, xx = np.mgrid[0:10, 0:10]
+        spots = pd.DataFrame({
+            "x": (xx * 50.0).ravel(), "y": (yy * 50.0).ravel(),
+            "radius": np.full(100, 13.75),
+        })
+        sdata = SpatialData(shapes={"spots": spots})
+        # Visium v1: 100 um pitch on a 50 px grid -> 2 um/px
+        assert derive_mpp_from_shapes(
+            sdata, "spots", "global", um_between_centers=100.0
+        ) == pytest.approx(2.0)
+        # 55 um diameter on 27.5 px spots -> 2 um/px
+        assert derive_mpp_from_shapes(
+            sdata, "spots", "global", um_diameter=55.0
+        ) == pytest.approx(2.0)
+        with pytest.raises(ValueError, match="exactly one"):
+            derive_mpp_from_shapes(sdata, "spots", "global")
+        with pytest.raises(KeyError, match="missing"):
+            derive_mpp_from_shapes(sdata, "missing", "global", um_diameter=55.0)
+        with pytest.raises(ValueError, match="empty"):
+            derive_mpp_from_shapes(
+                SpatialData(shapes={"e": spots.iloc[:0]}), "e", "global", um_diameter=55.0
+            )
+
+    def test_derive_mpp_from_shapes_polygons_and_transform(self):
+        import pandas as pd
+
+        from squidpy_tpu._core.spatialdata import SpatialData
+        from squidpy_tpu.experimental.utils import derive_mpp_from_shapes
+
+        # 8x8 px square bins on a 10 px grid
+        polys = []
+        for y in range(6):
+            for x in range(6):
+                x0, y0 = x * 10.0, y * 10.0
+                polys.append(np.array([[x0, y0], [x0 + 8, y0], [x0 + 8, y0 + 8], [x0, y0 + 8]]))
+        bins = pd.DataFrame({"geometry": polys})
+        sdata = SpatialData(shapes={"bins": bins})
+        assert derive_mpp_from_shapes(
+            sdata, "bins", "global", um_square_edge=16.0
+        ) == pytest.approx(2.0)
+        # um_diameter needs points
+        with pytest.raises(ValueError, match="requires point"):
+            derive_mpp_from_shapes(sdata, "bins", "global", um_diameter=55.0)
+        # registered transforms: unknown coordinate system raises
+        bins2 = pd.DataFrame({"geometry": polys})
+        bins2.attrs = {"transform": {"downscaled": np.diag([0.5, 0.5])}}
+        sdata2 = SpatialData(shapes={"bins": bins2})
+        with pytest.raises(ValueError, match="not registered"):
+            derive_mpp_from_shapes(sdata2, "bins", "global", um_square_edge=16.0)
+        # a 0.5x similarity into the target frame halves the pixel edge
+        assert derive_mpp_from_shapes(
+            sdata2, "bins", "downscaled", um_square_edge=16.0
+        ) == pytest.approx(4.0)
 
 
 def test_tiled_featurization_channel_layouts():

@@ -131,7 +131,8 @@ class TestQcImageSdata:
 
     def test_auto_tile_size(self, he_sdata):
         qc = exp_im.qc_image(he_sdata, image_key="he", tile_size="auto")
-        assert qc.uns["qc_image"]["tile_size"] >= 32
+        ty, tx = qc.uns["qc_image"]["tile_size"]
+        assert ty >= 32 and tx >= 32
 
 
 class TestMakeTilesSdata:
