@@ -325,7 +325,9 @@ def qc_image(
             within=adata.obs["is_tissue"].to_numpy() if detect_tissue else None,
         )
     if sdata is not None:
-        store_table(sdata, key_added or f"{image_key or 'image'}_qc", adata)
+        # reference on-disk table key contract: sdata.tables[f"qc_img_{image_key}"]
+        # (/root/reference/src/squidpy/experimental/im/_qc_image.py:109,316)
+        store_table(sdata, key_added or f"qc_img_{image_key or 'image'}", adata)
     if preview:
         from squidpy_tpu.experimental import pl as _exp_pl
 

@@ -197,25 +197,25 @@ def _ingest_rgb(image: Any, white_point: NDArrayA | None) -> tuple[np.ndarray, n
     return rgb, wp
 
 
-def default_white_point(image: Any) -> np.ndarray:
+def default_white_point(rgb: Any) -> np.ndarray:
     """Full-white ``I_0`` in the image's own unit convention: the dtype max
     for integer images (255 / 65535), 1.0 for [0, 1] floats, 255 for
     0-255-scale floats (reference semantics,
     experimental/im/_stain/_white_point.py:22-28, extended to be value-aware
     for floats so it always agrees with the kernels' canonicalization)."""
-    arr = np.asarray(image)
+    arr = np.asarray(rgb)
     if np.issubdtype(arr.dtype, np.integer):
         return np.full(3, float(np.iinfo(arr.dtype).max), dtype=np.float64)
     data_max = float(arr.max()) if arr.size else 0.0
     return np.full(3, 255.0 if data_max > 1.5 else 1.0, dtype=np.float64)
 
 
-def validate_rgb_range(image: Any) -> None:
+def validate_rgb_range(rgb: Any) -> None:
     """Raise when values clearly don't match any supported convention: 8-bit
     data in a wider integer container, or floats whose maximum sits between
     the [0, 1] and 0-255 conventions (neither scale is plausible). Pass an
     explicit ``white_point`` to bypass (reference: _white_point.py:31-50)."""
-    arr = np.asarray(image)
+    arr = np.asarray(rgb)
     data_max = float(arr.max()) if arr.size else 0.0
     if np.issubdtype(arr.dtype, np.integer):
         if np.iinfo(arr.dtype).max >= 256 and data_max <= 255:
@@ -231,7 +231,7 @@ def validate_rgb_range(image: Any) -> None:
         )
 
 
-def white_point_from_background(image: Any, background_mask: np.ndarray) -> np.ndarray:
+def white_point_from_background(rgb: Any, background_mask: np.ndarray) -> np.ndarray:
     """Per-channel MEDIAN intensity over true background pixels → ``(3,)``.
 
     Anchors ``I_0`` to the actual unstained intensity instead of a whole-image
@@ -239,7 +239,7 @@ def white_point_from_background(image: Any, background_mask: np.ndarray) -> np.n
     ``background_intensity`` semantics). ``background_mask`` is ``(y, x)``
     True over non-tissue pixels.
     """
-    rgb = _as_float_rgb(image)
+    rgb = _as_float_rgb(rgb)
     mask = np.asarray(background_mask, dtype=bool)
     if mask.shape != rgb.shape[:2]:
         raise ValueError(

@@ -125,17 +125,17 @@ def compute_cell_info(labels: np.ndarray) -> dict[int, CellInfo]:
     return _acc_to_info(acc)
 
 
-def compute_cell_info_tiled(labels: Any, chunk_size: int = 4096) -> dict[int, CellInfo]:
+def compute_cell_info_tiled(labels_da: Any, chunk_size: int = 4096) -> dict[int, CellInfo]:
     """Streaming centroid pass over a sliceable (possibly on-disk) label array.
 
     A label spanning chunk boundaries is recovered by area-weighted merging of
     per-chunk partial sums (reference: _tiling.py:155-220).
     """
-    height, width = labels.shape[-2], labels.shape[-1]
+    height, width = labels_da.shape[-2], labels_da.shape[-1]
     acc: dict[int, list[float]] = {}
     for y0 in range(0, height, chunk_size):
         for x0 in range(0, width, chunk_size):
-            chunk = _as_2d(np.asarray(labels[..., y0 : y0 + chunk_size, x0 : x0 + chunk_size]))
+            chunk = _as_2d(np.asarray(labels_da[..., y0 : y0 + chunk_size, x0 : x0 + chunk_size]))
             _accumulate_chunk(chunk, y0, x0, acc)
     return _acc_to_info(acc)
 
@@ -146,15 +146,15 @@ def _yx_size(arr: Any) -> tuple[int, int]:
 
 
 def compute_cell_info_multiscale(
-    pyramid: Any,
+    labels_node: Any,
     target_scale: str | int = "scale0",
 ) -> dict[int, CellInfo]:
-    """Centroids/bboxes from the COARSEST level of a multiscale label pyramid,
+    """Centroids/bboxes from the COARSEST level of a multiscale label labels_node,
     rescaled to ``target_scale`` coordinates.
 
     Mirrors the reference's ``compute_cell_info_multiscale``
     (/root/reference/src/squidpy/experimental/im/_tiling.py:115-155) but
-    duck-typed instead of xarray-DataTree-bound: ``pyramid`` is either a
+    duck-typed instead of xarray-DataTree-bound: ``labels_node`` is either a
     mapping of scale name → 2D sliceable label array or a sequence of such
     arrays (``target_scale`` then being an index). Only the smallest level is
     materialized — the cheap pass for WSI pyramids whose full resolution never
@@ -163,16 +163,16 @@ def compute_cell_info_multiscale(
     Centroid coordinates scale exactly; bbox corners are floored and extents
     ceiled so the scaled box always covers the cell.
     """
-    if hasattr(pyramid, "keys"):
-        keys = list(pyramid.keys())
+    if hasattr(labels_node, "keys"):
+        keys = list(labels_node.keys())
         if not keys:
             return {}
-        get = pyramid.__getitem__
+        get = labels_node.__getitem__
         target = get(target_scale)
         coarsest_key = min(keys, key=lambda k: int(np.prod(_yx_size(get(k)))))
         coarse = get(coarsest_key)
     else:
-        levels = list(pyramid)
+        levels = list(labels_node)
         if not levels:
             return {}
         if isinstance(target_scale, str):

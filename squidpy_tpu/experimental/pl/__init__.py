@@ -64,6 +64,7 @@ def _stats_panel(ax: Any, values: np.ndarray, name: str) -> None:
 
 def qc_image(
     qc_adata: Any,
+    image_key: str | None = None,
     metrics: list[str] | None = None,
     cmap: str = "viridis",
     figsize: tuple[float, float] | None = None,
@@ -75,7 +76,26 @@ def qc_image(
     """Summary view of tile-QC metrics: one row per metric with a spatial
     tile map, a tissue/background KDE distribution, and a statistics panel
     (companion to :func:`squidpy_tpu.experimental.im.qc_image`; same panel
-    anatomy as the reference's experimental/pl/_qc_image.py:45-199)."""
+    anatomy as the reference's experimental/pl/_qc_image.py:45-199).
+
+    SpatialData form — ``qc_image(sdata, image_key, ...)`` (reference:
+    experimental/pl/_qc_image.py:14-56) — reads the QC table written by
+    :func:`squidpy_tpu.experimental.im.qc_image` at
+    ``sdata.tables[f"qc_img_{image_key}"]``.
+    """
+    from squidpy_tpu.experimental._sdata import is_sdata
+
+    if is_sdata(qc_adata):
+        sdata = qc_adata
+        table_key = f"qc_img_{image_key}"
+        tables = getattr(sdata, "tables", None) or {}
+        if table_key not in tables:
+            raise ValueError(
+                f"No QC data found for image '{image_key}'. Run experimental.im.qc_image() first."
+            )
+        qc_adata = tables[table_key]
+    if "qc_image" not in qc_adata.uns:
+        raise ValueError("No qc_image metadata found. Run experimental.im.qc_image() first.")
     ny, nx = qc_adata.uns["qc_image"]["grid_shape"]
     metrics = metrics or list(qc_adata.var_names)
     unknown = [m for m in metrics if m not in set(qc_adata.var_names)]
@@ -105,25 +125,61 @@ def qc_image(
 
 def tiling_qc(
     qc_adata: Any,
-    labels: Any | None = None,
+    labels_key: str | None = None,
+    qc_key: str | None = None,
+    score_col: str = "cut_score",
+    cmap: str = "viridis",
     figsize: tuple[float, float] | None = None,
+    *,
+    labels: Any | None = None,
     dpi: int | None = None,
     save: str | Path | None = None,
     **kwargs: Any,
 ) -> None:
-    """Scatter cells colored by their tile-cut score, highlighting flagged cells
-    (companion to :func:`squidpy_tpu.experimental.tl.calculate_tiling_qc`)."""
+    """Cells colored by their tiling-artifact score, highlighting flagged
+    cells (companion to
+    :func:`squidpy_tpu.experimental.tl.calculate_tiling_qc`).
+
+    SpatialData form — ``tiling_qc(sdata, labels_key, qc_key, score_col,
+    cmap)`` (reference surface: experimental/pl/_tiling_qc.py:12-26;
+    reference defaults ``score_col='nhood_outlier_fraction'``,
+    ``cmap='RdYlGn_r'``) — reads the QC table at
+    ``sdata.tables[qc_key or f"{labels_key}_qc"]`` and overlays the labels
+    element. The array form takes a QC AnnData plus an optional ``labels``
+    array.
+    """
+    from squidpy_tpu.experimental._sdata import is_sdata, resolve_scale
+
+    if is_sdata(qc_adata):
+        sdata = qc_adata
+        table_key = qc_key if qc_key is not None else f"{labels_key}_qc"
+        tables = getattr(sdata, "tables", None) or {}
+        if table_key not in tables:
+            raise ValueError(
+                f"No tiling-QC table `{table_key}` in sdata.tables. "
+                "Run experimental.tl.calculate_tiling_qc() first."
+            )
+        qc_adata = tables[table_key]
+        if labels is None and labels_key in (getattr(sdata, "labels", None) or {}):
+            labels = resolve_scale(sdata.labels[labels_key], "auto")
+    if score_col not in qc_adata.obs:
+        raise ValueError(
+            f"Score column `{score_col}` not in the QC table. "
+            f"Available: {sorted(qc_adata.obs.columns)}."
+        )
     coords = np.asarray(qc_adata.obsm["spatial"])
-    scores = np.asarray(qc_adata.obs["cut_score"], dtype=float)
-    flagged = np.asarray(qc_adata.obs["tile_cut"], dtype=bool)
+    scores = np.asarray(qc_adata.obs[score_col], dtype=float)
     fig, ax = plt.subplots(figsize=figsize or (6, 6), dpi=dpi)
     if labels is not None:
         ax.imshow(np.asarray(labels).squeeze() > 0, cmap="gray", alpha=0.3)
-    sc = ax.scatter(coords[:, 0], coords[:, 1], c=scores, s=8, cmap="viridis", **kwargs)
-    ax.scatter(coords[flagged, 0], coords[flagged, 1], facecolors="none", edgecolors="red", s=40, label="tile_cut")
-    fig.colorbar(sc, ax=ax, label="cut_score")
+    sc = ax.scatter(coords[:, 0], coords[:, 1], c=scores, s=8, cmap=cmap, **kwargs)
+    if "tile_cut" in qc_adata.obs:
+        flagged = np.asarray(qc_adata.obs["tile_cut"], dtype=bool)
+        ax.scatter(coords[flagged, 0], coords[flagged, 1], facecolors="none",
+                   edgecolors="red", s=40, label="tile_cut")
+        ax.legend()
+    fig.colorbar(sc, ax=ax, label=score_col)
     ax.invert_yaxis()
-    ax.legend()
     ax.set_title("Tiling QC")
     if save is not None:
         save_fig(fig, save)

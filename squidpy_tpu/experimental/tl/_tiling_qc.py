@@ -217,6 +217,14 @@ def calculate_tiling_qc(
     df["is_outlier"] = (outlier_use_cut & cut_out) | (outlier_use_smoothed & smooth_out)
     df["nhood_outlier_fraction"] = smooth_out[nbr].mean(axis=1)
 
+    # reference score columns (tl/_tiling_qc.py:515-523): the longest straight
+    # boundary run over the cell's equivalent diameter, and its axis alignment.
+    # This build's run detector only measures cardinal (axis-aligned) runs, so
+    # alignment is 1.0 wherever a run exists and 0.0 otherwise.
+    eq_diam = 2.0 * np.sqrt(df["area"].to_numpy(dtype=float) / np.pi)
+    df["max_straight_edge_ratio"] = df["straight_run_px"].to_numpy(dtype=float) / np.maximum(eq_diam, 1.0)
+    df["cardinal_alignment_score"] = (df["straight_run_px"].to_numpy() > 0).astype(float)
+
     obs = df.drop(columns=["centroid_y", "centroid_x"]).copy()
     obs.index = pd.Index([f"cell_{int(v)}" for v in df["label"]])
     adata = AnnData(X=df[["straight_v", "straight_h", "cut_score"]].to_numpy(), obs=obs,

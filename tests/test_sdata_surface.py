@@ -134,6 +134,24 @@ class TestQcImageSdata:
         ty, tx = qc.uns["qc_image"]["tile_size"]
         assert ty >= 32 and tx >= 32
 
+    def test_default_table_key_matches_reference(self, he_sdata):
+        """Reference table-key contract: sdata.tables[f"qc_img_{image_key}"]
+        (_qc_image.py:109,316)."""
+        exp_im.qc_image(he_sdata, image_key="he", tile_size=128)
+        assert "qc_img_he" in he_sdata.tables
+
+    def test_pl_qc_image_sdata_form(self, he_sdata, tmp_path):
+        """Reference pl surface (pl/_qc_image.py:14-56): qc_image(sdata,
+        image_key) resolves the stored table; missing table raises."""
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        with pytest.raises(ValueError, match="No QC data found"):
+            exp_pl.qc_image(he_sdata, "he")
+        exp_im.qc_image(he_sdata, image_key="he", tile_size=128)
+        axes = exp_pl.qc_image(he_sdata, "he", return_ax=True,
+                               save=str(tmp_path / "qc.png"))
+        assert axes is not None and (tmp_path / "qc.png").exists()
+
 
 class TestMakeTilesSdata:
     def test_tissue_mask_key(self, he_sdata):
@@ -207,6 +225,34 @@ class TestTilingQcStitchSdata:
         qc = exp_tl.calculate_tiling_qc(sdata, labels_key="seg", tile_size=60, downsample=2, inplace=False)
         assert qc.n_obs == 2
         assert "seg_qc" not in sdata.tables
+
+    def test_reference_score_columns(self):
+        """All five reference scores exist per cell (tl/_tiling_qc.py:515-523)."""
+        sdata = self._cut_sdata()
+        qc = exp_tl.calculate_tiling_qc(sdata, labels_key="seg", tile_size=60, inplace=False)
+        for col in ("max_straight_edge_ratio", "cardinal_alignment_score",
+                    "cut_score", "smoothed_cut_score", "is_outlier",
+                    "nhood_outlier_fraction"):
+            assert col in qc.obs.columns, col
+        ratio = qc.obs["max_straight_edge_ratio"].to_numpy(dtype=float)
+        assert np.isfinite(ratio).all() and (ratio >= 0).all()
+        # a straight run exists on the cut cells, so alignment is 1 there
+        assert qc.obs["cardinal_alignment_score"].to_numpy(dtype=float).max() == 1.0
+
+    def test_pl_tiling_qc_sdata_form(self, tmp_path):
+        """Reference pl surface (pl/_tiling_qc.py:12-26): tiling_qc(sdata,
+        labels_key, qc_key, score_col, cmap)."""
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        sdata = self._cut_sdata()
+        with pytest.raises(ValueError, match="No tiling-QC table"):
+            exp_pl.tiling_qc(sdata, "seg")
+        exp_tl.calculate_tiling_qc(sdata, labels_key="seg", tile_size=60)
+        exp_pl.tiling_qc(sdata, "seg", score_col="nhood_outlier_fraction",
+                         cmap="RdYlGn_r", save=str(tmp_path / "tq.png"))
+        assert (tmp_path / "tq.png").exists()
+        with pytest.raises(ValueError, match="Score column"):
+            exp_pl.tiling_qc(sdata, "seg", score_col="bogus")
 
 
 class TestSpatialDataContainer:
