@@ -53,6 +53,29 @@ class DatasetEntry:
     doc_header: str | None = None
     library_id: str | None = None
 
+    def get_file(self, name: str) -> FileEntry | None:
+        """A file by exact name (reference: datasets/_registry.py:65-70)."""
+        for f in self.files:
+            if f.name == name:
+                return f
+        return None
+
+    def get_file_by_suffix(self, suffix: str) -> FileEntry | None:
+        """A file by name suffix, e.g. ``'filtered_feature_bc_matrix.h5'``
+        (reference: datasets/_registry.py:72-77)."""
+        for f in self.files:
+            if f.name.endswith(suffix):
+                return f
+        return None
+
+    def get_file_by_name_prefix(self, prefix: str) -> FileEntry | None:
+        """A file by name prefix, e.g. ``'image.'`` to find image.tif or
+        image.jpg (reference: datasets/_registry.py:79-84)."""
+        for f in self.files:
+            if f.name.startswith(prefix):
+                return f
+        return None
+
 
 @dataclass
 class DatasetRegistry:
@@ -115,6 +138,13 @@ class DatasetRegistry:
     def __len__(self) -> int:
         return len(self.datasets)
 
+    def iter_by_type(self, dataset_type: str):  # noqa: ANN201
+        """Iterate the entries of one dataset type (reference:
+        datasets/_registry.py:155-159)."""
+        for entry in self.datasets.values():
+            if entry.type == dataset_type:
+                yield entry
+
     @property
     def all_names(self) -> list[str]:
         return list(self.datasets)
@@ -133,6 +163,27 @@ class DatasetRegistry:
 
     @property
     def visium_names(self) -> list[str]:
+        return self.names("visium_10x")
+
+    # reference property names (datasets/_registry.py:161-184)
+    @property
+    def anndata_datasets(self) -> list[str]:
+        return self.names("anndata")
+
+    @property
+    def image_datasets(self) -> list[str]:
+        return self.names("image")
+
+    @property
+    def spatialdata_datasets(self) -> list[str]:
+        return self.names("spatialdata")
+
+    @property
+    def visium_10x_datasets(self) -> list[str]:
+        return self.names("visium_10x")
+
+    @property
+    def visium_datasets(self) -> list[str]:
         return self.names("visium_10x")
 
 

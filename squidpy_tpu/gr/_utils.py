@@ -23,14 +23,14 @@ __all__ = [
 ]
 
 
-def extract_adata_if_sdata(data: Any, table_key: str | None = None) -> Any:
+def extract_adata_if_sdata(adata: Any, table_key: str | None = None) -> Any:
     """Accept AnnData or SpatialData; return the AnnData table.
 
     Duck-typed on ``.tables`` so it works with a real ``spatialdata.SpatialData``
     when installed (reference: /root/reference/src/squidpy/gr/_utils.py:25-52).
     """
-    if hasattr(data, "tables"):
-        tables = data.tables
+    if hasattr(adata, "tables"):
+        tables = adata.tables
         if table_key is not None:
             if table_key not in tables:
                 raise KeyError(f"Table `{table_key}` not found in `sdata.tables`.")
@@ -40,10 +40,10 @@ def extract_adata_if_sdata(data: Any, table_key: str | None = None) -> Any:
                 f"Expected exactly one table in `sdata.tables`, found `{len(tables)}`. Please specify `table_key`."
             )
         return next(iter(tables.values()))
-    if table_key is not None and not hasattr(data, "tables"):
+    if table_key is not None and not hasattr(adata, "tables"):
         # AnnData passed with table_key — harmless, ignore
         pass
-    return data
+    return adata
 
 
 def _assert_categorical_obs(adata: Any, key: str) -> None:

@@ -296,3 +296,44 @@ class TestTypedAliases:
             assert callable(getattr(sq_.datasets, name))
         # visium_10x samples load through the shared `visium(sample_id)` entry
         assert callable(sq_.datasets.visium)
+
+
+class TestReferenceRegistryApi:
+    """Reference grouping surface (datasets/_registry.py:65-189): typed
+    dataset properties, iter_by_type, and FileEntry lookup helpers."""
+
+    def test_typed_dataset_properties(self):
+        import squidpy_tpu as sq_
+
+        reg = sq_.datasets.get_registry()
+        assert reg.anndata_datasets == reg.names("anndata")
+        assert reg.image_datasets == reg.names("image")
+        assert reg.spatialdata_datasets == reg.names("spatialdata")
+        assert reg.visium_10x_datasets == reg.names("visium_10x")
+        assert reg.visium_datasets == reg.visium_10x_datasets
+        assert set(reg.all_names) == (
+            set(reg.anndata_datasets) | set(reg.image_datasets)
+            | set(reg.spatialdata_datasets) | set(reg.visium_10x_datasets)
+        )
+
+    def test_iter_by_type(self):
+        import squidpy_tpu as sq_
+
+        reg = sq_.datasets.get_registry()
+        entries = list(reg.iter_by_type("anndata"))
+        assert [e.name for e in entries] == reg.anndata_datasets
+        assert all(e.type == "anndata" for e in entries)
+        assert list(reg.iter_by_type("nope")) == []
+
+    def test_file_lookup_helpers(self):
+        import squidpy_tpu as sq_
+
+        reg = sq_.datasets.get_registry()
+        entry = next(e for e in reg if e.files)
+        f = entry.files[0]
+        assert entry.get_file(f.name) is f
+        assert entry.get_file_by_suffix(f.name[-6:]) is not None
+        assert entry.get_file_by_name_prefix(f.name[:3]) is not None
+        assert entry.get_file("definitely-not-a-file") is None
+        assert entry.get_file_by_suffix(".xyzq") is None
+        assert entry.get_file_by_name_prefix("zzz~") is None
