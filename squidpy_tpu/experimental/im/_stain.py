@@ -150,6 +150,59 @@ class StainReference:
             for f in ("stain_matrix", "mu", "sigma", "white_point", "max_concentrations")
         )
 
+    # defining __eq__ in the class body sets __hash__ to None; keep identity
+    # hashing so references stay usable as dict keys (reference: _reference.py:82-85)
+    __hash__ = object.__hash__
+
+    def __post_init__(self) -> None:
+        """Method/field consistency gate (reference: _reference.py:87-125):
+        decomposition methods require a finite (3, 3) stain matrix, a
+        strictly positive (3,) white point and optional positive (2,) max
+        concentrations, and forbid mu/sigma; Reinhard requires (3,)
+        mu/sigma and forbids the absorbance fields."""
+
+        def _coerce(name: str, shape: tuple[int, ...], positive: bool = False) -> None:
+            out = np.asarray(getattr(self, name), dtype=np.float64)
+            if out.shape != shape:
+                raise ValueError(f"{name} must have shape {shape}; got {out.shape}.")
+            if not np.all(np.isfinite(out)):
+                raise ValueError(f"{name} contains non-finite values.")
+            if positive and np.any(out <= 0):
+                raise ValueError(f"{name} must be strictly positive.")
+            object.__setattr__(self, name, out)
+
+        if self.method not in _VALID_METHODS:
+            raise ValueError(
+                f"Unknown method {self.method!r}; expected one of {sorted(_VALID_METHODS)}."
+            )
+        if self.method in _DECOMPOSITION_METHODS:
+            if self.stain_matrix is None:
+                raise ValueError(f"method={self.method!r} requires stain_matrix.")
+            if self.mu is not None or self.sigma is not None:
+                raise ValueError(
+                    f"method={self.method!r} forbids mu/sigma; pass them only for Reinhard."
+                )
+            if self.white_point is None:
+                raise ValueError(f"method={self.method!r} requires white_point.")
+            _coerce("stain_matrix", (3, 3))
+            _coerce("white_point", (3,), positive=True)
+            if self.max_concentrations is not None:
+                _coerce("max_concentrations", (2,), positive=True)
+        else:
+            if self.mu is None or self.sigma is None:
+                raise ValueError("method='reinhard' requires both mu and sigma.")
+            if self.stain_matrix is not None:
+                raise ValueError("method='reinhard' forbids stain_matrix.")
+            if self.white_point is not None:
+                raise ValueError(
+                    "method='reinhard' forbids white_point; Reinhard's color "
+                    "transfer is in Ruderman LAB and does not use a white point."
+                )
+            if self.max_concentrations is not None:
+                raise ValueError("method='reinhard' forbids max_concentrations.")
+            _coerce("mu", (3,))
+            _coerce("sigma", (3,), positive=True)
+
 
 def _rgb_scale_factor(arr: np.ndarray) -> float:
     """Multiplier taking ``arr``'s unit convention to the internal 0-255

@@ -273,3 +273,83 @@ class TestApplyStainNormalization:
         ref = exp_im.fit_stain_reference(he_rgb, max_pixels=None)
         with pytest.raises(TypeError, match="reference IMAGE"):
             exp_im.apply_stain_normalization(he_rgb, reference=ref, method="reinhard")
+
+
+class TestStainReferenceContract:
+    """Field-consistency gate ported from the reference's dedicated suite
+    (/root/reference/tests/experimental/test_stain_reference.py)."""
+
+    def _matrix(self):
+        m = st._canonicalize(np.stack([st.RUIFROK_H / np.linalg.norm(st.RUIFROK_H),
+                                       st.RUIFROK_E / np.linalg.norm(st.RUIFROK_E)], axis=1))
+        return m
+
+    def test_macenko_basic(self):
+        ref = st.StainReference(
+            method="macenko", stain_matrix=self._matrix(),
+            white_point=np.full(3, 240.0), max_concentrations=np.array([1.5, 1.1]),
+        )
+        assert ref.stain_matrix.dtype == np.float64
+        assert ref.white_point.shape == (3,)
+
+    def test_unknown_method_raises(self):
+        with pytest.raises(ValueError, match="Unknown method"):
+            st.StainReference(method="bogus")
+
+    def test_decomposition_requires_stain_matrix(self):
+        with pytest.raises(ValueError, match="requires stain_matrix"):
+            st.StainReference(method="macenko", white_point=np.full(3, 240.0))
+
+    def test_decomposition_requires_white_point(self):
+        with pytest.raises(ValueError, match="requires white_point"):
+            st.StainReference(method="vahadane", stain_matrix=self._matrix())
+
+    def test_decomposition_forbids_mu_sigma(self):
+        with pytest.raises(ValueError, match="forbids mu/sigma"):
+            st.StainReference(method="macenko", stain_matrix=self._matrix(),
+                              white_point=np.full(3, 240.0), mu=np.zeros(3))
+
+    def test_reinhard_requires_mu_and_sigma(self):
+        with pytest.raises(ValueError, match="requires both mu and sigma"):
+            st.StainReference(method="reinhard", mu=np.zeros(3))
+
+    def test_reinhard_rejects_non_positive_sigma(self):
+        with pytest.raises(ValueError, match="strictly positive"):
+            st.StainReference(method="reinhard", mu=np.zeros(3), sigma=np.array([1.0, 0.0, 1.0]))
+
+    def test_reinhard_forbids_absorbance_fields(self):
+        with pytest.raises(ValueError, match="forbids stain_matrix"):
+            st.StainReference(method="reinhard", mu=np.zeros(3), sigma=np.ones(3),
+                              stain_matrix=self._matrix())
+        with pytest.raises(ValueError, match="forbids white_point"):
+            st.StainReference(method="reinhard", mu=np.zeros(3), sigma=np.ones(3),
+                              white_point=np.full(3, 240.0))
+        with pytest.raises(ValueError, match="forbids max_concentrations"):
+            st.StainReference(method="reinhard", mu=np.zeros(3), sigma=np.ones(3),
+                              max_concentrations=np.array([1.0, 1.0]))
+
+    def test_bad_white_point(self):
+        with pytest.raises(ValueError, match="strictly positive"):
+            st.StainReference(method="macenko", stain_matrix=self._matrix(),
+                              white_point=np.array([240.0, 0.0, 240.0]))
+
+    def test_rejects_bad_shape(self):
+        with pytest.raises(ValueError, match="shape"):
+            st.StainReference(method="macenko", stain_matrix=np.eye(2),
+                              white_point=np.full(3, 240.0))
+
+    def test_rejects_non_finite(self):
+        m = self._matrix()
+        m[0, 0] = np.nan
+        with pytest.raises(ValueError, match="non-finite"):
+            st.StainReference(method="macenko", stain_matrix=m, white_point=np.full(3, 240.0))
+
+    def test_equality_is_array_aware_and_hashable(self):
+        a = st.StainReference(method="macenko", stain_matrix=self._matrix(),
+                              white_point=np.full(3, 240.0))
+        b = st.StainReference(method="macenko", stain_matrix=self._matrix(),
+                              white_point=np.full(3, 240.0))
+        c = st.StainReference(method="macenko", stain_matrix=self._matrix(),
+                              white_point=np.full(3, 239.0))
+        assert a == b and a != c
+        assert len({a, b}) == 2  # identity hash, like the reference
