@@ -17,13 +17,8 @@ from dataclasses import dataclass
 from typing import Any, Generic, TypeVar, cast
 
 import numpy as np
-from scipy.sparse import (
-    SparseEfficiencyWarning,
-    block_diag,
-    csr_matrix,
-    isspmatrix_csr,
-    spmatrix,
-)
+import scipy.sparse as sps
+from scipy.sparse import csr_matrix, spmatrix
 from scipy.spatial import Delaunay
 from sklearn.metrics.pairwise import cosine_similarity
 
@@ -107,20 +102,22 @@ class GraphBuilder(ABC, Generic[CoordT, GraphMatrixT]):
         """Parameters stored in ``adata.uns`` after graph construction."""
 
     def combine(
-        self,
-        mats: Sequence[tuple[GraphMatrixT, GraphMatrixT]],
-        ixs: Sequence[int],
+        self, mats: Sequence[tuple[GraphMatrixT, GraphMatrixT]], ixs: Sequence[int]
     ) -> tuple[GraphMatrixT, GraphMatrixT]:
         """Combine per-library results into a single graph."""
-        raise NotImplementedError("Using `library_key` with this graph builder is not implemented yet.")
+        raise NotImplementedError(
+            f"{type(self).__name__} cannot merge per-library graphs; "
+            "implement `combine` to support `library_key`."
+        )
 
 
 class GraphBuilderCSR(GraphBuilder[NDArrayA, csr_matrix], ABC):
     """CSR-output specialization with block-diagonal multi-library combine."""
 
     def build(self, coords: NDArrayA) -> tuple[csr_matrix, csr_matrix]:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", SparseEfficiencyWarning)
+        # in-place setdiag on freshly-assembled CSR triggers scipy's
+        # efficiency warning; it is the cheapest correct way here
+        with warnings.catch_warnings(action="ignore", category=sps.SparseEfficiencyWarning):
             return super().build(coords)
 
     @abstractmethod
@@ -128,9 +125,7 @@ class GraphBuilderCSR(GraphBuilder[NDArrayA, csr_matrix], ABC):
         """Construct raw adjacency and distance matrices."""
 
     def combine(
-        self,
-        mats: Sequence[tuple[csr_matrix, csr_matrix]],
-        ixs: Sequence[int],
+        self, mats: Sequence[tuple[csr_matrix, csr_matrix]], ixs: Sequence[int]
     ) -> tuple[csr_matrix, csr_matrix]:
         """Stack per-library blocks and restore the original obs order.
 
@@ -138,12 +133,24 @@ class GraphBuilderCSR(GraphBuilder[NDArrayA, csr_matrix], ABC):
         already contiguous in obs order (``ixs`` sorted) — the common case.
         """
         adj_blocks, dst_blocks = zip(*mats)
-        combined = [block_diag(blocks, format="csr") for blocks in (adj_blocks, dst_blocks)]
+        combined = [sps.block_diag(blocks, format="csr") for blocks in (adj_blocks, dst_blocks)]
         pos = np.asarray(ixs)
         if pos.size and np.any(pos[1:] < pos[:-1]):
             inv = np.argsort(pos)
             combined = [m[inv][:, inv] for m in combined]
         return cast(csr_matrix, combined[0]), cast(csr_matrix, combined[1])
+
+
+def _finalize_pair(adj: csr_matrix, dst: csr_matrix, *, set_diag: bool) -> tuple[csr_matrix, csr_matrix]:
+    """Shared tail of every CSR builder: self-loops on/off, zero self-distances.
+
+    Both matrices get explicit diagonal entries (even when the value is
+    unchanged) so their ``.data`` arrays stay parallel — the interval
+    postprocessor masks one with the other.
+    """
+    adj.setdiag(1.0 if set_diag else adj.diagonal())
+    dst.setdiag(0.0)
+    return adj, dst
 
 
 def _knn_to_csr(
@@ -154,9 +161,7 @@ def _knn_to_csr(
     cols = col_indices.reshape(-1)
     adj = csr_matrix((np.ones(n * k, dtype=np.float32), (rows, cols)), shape=(n, n))
     dst = csr_matrix((dists.reshape(-1).astype(np.float64), (rows, cols)), shape=(n, n))
-    adj.setdiag(1.0 if set_diag else adj.diagonal())
-    dst.setdiag(0.0)
-    return adj, dst
+    return _finalize_pair(adj, dst, set_diag=set_diag)
 
 
 class KNNBuilder(GraphBuilderCSR):
@@ -175,11 +180,7 @@ class KNNBuilder(GraphBuilderCSR):
         self.n_neighs = n_neighs
 
     def uns_params(self) -> dict[str, Any]:
-        return {
-            "coord_type": CoordType.GENERIC.v,
-            "n_neighbors": self.n_neighs,
-            "transform": self.transform.v,
-        }
+        return dict(coord_type=CoordType.GENERIC.v, n_neighbors=self.n_neighs, transform=self.transform.v)
 
     def build_graph(self, coords: NDArrayA) -> tuple[csr_matrix, csr_matrix]:
         n = coords.shape[0]
@@ -206,11 +207,7 @@ class RadiusBuilder(GraphBuilderCSR):
         self.radius = radius
 
     def uns_params(self) -> dict[str, Any]:
-        return {
-            "coord_type": CoordType.GENERIC.v,
-            "radius": self.radius,
-            "transform": self.transform.v,
-        }
+        return dict(coord_type=CoordType.GENERIC.v, radius=self.radius, transform=self.transform.v)
 
     def build_graph(self, coords: NDArrayA) -> tuple[csr_matrix, csr_matrix]:
         n = coords.shape[0]
@@ -218,9 +215,7 @@ class RadiusBuilder(GraphBuilderCSR):
         indptr, indices, dists = radius_neighbors(coords, float(r))
         adj = csr_matrix((np.ones(len(indices), dtype=np.float32), indices, indptr), shape=(n, n))
         dst = csr_matrix((dists.astype(np.float64), indices.copy(), indptr.copy()), shape=(n, n))
-        adj.setdiag(1.0 if self.set_diag else adj.diagonal())
-        dst.setdiag(0.0)
-        return adj, dst
+        return _finalize_pair(adj, dst, set_diag=self.set_diag)
 
 
 class DelaunayBuilder(GraphBuilderCSR):
@@ -244,11 +239,7 @@ class DelaunayBuilder(GraphBuilderCSR):
         self.radius = radius
 
     def uns_params(self) -> dict[str, Any]:
-        return {
-            "coord_type": CoordType.GENERIC.v,
-            "radius": self.radius,
-            "transform": self.transform.v,
-        }
+        return dict(coord_type=CoordType.GENERIC.v, radius=self.radius, transform=self.transform.v)
 
     def build_graph(self, coords: NDArrayA) -> tuple[csr_matrix, csr_matrix]:
         n = coords.shape[0]
@@ -258,9 +249,7 @@ class DelaunayBuilder(GraphBuilderCSR):
         rows = np.repeat(np.arange(n), np.diff(indptr))
         dists = np.linalg.norm(coords[rows] - coords[indices], axis=1)
         dst = csr_matrix((dists, indices.copy(), indptr.copy()), shape=(n, n))
-        adj.setdiag(1.0 if self.set_diag else adj.diagonal())
-        dst.setdiag(0.0)
-        return adj, dst
+        return _finalize_pair(adj, dst, set_diag=self.set_diag)
 
 
 class GridBuilder(GraphBuilderCSR):
@@ -284,13 +273,13 @@ class GridBuilder(GraphBuilderCSR):
         self.delaunay = delaunay
 
     def uns_params(self) -> dict[str, Any]:
-        return {
-            "coord_type": CoordType.GRID.v,
-            "n_neighbors": self.n_neighs,
-            "n_rings": self.n_rings,
-            "delaunay": self.delaunay,
-            "transform": self.transform.v,
-        }
+        return dict(
+            coord_type=CoordType.GRID.v,
+            n_neighbors=self.n_neighs,
+            n_rings=self.n_rings,
+            delaunay=self.delaunay,
+            transform=self.transform.v,
+        )
 
     def build_graph(self, coords: NDArrayA) -> tuple[csr_matrix, csr_matrix]:
         if self.n_rings > 1:
@@ -332,7 +321,8 @@ class GridBuilder(GraphBuilderCSR):
                 (np.ones(int(keep.sum()), dtype=np.float32), (rows_f[keep], cols_f[keep])),
                 shape=(n, n),
             )
-        adj.setdiag(1.0 if set_diag else adj.diagonal())
+        if set_diag:
+            adj.setdiag(1.0)
         return adj
 
 
@@ -392,7 +382,7 @@ def symmetric_normalize_csr(adj: spmatrix) -> csr_matrix:
     Fully vectorized over the CSR nnz (the reference uses a numba prange loop,
     /root/reference/src/squidpy/gr/neighbors.py:474-506).
     """
-    adj = adj.tocsr() if not isspmatrix_csr(adj) else adj
+    adj = adj.tocsr() if not sps.isspmatrix_csr(adj) else adj
     degrees = np.sqrt(1.0 / np.asarray(adj.sum(axis=0)).ravel())
     if adj.shape[0] != len(degrees):
         raise ValueError("len(degrees) must equal number of rows of adj")
@@ -402,7 +392,7 @@ def symmetric_normalize_csr(adj: spmatrix) -> csr_matrix:
 
 
 def _transform_a_spectral(a: spmatrix) -> spmatrix:
-    if not isspmatrix_csr(a):
+    if not sps.isspmatrix_csr(a):
         a = a.tocsr()
     if not a.nnz:
         return a
