@@ -351,6 +351,10 @@ class ImageContainer(FeatureMixin):
             if orig != coords:
                 padding = orig - coords
                 if preserve_dtypes:
+                    # dtype-based check, NOT value-based: a python-int cval on
+                    # a uint8 layer falls back to 0 even when the value fits —
+                    # the reference pins this NEP-50 behavior in its tests
+                    # (tests/image/test_container.py:1105-1123)
                     if not np.can_cast(np.asarray(cval).dtype, crop.dtype, casting="safe"):
                         cval = 0
                 else:
