@@ -126,6 +126,18 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
     summary = texture = histogram = False
     granularity = zernike = radial = False
     correlation: set[str] = set()
+    # skimage group vs fine-grained flags for the same family are ambiguous
+    # (reference contract: _parse_features raises rather than silently
+    # preferring one) — track them separately from cp_measure-implied props
+    skimage_group: set[str] = set()
+    skimage_fine: set[str] = set()
+
+    def _ambiguous(family: str) -> ValueError:
+        return ValueError(
+            f"Ambiguous {family} selection: `skimage:{family}` already requests every "
+            f"property; do not also pass `skimage:{family}:<prop>` flags."
+        )
+
     for f in features:
         if f == "cp_measure:intensity":
             intensity = set(_INTENSITY_PROPS)
@@ -153,8 +165,14 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
                 )
             correlation.add(variant)
         elif f == "skimage:morphology":
+            if "morphology" in skimage_fine:
+                raise _ambiguous("morphology")
+            skimage_group.add("morphology")
             morphology = set(_MORPHOLOGY_PROPS)
         elif f == "skimage:intensity":
+            if "intensity" in skimage_fine:
+                raise _ambiguous("intensity")
+            skimage_group.add("intensity")
             intensity = set(_INTENSITY_PROPS)
         elif f.startswith("skimage:morphology:"):
             prop = f.split(":", 2)[2]
@@ -162,6 +180,9 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
                 raise ValueError(
                     f"Unknown skimage morphology property `{prop}`. Available: {sorted(_MORPHOLOGY_PROPS)}."
                 )
+            if "morphology" in skimage_group:
+                raise _ambiguous("morphology")
+            skimage_fine.add("morphology")
             morphology = (morphology or set()) | {prop}
         elif f.startswith("skimage:intensity:"):
             prop = f.split(":", 2)[2]
@@ -169,6 +190,9 @@ def parse_features(features: list[str] | str | None) -> ParsedFeatures:
                 raise ValueError(
                     f"Unknown skimage intensity property `{prop}`. Available: {sorted(_INTENSITY_PROPS)}."
                 )
+            if "intensity" in skimage_group:
+                raise _ambiguous("intensity")
+            skimage_fine.add("intensity")
             intensity = (intensity or set()) | {prop}
         elif f == "squidpy:summary":
             summary = True
@@ -277,6 +301,7 @@ def _per_cell_squidpy_features(
     channels: list[np.ndarray],
     ids: np.ndarray,
     parsed: ParsedFeatures,
+    channel_names: Sequence[str] | None = None,
 ) -> dict[str, np.ndarray]:
     """Per-cell summary / texture / histogram over one tile, batched on device.
 
@@ -301,6 +326,10 @@ def _per_cell_squidpy_features(
     compact = lut[tile_labels]
     num_labels = 1 + _round_up(n_cells, 128)  # bucketized static arg
 
+    # column suffixes: the resolved channel names (sdata coords / user
+    # selection) when given, positional `ch{i}` otherwise
+    nm = list(channel_names) if channel_names is not None else [f"ch{c}" for c in range(len(channels))]
+
     out: dict[str, np.ndarray] = {}
     if parsed.summary or parsed.intensity_props:
         stack = np.stack([c.astype(np.float32) for c in channels])
@@ -309,10 +338,10 @@ def _per_cell_squidpy_features(
         for c in range(len(channels)):
             if parsed.summary:
                 for stat in ("mean", "std", "min", "max"):
-                    out[f"summary_{stat}__ch{c}"] = stats[stat][c]
+                    out[f"summary_{stat}__{nm[c]}"] = stats[stat][c]
             if parsed.intensity_props:
                 for prop in sorted(parsed.intensity_props):
-                    out[f"{prop}__ch{c}"] = stats[prop.removeprefix("intensity_")][c]
+                    out[f"{prop}__{nm[c]}"] = stats[prop.removeprefix("intensity_")][c]
 
     if parsed.histogram:
         for c, chan in enumerate(channels):
@@ -322,7 +351,7 @@ def _per_cell_squidpy_features(
                 )
             )[1 : n_cells + 1]
             for b in range(HIST_BINS):
-                out[f"histogram_bin{b}__ch{c}"] = hist[:, b]
+                out[f"histogram_bin{b}__{nm[c]}"] = hist[:, b]
 
     needs_crops = parsed.texture or parsed.zernike or parsed.radial or parsed.granularity or (
         parsed.correlation and len(channels) >= 2
@@ -364,7 +393,7 @@ def _per_cell_squidpy_features(
             for c in range(len(channels)):
                 tex = per_cell_texture_batch(get_crops(c), masks, props=props, levels=GLCM_LEVELS)
                 for pi, prop in enumerate(props):
-                    out[f"texture_{prop}__ch{c}"] = tex[:, pi]
+                    out[f"texture_{prop}__{nm[c]}"] = tex[:, pi]
 
         if parsed.granularity:
             from squidpy_tpu.ops.cellfeats import granularity_batch
@@ -372,7 +401,7 @@ def _per_cell_squidpy_features(
             for c in range(len(channels)):
                 gs = granularity_batch(get_crops(c), masks, length=GRANULARITY_LENGTH)
                 for i in range(GRANULARITY_LENGTH):
-                    out[f"granularity_{i + 1}__ch{c}"] = gs[:, i]
+                    out[f"granularity_{i + 1}__{nm[c]}"] = gs[:, i]
 
         if parsed.radial:
             from squidpy_tpu.ops.cellfeats import (
@@ -385,13 +414,13 @@ def _per_cell_squidpy_features(
                 crops = get_crops(c)
                 rd = radial_distribution_batch(masks, crops, bins=RADIAL_BINS)
                 for b in range(RADIAL_BINS):
-                    out[f"radial_frac_at_d_{b + 1}of{RADIAL_BINS}__ch{c}"] = rd["frac_at_d"][:, b]
-                    out[f"radial_mean_frac_{b + 1}of{RADIAL_BINS}__ch{c}"] = rd["mean_frac"][:, b]
-                    out[f"radial_cv_{b + 1}of{RADIAL_BINS}__ch{c}"] = rd["radial_cv"][:, b]
+                    out[f"radial_frac_at_d_{b + 1}of{RADIAL_BINS}__{nm[c]}"] = rd["frac_at_d"][:, b]
+                    out[f"radial_mean_frac_{b + 1}of{RADIAL_BINS}__{nm[c]}"] = rd["mean_frac"][:, b]
+                    out[f"radial_cv_{b + 1}of{RADIAL_BINS}__{nm[c]}"] = rd["radial_cv"][:, b]
                 zmag, zph = _zb(masks, intensity=crops, n_max=ZERNIKE_NMAX)
                 for zi, (zn, zm, _t) in enumerate(_zt(ZERNIKE_NMAX)):
-                    out[f"radial_zernike_mag_{zn}_{zm}__ch{c}"] = zmag[:, zi]
-                    out[f"radial_zernike_phase_{zn}_{zm}__ch{c}"] = zph[:, zi]
+                    out[f"radial_zernike_mag_{zn}_{zm}__{nm[c]}"] = zmag[:, zi]
+                    out[f"radial_zernike_phase_{zn}_{zm}__{nm[c]}"] = zph[:, zi]
 
         if parsed.correlation and len(channels) >= 2:
             from squidpy_tpu.ops import cellfeats as cf
@@ -399,7 +428,7 @@ def _per_cell_squidpy_features(
             for a in range(len(channels)):
                 for b in range(a + 1, len(channels)):
                     ca, cb = get_crops(a), get_crops(b)
-                    pair = f"ch{a}_ch{b}"
+                    pair = f"{nm[a]}_{nm[b]}"
                     if "pearson" in parsed.correlation:
                         out[f"correlation_pearson__{pair}"] = cf.pearson_correlation_batch(masks, ca, cb)
                     if "costes" in parsed.correlation:
@@ -414,12 +443,71 @@ def _per_cell_squidpy_features(
     return out
 
 
+def _image_channel_names(image: Any, n_channels: int) -> list[str]:
+    """Channel names carried by the image element (xarray-style ``coords['c']``
+    or a ``channel_names`` attribute), falling back to positional ``ch{i}``.
+    The reference resolves names from the SpatialData image model's c coords
+    (experimental/im/_calculate_image_features.py:763-830)."""
+    coords = getattr(image, "coords", None)
+    if coords is not None:
+        try:
+            vals = coords["c"]
+            vals = getattr(vals, "values", vals)
+            names = [str(v) for v in np.asarray(vals).tolist()]
+            if len(names) == n_channels:
+                return names
+        except (KeyError, TypeError):
+            pass
+    vals = getattr(image, "channel_names", None)
+    if vals is not None and not callable(vals):
+        names = [str(v) for v in vals]
+        if len(names) == n_channels:
+            return names
+    return [f"ch{i}" for i in range(n_channels)]
+
+
+def _resolve_channel_selection(
+    channels: Sequence[Any],
+    names: Sequence[str],
+    n_channels: int,
+    *,
+    names_only: bool,
+) -> list[int]:
+    """Map the user's channel selection to indices.
+
+    The SpatialData form takes channel NAMES only (ints raise, matching the
+    reference's contract); the direct-array form also accepts integer
+    indices. Digit strings fall back to positional indices so ``["0"]``
+    works on images without named channels."""
+    idxs: list[int] = []
+    for ch in channels:
+        if isinstance(ch, str):
+            if ch in names:
+                idxs.append(list(names).index(ch))
+            elif ch.isdigit() and int(ch) < n_channels:
+                idxs.append(int(ch))
+            else:
+                raise ValueError(f"Channel {ch!r} not found. Available channels: {list(names)}.")
+        elif names_only:
+            raise TypeError(
+                f"channels must contain strings (channel names); got {type(ch).__name__} {ch!r}. "
+                f"Available channels: {list(names)}."
+            )
+        else:
+            i = int(ch)
+            if not 0 <= i < n_channels:
+                raise ValueError(f"channels {[ch]} out of range for an image with {n_channels} channel(s).")
+            idxs.append(i)
+    return idxs
+
+
 def _featurize_tile(
     spec: TileSpec,
     image: Any,
     labels: Any,
     parsed: ParsedFeatures,
     n_channels: int,
+    channel_names: Sequence[str] | None = None,
 ) -> pd.DataFrame:
     tile_image, tile_labels = extract_tile(image, labels, spec)
     if tile_labels.max() == 0:
@@ -441,7 +529,7 @@ def _featurize_tile(
     )
     if (needs_pixels and image is not None) or parsed.zernike:
         channels = _tile_channels(tile_image, n_channels) if image is not None else []
-        data.update(_per_cell_squidpy_features(tile_labels, channels, res["label"], parsed))
+        data.update(_per_cell_squidpy_features(tile_labels, channels, res["label"], parsed, channel_names))
     return pd.DataFrame(data)
 
 
@@ -495,13 +583,23 @@ def calculate_image_features(
     # /root/reference/src/squidpy/experimental/im/_calculate_image_features.py:874-887
     from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
 
-    if is_sdata(image):
+    from_sdata = is_sdata(image)
+    if from_sdata:
         sdata = image
         if labels is None:
             labels = labels_key if labels_key is not None else shapes_key
-        image = resolve_element(sdata, image_key, tree="images", scale=scale, what="image")
+        # image_key is an explicit opt-in to pixel features: without it the
+        # sdata form runs labels-only even when images exist (reference
+        # contract, tests/experimental/test_calculate_image_features.py:964-1008)
+        image = (
+            None
+            if image_key is None
+            else resolve_element(sdata, image_key, tree="images", scale=scale, what="image")
+        )
     if sdata is not None and isinstance(labels, str):
         if shapes_key is not None and labels == shapes_key:
+            if image is None:
+                raise ValueError("`shapes_key` requires `image_key` (shapes rasterize onto the image grid).")
             shapes = sdata.shapes[shapes_key]
             labels = _rasterize_circles(shapes, np.asarray(image).shape)
         else:
@@ -517,6 +615,43 @@ def calculate_image_features(
         parsed = parsed._replace(morphology_props=frozenset(_DEFAULT_MORPHOLOGY))
     if not intensity:
         parsed = parsed._replace(intensity_props=None, summary=False, texture=False, histogram=False)
+    if not (
+        parsed.morphology_props
+        or parsed.intensity_props
+        or parsed.summary
+        or parsed.texture
+        or parsed.histogram
+        or parsed.granularity
+        or parsed.zernike
+        or parsed.radial
+        or parsed.correlation
+    ):
+        raise ValueError(
+            "No features requested. Pass feature flags (see `parse_features`) or `features=None` for all."
+        )
+
+    if image is None:
+        pixel_flags = [
+            flag
+            for flag, on in (
+                ("skimage:intensity", parsed.intensity_props),
+                ("squidpy:summary", parsed.summary),
+                ("squidpy:texture", parsed.texture),
+                ("squidpy:histogram", parsed.histogram),
+                ("cp_measure:granularity", parsed.granularity),
+                ("cp_measure:radial", parsed.radial),
+                ("cp_measure:correlation", parsed.correlation),
+            )
+            if on
+        ]
+        if pixel_flags:
+            raise ValueError(
+                f"Features {pixel_flags} require pixel data; pass `image_key` (or an image array)."
+            )
+        if channels is not None:
+            raise ValueError("`channels` selection requires `image_key`.")
+        if tuple(labels_translation) != (0, 0):
+            raise ValueError("`labels_translation` requires `image_key` (it aligns labels to the image grid).")
 
     # multiscale label pyramid (mapping of scale -> array, or sequence of
     # arrays): featurize at the finest level, but take the centroid pass from
@@ -552,25 +687,28 @@ def calculate_image_features(
 
     specs = build_tile_specs(lab_shape, cell_info, tile_size=tile_size, overlap_margin=overlap_margin)
 
-    img_shape = image.shape
-    if len(img_shape) == 2:
-        n_channels = 1
+    if image is None:
+        n_channels = 0
     else:
-        n_channels = img_shape[0] if img_shape[-2:] == tuple(lab_shape) else img_shape[-1]
+        img_shape = image.shape
+        if len(img_shape) == 2:
+            n_channels = 1
+        else:
+            n_channels = img_shape[0] if img_shape[-2:] == tuple(lab_shape) else img_shape[-1]
+    channel_names = None if image is None else _image_channel_names(image, n_channels)
     if channels is not None:
-        bad = [c for c in channels if not 0 <= int(c) < n_channels]
-        if bad:
-            raise ValueError(f"channels {bad} out of range for an image with {n_channels} channel(s).")
+        idxs = _resolve_channel_selection(channels, channel_names, n_channels, names_only=from_sdata)
         if len(img_shape) == 3:
-            image = image[list(channels)] if img_shape[-2:] == tuple(lab_shape) else image[..., list(channels)]
-        n_channels = len(channels)
+            image = image[idxs] if img_shape[-2:] == tuple(lab_shape) else image[..., idxs]
+        channel_names = [channel_names[i] for i in idxs]
+        n_channels = len(idxs)
 
     start = logg.info(f"Featurizing `{len(specs)}` tiles")
     frames = run_tiled(
         specs,
         _featurize_tile,
         n_jobs=n_jobs,
-        scatter=(image, labels, parsed, n_channels),
+        scatter=(image, labels, parsed, n_channels, channel_names),
         desc="tiles",
     )
     df = pd.concat([f for f in frames if len(f)], axis=0, ignore_index=True)

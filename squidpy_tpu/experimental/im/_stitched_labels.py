@@ -18,6 +18,121 @@ from squidpy_tpu.utils import logg
 
 __all__ = ["make_stitched_labels"]
 
+# Collapse policy (reference: experimental/im/_stitched_labels.py:145-200,276-330).
+# Members of a stitch group agree on these — take the first value:
+_TAKE_FIRST_COLS = frozenset({"stitch_group_id", "is_stitched", "n_pieces", "stitch_confidence", "region"})
+# Position of the merged cell is the mean of its pieces' positions:
+_CENTROID_COLS = frozenset({"centroid_y", "centroid_x"})
+# Per-piece cut-artifact diagnostics keep the group's WORST value — summing
+# them is meaningless and the default strategy is "sum":
+_WORST_PIECE_COLS = frozenset(
+    {
+        "cut_score", "smoothed_cut_score", "max_straight_edge_ratio",
+        "cardinal_alignment_score", "nhood_outlier_fraction", "is_outlier",
+        "tile_cut", "straight_v", "straight_h", "straight_run_px",
+    }
+)
+_STRATEGY_NAMES = frozenset({"sum", "min", "max", "mean", "median", "first"})
+# These always return one of the inputs, so integer X keeps its dtype;
+# "sum" can overflow the input range and must promote.
+_INT_SAFE_STRATEGIES = frozenset({"min", "max", "first"})
+
+
+def _check_strategy(strategy: str | Callable[[pd.Series], Any]) -> None:
+    if callable(strategy):
+        return
+    if strategy not in _STRATEGY_NAMES:
+        raise ValueError(
+            f"Unknown merge_strategy {strategy!r}. Use one of {sorted(_STRATEGY_NAMES)} or pass a callable."
+        )
+
+
+def _aggregate_rows(X: Any, groups: list[np.ndarray], strategy: str | Callable[[pd.Series], Any]) -> np.ndarray:
+    """Collapse row blocks of ``X`` (dense or scipy-sparse) into one row per
+    group. Integer inputs keep their dtype only under range-preserving
+    strategies; ``sum`` promotes to int64 and ``mean``/``median`` to float."""
+    import scipy.sparse as sps
+
+    sparse = sps.issparse(X)
+    if np.issubdtype(X.dtype, np.integer):
+        if strategy == "sum" or callable(strategy):
+            out_dtype: Any = np.int64 if strategy == "sum" else np.float64
+        elif strategy in _INT_SAFE_STRATEGIES:
+            out_dtype = X.dtype
+        else:
+            out_dtype = np.float64
+    else:
+        out_dtype = X.dtype
+    out = np.empty((len(groups), X.shape[1]), dtype=out_dtype)
+    Xc = X.tocsr() if sparse else np.asarray(X)
+    for i, idx in enumerate(groups):
+        block = np.asarray(Xc[idx].todense()) if sparse else Xc[idx]
+        if callable(strategy):
+            out[i] = [strategy(pd.Series(block[:, j])) for j in range(block.shape[1])]
+        elif strategy == "sum":
+            out[i] = block.astype(out_dtype, copy=False).sum(axis=0)
+        elif strategy == "min":
+            out[i] = block.min(axis=0)
+        elif strategy == "max":
+            out[i] = block.max(axis=0)
+        elif strategy == "mean":
+            out[i] = block.mean(axis=0)
+        elif strategy == "median":
+            out[i] = np.median(block, axis=0)
+        else:  # first
+            out[i] = block[0]
+    return out
+
+
+def _collapse_table(
+    qc_table: Any,
+    merge_strategy: str | Callable[[pd.Series], Any],
+    label_col: str,
+) -> AnnData:
+    """One output row per stitch group: invariants/non-numeric take the first
+    member, centroids average, cut diagnostics keep the worst piece, remaining
+    numeric obs columns and ``X`` collapse via ``merge_strategy``."""
+    import copy as _copy
+
+    obs = qc_table.obs
+    gids = obs["stitch_group_id"].astype(int).to_numpy()
+    order = np.argsort(gids, kind="stable")
+    unique_groups, first_pos = np.unique(gids[order], return_index=True)
+    groups = np.split(order, first_pos[1:])
+
+    numeric = {c for c in obs.columns if c != label_col and pd.api.types.is_numeric_dtype(obs[c])}
+    user_cols = [c for c in obs.columns if c in numeric - _TAKE_FIRST_COLS - _CENTROID_COLS - _WORST_PIECE_COLS]
+    gb = obs.groupby(gids, sort=True)
+    parts = []
+    first_cols = [c for c in obs.columns if c != label_col and (c not in numeric or c in _TAKE_FIRST_COLS)]
+    if first_cols:
+        parts.append(gb[first_cols].first())
+    cent_cols = [c for c in obs.columns if c in _CENTROID_COLS & numeric]
+    if cent_cols:
+        parts.append(gb[cent_cols].mean())
+    worst_cols = [c for c in obs.columns if c in _WORST_PIECE_COLS & numeric]
+    if worst_cols:
+        parts.append(gb[worst_cols].max())
+    if user_cols:
+        parts.append(gb[user_cols].agg(merge_strategy))
+    new_obs = pd.concat(parts, axis=1) if parts else pd.DataFrame(index=unique_groups)
+    new_obs[label_col] = unique_groups
+    new_obs = new_obs[[c for c in obs.columns]]
+    new_obs.index = pd.Index([f"group_{int(g)}" for g in unique_groups])
+
+    X = getattr(qc_table, "X", None)
+    if X is not None and X.shape[1] > 0:
+        new_X = _aggregate_rows(X, groups, merge_strategy)
+    else:
+        new_X = np.empty((len(unique_groups), 0), dtype=np.float32)
+
+    out = AnnData(X=new_X, obs=new_obs, var=qc_table.var.copy())
+    out.uns.update(_copy.deepcopy(dict(qc_table.uns)))
+    spatial = getattr(qc_table, "obsm", {}).get("spatial")
+    if spatial is not None:
+        out.obsm["spatial"] = np.stack([np.asarray(spatial)[idx].mean(axis=0) for idx in groups])
+    return out
+
 
 def _apply_lut(labels: np.ndarray, mapping: dict[int, int]) -> np.ndarray:
     """Rewrite labels through a LUT (dense array lookup)."""
@@ -89,6 +204,7 @@ def make_stitched_labels(
     """
     from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
 
+    _check_strategy(merge_strategy)
     if is_sdata(labels):
         sdata = labels
         labels = resolve_element(sdata, labels_key, tree="labels", scale=scale, what="labels")
@@ -97,11 +213,14 @@ def make_stitched_labels(
     obs = qc_table.obs
     if "stitch_group_id" not in obs:
         raise KeyError("`stitch_group_id` not found; run `assign_stitch_groups` first.")
+    label_col = "label" if "label" in obs.columns else "label_id"
+    if label_col not in obs.columns:
+        raise KeyError("QC table is missing the `label` column.")
     labels_arr = np.asarray(labels).squeeze()
 
     mapping = {
         int(lab): int(gid)
-        for lab, gid in zip(obs["label"].to_numpy(), obs["stitch_group_id"].to_numpy())
+        for lab, gid in zip(obs[label_col].to_numpy(), obs["stitch_group_id"].to_numpy())
         if int(lab) != int(gid)
     }
     stitched = _apply_lut(labels_arr, mapping)
@@ -109,20 +228,7 @@ def make_stitched_labels(
     if join_labels and mapping:
         stitched = _join_stitched_labels(stitched, set(mapping.values()), join_close_radius)
 
-    table = None
-    if write_table:
-        numeric = obs.select_dtypes(include=np.number).drop(
-            columns=["label", "stitch_group_id"], errors="ignore"
-        )
-        grouped = pd.concat([obs[["stitch_group_id"]], numeric], axis=1)
-        merged = grouped.groupby("stitch_group_id").agg(merge_strategy)
-        merged.index.name = None
-        table = AnnData(
-            X=merged.to_numpy(dtype=float),
-            obs=pd.DataFrame({"stitch_group_id": merged.index.to_numpy()},
-                             index=pd.Index([f"group_{int(g)}" for g in merged.index])),
-            var=pd.DataFrame(index=merged.columns.astype(str)),
-        )
+    table = _collapse_table(qc_table, merge_strategy, label_col) if write_table else None
 
     if sdata is not None and inplace:
         if hasattr(sdata, "labels"):

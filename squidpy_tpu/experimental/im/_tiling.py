@@ -260,6 +260,8 @@ def extract_tile(image: Any, labels: Any, spec: TileSpec) -> tuple[np.ndarray, n
     materialization so lazy readers only load the tile.
     """
     cy0, cx0, cy1, cx1 = spec.crop
+    if image is None:  # labels-only featurization (morphology without pixels)
+        return None, extract_labels_tile(labels, spec)
     shape = getattr(image, "shape", None)
     if shape is not None and len(shape) == 3 and shape[-1] <= 8 < shape[0]:
         tile_image = np.asarray(image[cy0:cy1, cx0:cx1, :])

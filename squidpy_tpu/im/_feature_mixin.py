@@ -179,21 +179,22 @@ class FeatureMixin:
         library_id = self._get_library_id(library_id)
 
         props = _assert_non_empty(props, name="properties")
-        for prop in props:
-            if prop not in _valid_seg_prop:
-                raise ValueError(f"Invalid property `{prop}`. Valid properties are `{_valid_seg_prop}`.")
+        unknown = sorted(set(props) - set(_valid_seg_prop))
+        if unknown:
+            raise ValueError(f"Invalid property `{unknown[0]}`. Valid properties are `{_valid_seg_prop}`.")
 
-        no_intensity_props = [p for p in props if "intensity" not in p]
+        # intensity-weighted props need pixel data; the rest run on the mask
         intensity_props = [p for p in props if "intensity" in p]
+        no_intensity_props = [p for p in props if "intensity" not in p]
 
-        if len(intensity_props):
-            if intensity_layer is None:
-                raise ValueError("Please specify `intensity_layer` if using intensity properties.")
+        if not intensity_props:
+            channels = ()
+        elif intensity_layer is None:
+            raise ValueError("Please specify `intensity_layer` if using intensity properties.")
+        else:
             channels = _assert_non_empty(
                 _get_channels(self._layers[intensity_layer], channels), name="channels"
             )
-        else:
-            channels = ()
 
         features: dict[str, Any] = {}
         label_arr = self._plane(label_layer, library_id)[..., 0]

@@ -885,13 +885,14 @@ class TestStitchedLabelsBehaviors:
 
     @pytest.mark.parametrize("strategy", ["sum", "mean"])
     def test_merge_strategies(self, strategy):
+        # user numeric obs columns aggregate via merge_strategy and STAY in
+        # obs (X carries the QC score matrix, aggregated separately)
         cut, qc = self._qc_and_cut()
         qc.obs["metric"] = np.arange(len(qc.obs), dtype=float)
         res = exp_im.make_stitched_labels(cut, qc, merge_strategy=strategy)
         tab = res["table"]
-        col = list(tab.var_names).index("metric")
         want = qc.obs.groupby("stitch_group_id")["metric"].agg(strategy)
-        got = dict(zip(tab.obs["stitch_group_id"], np.asarray(tab.X)[:, col]))
+        got = dict(zip(tab.obs["stitch_group_id"], tab.obs["metric"]))
         for gid, v in want.items():
             np.testing.assert_allclose(got[int(gid)], v)
 
@@ -900,9 +901,8 @@ class TestStitchedLabelsBehaviors:
         qc.obs["metric"] = np.arange(len(qc.obs), dtype=float)
         res = exp_im.make_stitched_labels(cut, qc, merge_strategy=lambda s: s.max())
         tab = res["table"]
-        col = list(tab.var_names).index("metric")
         want = qc.obs.groupby("stitch_group_id")["metric"].max()
-        got = dict(zip(tab.obs["stitch_group_id"], np.asarray(tab.X)[:, col]))
+        got = dict(zip(tab.obs["stitch_group_id"], tab.obs["metric"]))
         for gid, v in want.items():
             np.testing.assert_allclose(got[int(gid)], v)
 
