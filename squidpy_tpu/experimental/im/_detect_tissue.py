@@ -231,7 +231,7 @@ def _segment_weka_mask(
 
 
 def detect_tissue(
-    image: Any,
+    image: Any = None,
     image_key: str | None = None,
     method: Literal["otsu", "kmeans", "felzenszwalb", "weka"] = "otsu",
     downscale_to: int = 2048,
@@ -256,6 +256,7 @@ def detect_tissue(
     auto_max_pixels: int | None = None,
     new_labels_key: str | None = None,
     inplace: bool = True,
+    sdata: Any = None,
     **kwargs: Any,
 ) -> np.ndarray:
     """Detect tissue; returns a full-resolution boolean mask (or an
@@ -290,6 +291,10 @@ def detect_tissue(
     # names, /root/reference/src/squidpy/experimental/im/_detect_tissue.py:208-226)
     from squidpy_tpu.experimental._sdata import is_sdata, resolve_element, store_labels
 
+    if image is None:
+        if sdata is None:
+            raise TypeError("detect_tissue() needs an image (or `sdata` + `image_key`).")
+        image = sdata  # reference keyword form: detect_tissue(sdata=..., image_key=...)
     sdata = image if is_sdata(image) else None
     image = resolve_element(image, image_key, tree="images", scale=scale, what="image")
     if background_detection_params is not None:

@@ -173,7 +173,7 @@ def _batched_metrics(
 
 
 def qc_image(
-    image: Any,
+    image: Any = None,
     image_key: str | None = None,
     tile_size: int | tuple[int, int] | str = 256,
     metrics: Sequence[str | QCMetric] | None = None,
@@ -188,6 +188,7 @@ def qc_image(
     progress: bool = True,
     tissue_mask_key: str | None = None,
     preview: bool = False,
+    sdata: Any = None,
     **kwargs: Any,
 ) -> AnnData:
     """Tile the image and compute per-tile QC metric scores.
@@ -206,6 +207,10 @@ def qc_image(
     # /root/reference/src/squidpy/experimental/im/_qc_image.py:45-59)
     from squidpy_tpu.experimental._sdata import is_sdata, resolve_element, store_table
 
+    if image is None:
+        if sdata is None:
+            raise TypeError("qc_image() needs an image (or `sdata` + `image_key`).")
+        image = sdata  # reference keyword form: qc_image(sdata=..., image_key=...)
     sdata = image if is_sdata(image) else None
     image = resolve_element(image, image_key, tree="images", scale=scale, what="image")
     if outlier_threshold is not None:

@@ -307,3 +307,40 @@ class TestSpatialDataContainer:
     def test_repr(self):
         sd = self._build()
         assert "images" in repr(sd) and "he" in repr(sd)
+
+
+class TestSdataKeywordForm:
+    """The reference signs detect_tissue/qc_image with a literal ``sdata``
+    first parameter — keyword call sites must work."""
+
+    def _sdata(self):
+        import numpy as np
+
+        import squidpy_tpu as sq
+
+        img = np.full((120, 120, 3), 240, np.uint8)
+        img[30:90, 30:90] = 60  # dark tissue blob
+        return sq.SpatialData(images={"img": img})
+
+    def test_detect_tissue_sdata_keyword(self):
+        sd = self._sdata()
+        mask = exp_im.detect_tissue(sdata=sd, image_key="img")
+        assert mask.shape == (120, 120)
+        assert mask[60, 60] and not mask[5, 5]
+
+    def test_qc_image_sdata_keyword(self):
+        sd = self._sdata()
+        res = exp_im.qc_image(sdata=sd, image_key="img", tile_size=60)
+        assert res.n_obs == 4
+
+    def test_detect_tissue_no_args_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(TypeError, match="needs an image"):
+            exp_im.detect_tissue()
+
+    def test_qc_image_no_args_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(TypeError, match="needs an image"):
+            exp_im.qc_image()
