@@ -55,9 +55,29 @@ def ligrec(
         res = adata.uns[key]
     if not {"means", "pvalues"} <= set(res.keys()):
         raise ValueError("Expected the result to contain 'means' and 'pvalues'.")
+    if not 0 <= alpha <= 1:
+        raise ValueError(f"Expected `alpha` to be in range `[0, 1]`, found `{alpha}`.")
+    if len(means_range) != 2:
+        raise ValueError(f"Expected `means_range` to be a sequence of size `2`, found `{len(means_range)}`.")
 
     means = res["means"].astype(float)
     pvalues = res["pvalues"].astype(float)
+
+    # reject unknown source/target groups up front (reference contract:
+    # pl/_ligrec.py filters through scanpy's categorical machinery which
+    # raises on unknown categories)
+    present_src = {c[0] for c in means.columns}
+    present_tgt = {c[1] for c in means.columns}
+    for name, wanted, present in (
+        ("source_groups", source_groups, present_src),
+        ("target_groups", target_groups, present_tgt),
+    ):
+        if wanted is None:
+            continue
+        req = {wanted} if isinstance(wanted, str) else set(wanted)
+        unknown = sorted(req - present)
+        if unknown:
+            raise ValueError(f"Invalid cluster(s) in `{name}`: {unknown}. Valid: {sorted(present)}.")
 
     # column filtering by source/target groups
     def _filter_cols(df: pd.DataFrame) -> pd.DataFrame:

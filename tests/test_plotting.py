@@ -253,3 +253,74 @@ def test_interactive_module_is_deprecation_stub():
 
     with pytest.raises(ImportError, match="napari-spatialdata"):
         importlib.import_module("squidpy_tpu.pl._interactive")
+
+
+class TestLigrecPlotParams:
+    """Parameter/error matrix from the reference's plotting/test_graph.py
+    ligrec suite (means_range, alpha, groups, dendrogram, swap_axes)."""
+
+    @pytest.fixture()
+    def ligrec_result(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.raw = Raw(adata)
+        inter = tuple(product(adata.raw.var_names[:5], adata.raw.var_names[:5]))
+        return sq.gr.ligrec(adata, "leiden", interactions=inter, n_perms=10, seed=0, copy=True)
+
+    def test_invalid_alpha(self, ligrec_result):
+        with pytest.raises(ValueError, match=r"in range `\[0, 1\]`"):
+            sq.pl.ligrec(ligrec_result, alpha=1.2)
+
+    def test_invalid_means_range_size(self, ligrec_result):
+        with pytest.raises(ValueError, match="size `2`"):
+            sq.pl.ligrec(ligrec_result, means_range=(0, 1, 2))
+
+    def test_invalid_source_clusters(self, ligrec_result):
+        with pytest.raises(ValueError, match="source_groups"):
+            sq.pl.ligrec(ligrec_result, source_groups="no-such-cluster")
+
+    def test_invalid_target_clusters(self, ligrec_result):
+        with pytest.raises(ValueError, match="target_groups"):
+            sq.pl.ligrec(ligrec_result, target_groups=["also-missing"])
+
+    def test_source_groups_subset(self, ligrec_result, tmp_path):
+        src = ligrec_result["means"].columns[0][0]
+        sq.pl.ligrec(ligrec_result, source_groups=src, save=str(tmp_path / "src.png"))
+        assert (tmp_path / "src.png").exists()
+
+    def test_target_groups_subset(self, ligrec_result, tmp_path):
+        tgt = ligrec_result["means"].columns[0][1]
+        sq.pl.ligrec(ligrec_result, target_groups=[tgt], save=str(tmp_path / "tgt.png"))
+        assert (tmp_path / "tgt.png").exists()
+
+    def test_all_interactions_empty_raises(self, ligrec_result):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            np.nan, index=ligrec_result["pvalues"].index, columns=ligrec_result["pvalues"].columns
+        )
+        with pytest.raises(ValueError, match="no interactions remain"):
+            sq.pl.ligrec({"means": empty, "pvalues": empty}, remove_empty_interactions=True)
+
+    @pytest.mark.parametrize("dendro", ["interacting_molecules", "interacting_clusters", "both"])
+    def test_dendrogram_variants(self, ligrec_result, dendro, tmp_path):
+        sq.pl.ligrec(ligrec_result, dendrogram=dendro, save=str(tmp_path / f"{dendro}.png"))
+        assert (tmp_path / f"{dendro}.png").exists()
+
+    def test_swap_axes(self, ligrec_result, tmp_path):
+        sq.pl.ligrec(ligrec_result, swap_axes=True, save=str(tmp_path / "swap.png"))
+        assert (tmp_path / "swap.png").exists()
+
+    def test_pvalue_threshold_filters_dots(self, ligrec_result, tmp_path):
+        sq.pl.ligrec(ligrec_result, pvalue_threshold=0.5, save=str(tmp_path / "thresh.png"))
+        assert (tmp_path / "thresh.png").exists()
+
+    def test_remove_nonsig(self, ligrec_result, tmp_path):
+        sq.pl.ligrec(
+            ligrec_result, remove_nonsig_interactions=True, alpha=0.5,
+            save=str(tmp_path / "nonsig.png"),
+        )
+        assert (tmp_path / "nonsig.png").exists()
+
+    def test_cmap_and_kwargs(self, ligrec_result, tmp_path):
+        sq.pl.ligrec(ligrec_result, cmap="magma", save=str(tmp_path / "cmap.png"))
+        assert (tmp_path / "cmap.png").exists()
