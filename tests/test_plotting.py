@@ -324,3 +324,72 @@ class TestLigrecPlotParams:
     def test_cmap_and_kwargs(self, ligrec_result, tmp_path):
         sq.pl.ligrec(ligrec_result, cmap="magma", save=str(tmp_path / "cmap.png"))
         assert (tmp_path / "cmap.png").exists()
+
+
+class TestSpatialScatterParams:
+    """Parameter matrix from the reference's plotting/test_spatial_static.py."""
+
+    def test_title_single_string(self, adata_ref, tmp_path):
+        sq.pl.spatial_scatter(adata_ref, color="leiden", img=False, title="my title",
+                              save=str(tmp_path / "t.png"))
+        assert (tmp_path / "t.png").exists()
+
+    def test_title_list(self, adata_ref, tmp_path):
+        sq.pl.spatial_scatter(adata_ref, color=["leiden"], img=False, title=["panel A"],
+                              save=str(tmp_path / "tl.png"))
+        assert (tmp_path / "tl.png").exists()
+
+    def test_crop_coord(self, adata_ref, tmp_path):
+        sq.pl.spatial_scatter(adata_ref, color="leiden", img=False,
+                              crop_coord=(2000, 2000, 15000, 15000),
+                              save=str(tmp_path / "crop.png"))
+        assert (tmp_path / "crop.png").exists()
+
+    def test_groups_subset(self, adata_ref, tmp_path):
+        groups = list(adata_ref.obs["leiden"].cat.categories[:2])
+        sq.pl.spatial_scatter(adata_ref, color="leiden", groups=groups, img=False,
+                              save=str(tmp_path / "g.png"))
+        assert (tmp_path / "g.png").exists()
+
+    def test_missing_spatial_key_raises(self, adata_ref):
+        with pytest.raises((KeyError, ValueError)):
+            sq.pl.spatial_scatter(adata_ref.copy(), color="leiden", spatial_key="not_spatial", img=False)
+
+    def test_user_ax_respected(self, adata_ref):
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        sq.pl.spatial_scatter(adata_ref, color="leiden", img=False, ax=ax)
+        assert len(ax.collections) > 0
+        plt.close(fig)
+
+    def test_categorical_alpha(self, adata_ref, tmp_path):
+        sq.pl.spatial_scatter(adata_ref, color="leiden", alpha=0.4, img=False,
+                              save=str(tmp_path / "a.png"))
+        assert (tmp_path / "a.png").exists()
+
+    def test_palette_listed(self, adata_ref, tmp_path):
+        n = len(adata_ref.obs["leiden"].cat.categories)
+        palette = ["#ff0000", "#00ff00", "#0000ff", "#ffff00", "#00ffff"][:n]
+        sq.pl.spatial_scatter(adata_ref, color="leiden", palette=palette, img=False,
+                              save=str(tmp_path / "p.png"))
+        assert (tmp_path / "p.png").exists()
+
+    def test_vmin_vmax_continuous(self, adata_ref, tmp_path):
+        gene = adata_ref.var_names[0]
+        sq.pl.spatial_scatter(adata_ref, color=gene, vmin=0.0, vmax=1.0, img=False,
+                              save=str(tmp_path / "v.png"))
+        assert (tmp_path / "v.png").exists()
+
+    def test_frameon_off(self, adata_ref, tmp_path):
+        sq.pl.spatial_scatter(adata_ref, color="leiden", frameon=False, img=False,
+                              save=str(tmp_path / "f.png"))
+        assert (tmp_path / "f.png").exists()
+
+    def test_connectivity_edges(self, adata_ref, tmp_path):
+        adata = adata_ref.copy()
+        sq.gr.spatial_neighbors_knn(adata, n_neighs=4)
+        sq.pl.spatial_scatter(adata, color="leiden", img=False,
+                              connectivity_key="spatial_connectivities",
+                              save=str(tmp_path / "e.png"))
+        assert (tmp_path / "e.png").exists()
