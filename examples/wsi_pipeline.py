@@ -65,7 +65,7 @@ def main() -> None:
 
     # 2. per-tile QC (blur/intensity/H&E metrics as one batched device pass)
     qc = qc_image(slide, tile_size=256)
-    flagged = int(qc.obs.filter(like="outlier").to_numpy().any(axis=1).sum())
+    flagged = int((qc.obs["qc_outlier"] == "True").sum())
     print(f"QC tiles: {qc.shape[0]} ({qc.shape[1]} metrics), outliers flagged: {flagged}")
 
     # 3. stain normalization to a reference slide

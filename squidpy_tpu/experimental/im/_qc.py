@@ -291,7 +291,12 @@ def qc_image(
         },
         index=[f"tile_{r}_{c}" for r, c in zip(rows, cols)],
     )
-    adata = AnnData(X=X, obs=obs, var=pd.DataFrame(index=[m.value for m in metrics]))
+    # reference column contract: qc_-prefixed metric columns + explicit
+    # tile-center coordinates (/root/reference/src/squidpy/experimental/im/
+    # _qc_image.py:238-244, tests/experimental/test_qc_image.py:198-216)
+    adata = AnnData(X=X, obs=obs, var=pd.DataFrame(index=[f"qc_{m.value}" for m in metrics]))
+    adata.obs["centroid_y"] = ((obs["y0"] + obs["y1"]) / 2).to_numpy()
+    adata.obs["centroid_x"] = ((obs["x0"] + obs["x1"]) / 2).to_numpy()
     adata.obsm["spatial"] = np.column_stack([(obs["x0"] + obs["x1"]) / 2, (obs["y0"] + obs["y1"]) / 2])
     adata.uns["qc_image"] = {
         "tile_size": (ty, tx),
@@ -310,24 +315,29 @@ def qc_image(
         for i, (r, c) in enumerate(zip(*np.divmod(np.arange(n_true), nx))):
             sub = tmask[r * ty : (r + 1) * ty, c * tx : (c + 1) * tx]
             fr[i] = sub.mean() if sub.size else 0.0
-        adata.obs["is_tissue"] = fr > 0.5
-        adata.obs["is_background"] = ~adata.obs["is_tissue"].to_numpy()
+        _set_tissue_flags(adata, fr > 0.5)
         detect_tissue = True  # downstream unfocus restriction applies
     elif detect_tissue:
         tf = np.asarray(scores[QCMetric.TISSUE_FRACTION.value], dtype=np.float64)[:n_true]
-        adata.obs["is_tissue"] = tf > 0.5
-        adata.obs["is_background"] = ~adata.obs["is_tissue"].to_numpy()
+        _set_tissue_flags(adata, tf > 0.5)
 
     if detect_outliers:
         for m in metrics:
-            col = adata.obs_vector(m.value)
+            col = adata.obs_vector(f"qc_{m.value}")
             lo, hi = np.percentile(col, [outlier_percentile, 100 - outlier_percentile])
-            adata.obs[f"{m.value}_outlier_low"] = col < lo
-            adata.obs[f"{m.value}_outlier_high"] = col > hi
-        adata.obs["unfocus_score"] = _unfocus_scores(
-            X,
-            [m.value for m in metrics],
-            within=adata.obs["is_tissue"].to_numpy() if detect_tissue else None,
+            adata.obs[f"qc_{m.value}_outlier_low"] = col < lo
+            adata.obs[f"qc_{m.value}_outlier_high"] = col > hi
+        tissue_bool = (
+            adata.obs["is_tissue"].to_numpy() == "True" if detect_tissue else None
+        )
+        unfocus = _unfocus_scores(X, [m.value for m in metrics], within=tissue_bool)
+        adata.obs["unfocus_score"] = unfocus
+        # reference flag: a tile is an outlier when its within-tissue
+        # percentile rank falls below the threshold — i.e. unfocus above
+        # 1 - threshold; stored as a "True"/"False" categorical
+        flagged = np.nan_to_num(unfocus, nan=0.0) > 1.0 - outlier_percentile / 100.0
+        adata.obs["qc_outlier"] = pd.Categorical(
+            np.where(flagged, "True", "False"), categories=["False", "True"]
         )
     if sdata is not None:
         # reference on-disk table key contract: sdata.tables[f"qc_img_{image_key}"]
@@ -339,6 +349,15 @@ def qc_image(
         _exp_pl.qc_image(adata, metrics=[metrics[0].value])
     logg.info("Finish", time=start)
     return adata
+
+
+def _set_tissue_flags(adata: AnnData, tissue: np.ndarray) -> None:
+    """Write ``is_tissue``/``is_background`` in the reference's convention:
+    "True"/"False" string categoricals (plotting-friendly), both categories
+    always registered."""
+    cats = ["False", "True"]
+    adata.obs["is_tissue"] = pd.Categorical(np.where(tissue, "True", "False"), categories=cats)
+    adata.obs["is_background"] = pd.Categorical(np.where(tissue, "False", "True"), categories=cats)
 
 
 def _unfocus_scores(X: np.ndarray, var_names: list[str], within: np.ndarray | None = None) -> np.ndarray:

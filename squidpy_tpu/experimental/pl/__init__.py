@@ -98,14 +98,23 @@ def qc_image(
         raise ValueError("No qc_image metadata found. Run experimental.im.qc_image() first.")
     ny, nx = qc_adata.uns["qc_image"]["grid_shape"]
     metrics = metrics or list(qc_adata.var_names)
-    unknown = [m for m in metrics if m not in set(qc_adata.var_names)]
+    # accept bare metric names for the reference's qc_-prefixed columns
+    have = set(qc_adata.var_names)
+    metrics = [m if m in have else f"qc_{m}" if f"qc_{m}" in have else m for m in metrics]
+    unknown = [m for m in metrics if m not in have]
     if unknown:
         raise ValueError(f"Metric(s) {unknown} not found. Available: {list(qc_adata.var_names)}.")
-    tissue = (
-        np.asarray(qc_adata.obs["is_tissue"], dtype=bool)
-        if "is_tissue" in qc_adata.obs
-        else None
-    )
+    if "is_tissue" in qc_adata.obs:
+        col = qc_adata.obs["is_tissue"]
+        # "True"/"False" string categorical (the reference's convention) or
+        # a plain boolean column — both accepted
+        tissue = (
+            np.asarray(col) == "True"
+            if col.dtype == object or str(col.dtype) == "category"
+            else np.asarray(col, dtype=bool)
+        )
+    else:
+        tissue = None
     fig, axes = plt.subplots(
         len(metrics), 3, figsize=figsize or (12, 4 * len(metrics)), dpi=dpi, squeeze=False
     )

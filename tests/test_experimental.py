@@ -250,7 +250,7 @@ class TestQCImage:
         img = rng.integers(0, 255, (300, 400), dtype=np.int64).astype(np.uint8)
         qc = exp_im.qc_image(img, tile_size=100)
         assert qc.n_obs == 3 * 4
-        assert "tenengrad" in qc.var_names
+        assert "qc_tenengrad" in qc.var_names
         assert "tile_row" in qc.obs
         assert np.isfinite(np.asarray(qc.X)).all()
 
@@ -263,7 +263,7 @@ class TestQCImage:
         img = sharp.copy()
         img[:, 128:] = gaussian_blur(sharp[:, 128:], 4.0)
         qc = exp_im.qc_image(img, tile_size=128, metrics=["tenengrad", "var_of_laplacian"])
-        t = qc.obs_vector("tenengrad")
+        t = qc.obs_vector("qc_tenengrad")
         assert t[0] > 5 * t[1]
 
     def test_hne_metrics_require_rgb(self):
@@ -1187,7 +1187,7 @@ class TestQCImageBehaviors:
     def test_detect_tissue_columns(self):
         qc = exp_im.qc_image(self._slide(), tile_size=128, detect_tissue=True)
         assert "is_tissue" in qc.obs and "is_background" in qc.obs
-        tiss = qc.obs["is_tissue"].to_numpy()
+        tiss = qc.obs["is_tissue"].to_numpy() == "True"
         assert tiss.any() and (~tiss).any()
         # right-half tiles are the tissue ones
         assert (qc.obs.loc[tiss, "x0"] >= 256).all()
@@ -1195,7 +1195,7 @@ class TestQCImageBehaviors:
     def test_unfocus_score_with_tissue_restricted(self):
         qc = exp_im.qc_image(self._slide(), tile_size=128, detect_tissue=True)
         uf = qc.obs["unfocus_score"].to_numpy(dtype=float)
-        tiss = qc.obs["is_tissue"].to_numpy()
+        tiss = qc.obs["is_tissue"].to_numpy() == "True"
         assert np.isnan(uf[~tiss]).all()
         assert np.isfinite(uf[tiss]).all()
         assert (uf[tiss] >= 0).all() and (uf[tiss] <= 1).all()
@@ -1216,7 +1216,7 @@ class TestQCImageBehaviors:
 
     def test_tissue_fraction_not_added_to_X_when_unrequested(self):
         qc = exp_im.qc_image(self._slide(), tile_size=128, metrics=["tenengrad"], detect_tissue=True)
-        assert list(qc.var_names) == ["tenengrad"]
+        assert list(qc.var_names) == ["qc_tenengrad"]
         assert "is_tissue" in qc.obs
 
 

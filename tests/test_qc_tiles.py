@@ -37,19 +37,19 @@ class TestQcImage:
     def test_default_metric_columns(self, he_like):
         qc = exp_im.qc_image(he_like, tile_size=128)
         for m in ("tenengrad", "var_of_laplacian", "brightness_mean", "entropy"):
-            assert m in list(qc.var_names)
+            assert f"qc_{m}" in list(qc.var_names)
 
     def test_metric_values_finite_and_ordered(self, he_like):
         qc = exp_im.qc_image(he_like, tile_size=128, metrics=["tenengrad", "brightness_mean"])
         X = np.asarray(qc.X, float)
         assert np.isfinite(X).all()
         # background tiles are brighter than the tissue-blob tiles
-        bm = qc.obs_vector("brightness_mean")
+        bm = qc.obs_vector("qc_brightness_mean")
         assert bm.max() > bm.min()
 
     def test_blurry_region_scores_lower_sharpness(self, he_like):
         qc = exp_im.qc_image(he_like, tile_size=256, metrics=["tenengrad"])
-        ten = qc.obs_vector("tenengrad")
+        ten = qc.obs_vector("qc_tenengrad")
         rows = qc.obs["tile_row"].to_numpy()
         cols = qc.obs["tile_col"].to_numpy()
         blurry = ten[(rows == 1) & (cols == 1)][0]
@@ -66,10 +66,11 @@ class TestQcImage:
     def test_detect_tissue_classification(self, he_like):
         qc = exp_im.qc_image(he_like, tile_size=128, detect_tissue=True)
         assert {"is_tissue", "is_background"} <= set(qc.obs.columns)
-        assert qc.obs["is_tissue"].sum() >= 1
-        assert (qc.obs["is_tissue"] != qc.obs["is_background"]).all()
+        # reference convention: "True"/"False" string categoricals
+        assert (qc.obs["is_tissue"] == "True").sum() >= 1
+        assert (qc.obs["is_tissue"].astype(str) != qc.obs["is_background"].astype(str)).all()
         # background tiles get NaN unfocus
-        bg = qc.obs.loc[qc.obs["is_background"], "unfocus_score"]
+        bg = qc.obs.loc[(qc.obs["is_background"] == "True").to_numpy(), "unfocus_score"]
         assert bg.isna().all()
 
     def test_he_metrics_need_rgb(self):
@@ -87,7 +88,7 @@ class TestQcImage:
         img[:128] = [120, 80, 160]   # purple-ish (H-rich)
         img[128:] = [230, 140, 160]  # pink-ish (E-rich)
         qc = exp_im.qc_image(img, tile_size=128, metrics=["hematoxylin_mean", "eosin_mean"])
-        hmean = qc.obs_vector("hematoxylin_mean")
+        hmean = qc.obs_vector("qc_hematoxylin_mean")
         top = qc.obs["tile_row"].to_numpy() == 0
         assert hmean[top].mean() > hmean[~top].mean()
 
@@ -186,3 +187,67 @@ class TestQCTileSizeForms:
             exp_im.qc_image(self._img(), tile_size=(0, 32))
         with pytest.raises(ValueError, match="int, \\(ty, tx\\) tuple or 'auto'"):
             exp_im.qc_image(self._img(), tile_size="bogus")
+
+
+class TestQcReferenceSchema:
+    """Output-schema contract from the reference's tests/experimental/
+    test_qc_image.py:156-216 (qc_ prefixes, categorical flags, centroids)."""
+
+    def _img(self):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 1, (256, 256)).astype(np.float32)
+        img[:, :128] *= 0.2
+        return img
+
+    def test_compute_only_schema(self):
+        qc = exp_im.qc_image(
+            self._img(), tile_size=128, metrics=["tenengrad", "brightness_mean"],
+            detect_outliers=False, detect_tissue=False, progress=False,
+        )
+        assert set(qc.var_names) == {"qc_tenengrad", "qc_brightness_mean"}
+        assert "qc_outlier" not in qc.obs.columns
+        assert "unfocus_score" not in qc.obs.columns
+        assert "centroid_y" in qc.obs.columns and "centroid_x" in qc.obs.columns
+        assert "spatial" in qc.obsm
+
+    def test_outlier_columns_with_tissue(self):
+        qc = exp_im.qc_image(
+            self._img(), tile_size=64, metrics=["tenengrad"],
+            detect_outliers=True, detect_tissue=True, progress=False,
+        )
+        for col in ("qc_outlier", "is_tissue", "is_background", "unfocus_score"):
+            assert col in qc.obs.columns
+        assert set(qc.obs["qc_outlier"].cat.categories) == {"False", "True"}
+        assert (qc.obs["is_tissue"] == "True").any()
+
+    def test_outlier_columns_without_tissue(self):
+        qc = exp_im.qc_image(
+            self._img(), tile_size=64, metrics=["tenengrad"],
+            detect_outliers=True, detect_tissue=False, progress=False,
+        )
+        assert "qc_outlier" in qc.obs.columns
+        assert "is_tissue" not in qc.obs.columns
+        assert not np.any(np.isnan(qc.obs["unfocus_score"].to_numpy(dtype=float)))
+
+    def test_outlier_threshold_fraction_form(self):
+        # reference expresses the cut as a fraction in (0, 1)
+        qc = exp_im.qc_image(
+            self._img(), tile_size=64, metrics=["tenengrad"], outlier_threshold=0.25,
+            progress=False,
+        )
+        flagged = (qc.obs["qc_outlier"] == "True").sum()
+        assert 0 < flagged < qc.n_obs
+
+    def test_table_key_contract(self):
+        import squidpy_tpu as sq
+
+        sd = sq.SpatialData(images={"hne": (self._img() * 255).astype(np.uint8)})
+        exp_im.qc_image(sd, image_key="hne", tile_size=128, metrics=["tenengrad"], progress=False)
+        assert "qc_img_hne" in sd.tables
+
+    def test_plot_accepts_bare_metric_names(self, tmp_path):
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        qc = exp_im.qc_image(self._img(), tile_size=128, metrics=["tenengrad"], progress=False)
+        exp_pl.qc_image(qc, metrics=["tenengrad"], save=str(tmp_path / "bare.png"))
+        assert (tmp_path / "bare.png").exists()

@@ -118,7 +118,7 @@ class TestQcImageSdata:
 
     def test_is_hne_adds_stain_metrics(self, he_sdata):
         qc = exp_im.qc_image(he_sdata, image_key="he", tile_size=128, is_hne=True)
-        assert "hematoxylin_mean" in list(qc.var_names)
+        assert "qc_hematoxylin_mean" in list(qc.var_names)
 
     def test_tissue_mask_key(self, he_sdata):
         mask = np.zeros((256, 256), np.int32)
@@ -126,8 +126,8 @@ class TestQcImageSdata:
         he_sdata.labels["tm"] = mask
         qc = exp_im.qc_image(he_sdata, image_key="he", tile_size=128, tissue_mask_key="tm")
         left = qc.obs["tile_col"].to_numpy() == 0
-        assert qc.obs.loc[left, "is_tissue"].all()
-        assert not qc.obs.loc[~left, "is_tissue"].any()
+        assert (qc.obs.loc[left, "is_tissue"] == "True").all()
+        assert (qc.obs.loc[~left, "is_tissue"] == "False").all()
 
     def test_auto_tile_size(self, he_sdata):
         qc = exp_im.qc_image(he_sdata, image_key="he", tile_size="auto")
