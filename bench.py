@@ -24,6 +24,8 @@ Timing hygiene (both hard-won on this environment):
 from __future__ import annotations
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -35,8 +37,27 @@ N_PERMS = 1000
 CHUNK = 500
 CPU_PERMS = 3
 
+# The axon tunnel has been observed to go down for stretches, during which
+# backend init HANGS (~25 min) inside jax.devices() before erroring
+# UNAVAILABLE. Probe it in a disposable subprocess with a bounded wait so the
+# bench always emits its one JSON line (on a reduced CPU config, clearly
+# marked) instead of eating the driver's timeout.
+PROBE_TIMEOUT_S = 300
 
-def _device_bench() -> float:
+
+def _backend_available() -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=PROBE_TIMEOUT_S,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _device_bench(n_cells: int = N_CELLS, n_perms: int = N_PERMS) -> float:
     import jax.numpy as jnp
 
     from squidpy_tpu._core.index_cipher import cipher_label_columns
@@ -44,15 +65,15 @@ def _device_bench() -> float:
     from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
 
     rng = np.random.default_rng(0)
-    indices = jnp.asarray(rng.integers(0, N_CELLS, size=(N_CELLS, K)).astype(np.int32))
-    mask = jnp.ones((N_CELLS, K), dtype=bool)
-    labels = rng.integers(0, N_CLS, size=N_CELLS).astype(np.int32)
+    indices = jnp.asarray(rng.integers(0, n_cells, size=(n_cells, K)).astype(np.int32))
+    mask = jnp.ones((n_cells, K), dtype=bool)
+    labels = rng.integers(0, N_CLS, size=n_cells).astype(np.int32)
     class_counts = np.bincount(labels, minlength=N_CLS)
 
     def run(seed: int) -> int:
-        keys = spawn_keys(seed, N_PERMS)
+        keys = spawn_keys(seed, n_perms)
         totals = []
-        for c0 in range(0, N_PERMS, CHUNK):
+        for c0 in range(0, n_perms, CHUNK):
             cols = cipher_label_columns(keys[c0 : c0 + CHUNK], class_counts, out_dtype=jnp.uint8)
             counts = permuted_pair_counts_cols(indices, mask, cols, N_CLS)
             # per-perm sums stay < 2^31 (a whole-chunk int32 sum overflows
@@ -62,22 +83,22 @@ def _device_bench() -> float:
         # every chunk without serializing the pipeline
         return int(sum(np.asarray(t, dtype=np.int64).sum() for t in totals))
 
-    assert run(999) == N_PERMS * N_CELLS * K  # compile + warm, different seed
+    assert run(999) == n_perms * n_cells * K  # compile + warm, different seed
 
     t0 = time.perf_counter()
     total = run(0)
     t1 = time.perf_counter()
-    assert total == N_PERMS * N_CELLS * K
-    return N_PERMS / (t1 - t0)
+    assert total == n_perms * n_cells * K
+    return n_perms / (t1 - t0)
 
 
-def _cpu_baseline() -> float:
+def _cpu_baseline(n_cells: int = N_CELLS) -> float:
     """Vectorized numpy counting of the same statistic (per-permutation cost
     of the reference's CPU path, without numba)."""
     rng = np.random.default_rng(0)
-    indices = rng.integers(0, N_CELLS, size=(N_CELLS, K)).astype(np.int32)
-    labels = rng.integers(0, N_CLS, size=N_CELLS).astype(np.int32)
-    src = np.repeat(np.arange(N_CELLS, dtype=np.int32), K)
+    indices = rng.integers(0, n_cells, size=(n_cells, K)).astype(np.int32)
+    labels = rng.integers(0, N_CLS, size=n_cells).astype(np.int32)
+    src = np.repeat(np.arange(n_cells, dtype=np.int32), K)
     dst = indices.reshape(-1)
 
     t0 = time.perf_counter()
@@ -90,12 +111,27 @@ def _cpu_baseline() -> float:
 
 
 def main() -> None:
-    device_pps = _device_bench()
-    cpu_pps = _cpu_baseline()
+    bench_cells = N_CELLS
+    if _backend_available():
+        metric = "nhood_enrichment permutations/sec incl. shuffles (1M cells, k=6, 16 clusters)"
+        device_pps = _device_bench()
+    else:
+        # tunnel outage: run a reduced config on the host CPU backend so the
+        # driver still records a line — NOT comparable to TPU rounds
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        metric = (
+            "nhood_enrichment permutations/sec incl. shuffles "
+            "(TPU TUNNEL DOWN — cpu fallback at 100k cells, k=6, 16 clusters)"
+        )
+        bench_cells = 100_000
+        device_pps = _device_bench(n_cells=bench_cells, n_perms=100)
+    cpu_pps = _cpu_baseline(n_cells=bench_cells)
     print(
         json.dumps(
             {
-                "metric": "nhood_enrichment permutations/sec incl. shuffles (1M cells, k=6, 16 clusters)",
+                "metric": metric,
                 "value": round(device_pps, 2),
                 "unit": "perms/s",
                 "vs_baseline": round(device_pps / cpu_pps, 2),
