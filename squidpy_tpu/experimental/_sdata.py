@@ -75,6 +75,16 @@ def resolve_element(
     """Resolve an element from a SpatialData-like ``source``, or pass an
     array through untouched."""
     if not is_sdata(source):
+        if key is not None:
+            # a key with a plain-array source almost always means a
+            # positional argument bound into the key slot (e.g.
+            # detect_tissue(img, "kmeans")) — fail loudly instead of
+            # silently ignoring the key
+            raise TypeError(
+                f"`{what}_key`={key!r} was given, but the input is a plain array, "
+                f"not a SpatialData-like object — keys select from sdata.{tree}. "
+                "Pass the array alone, or pass an sdata."
+            )
         return source
     mapping = getattr(source, tree, None)
     if mapping is None:

@@ -311,6 +311,14 @@ def qc_image(
         tmask = np.asarray(
             resolve_element(sdata, tissue_mask_key, tree="labels", scale=scale, what="tissue_mask")
         ).squeeze() > 0
+        if tmask.shape != (h, w):
+            # the mask may live at a different pyramid level than the image
+            # (e.g. detect_tissue's scale='auto' vs this call's scale) —
+            # align it to the image grid before tiling, or every slice below
+            # silently reads out of range and reports fraction 0
+            from squidpy_tpu.experimental.im._stain import _nearest_resize_mask
+
+            tmask = _nearest_resize_mask(tmask, (h, w))
         fr = np.zeros(n_true)
         for i, (r, c) in enumerate(zip(*np.divmod(np.arange(n_true), nx))):
             sub = tmask[r * ty : (r + 1) * ty, c * tx : (c + 1) * tx]

@@ -763,7 +763,9 @@ def decompose_stains(
         names = ["hematoxylin", "eosin"] + (["residual"] if include_residual else [])
         if not inplace:
             return {name: conc[..., i] for i, name in enumerate(names)}
-        prefix = image_key_added if image_key_added is not None else image_key
+        # single-image sdatas may resolve with image_key=None — fall back to
+        # the same "image" prefix detect_tissue uses rather than "None_*"
+        prefix = image_key_added if image_key_added is not None else (image_key or "image")
         target_keys = [f"{prefix}_{name}" for name in names]
         # atomic write: validate every key free before writing any
         clashes = [k for k in target_keys if k in sdata.images]
@@ -877,7 +879,7 @@ def normalize_stains(
             normalized = np.where(tissue[..., None], normalized, source_cast)
         if not inplace:
             return normalized
-        key = image_key_added if image_key_added is not None else f"{image_key}_normalized"
+        key = image_key_added if image_key_added is not None else f"{image_key or 'image'}_normalized"
         _store_image(sdata, key, normalized)
         return None
 

@@ -87,7 +87,9 @@ def qc_image(
 
     if is_sdata(qc_adata):
         sdata = qc_adata
-        table_key = f"qc_img_{image_key}"
+        # same fallback the writer uses for single-image sdatas with no
+        # explicit image_key (im/_qc.py stores "qc_img_image")
+        table_key = f"qc_img_{image_key or 'image'}"
         tables = getattr(sdata, "tables", None) or {}
         if table_key not in tables:
             raise ValueError(
@@ -171,6 +173,19 @@ def tiling_qc(
         qc_adata = tables[table_key]
         if labels is None and labels_key in (getattr(sdata, "labels", None) or {}):
             labels = resolve_scale(sdata.labels[labels_key], "auto")
+    elif labels_key is not None:
+        # an array in the labels_key slot means a misbound positional call
+        # (old array form was tiling_qc(qc_adata, labels_arr)) — the overlay
+        # would otherwise silently disappear
+        if not isinstance(labels_key, str):
+            raise TypeError(
+                "The second positional argument is `labels_key` (a str selecting "
+                "sdata.labels); pass a labels ARRAY via the keyword `labels=...`."
+            )
+        raise TypeError(
+            f"`labels_key`={labels_key!r} requires a SpatialData input; with a QC "
+            "AnnData, pass the labels array via `labels=...`."
+        )
     if score_col not in qc_adata.obs:
         raise ValueError(
             f"Score column `{score_col}` not in the QC table. "

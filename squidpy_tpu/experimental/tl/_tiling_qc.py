@@ -163,8 +163,8 @@ def calculate_tiling_qc(
     if is_sdata(labels):
         sdata = labels
         labels = resolve_element(sdata, labels_key, tree="labels", scale=scale, what="labels")
-    if downsample and int(downsample) > 1:
-        d = int(downsample)
+    d = int(downsample) if downsample else 1
+    if d > 1:
         labels = np.asarray(labels)[..., ::d, ::d]
     qp = resolve_params(tiling_qc_params, TilingQCParams, "tiling_qc_params")
     if tiling_qc_params is not None:
@@ -177,6 +177,18 @@ def calculate_tiling_qc(
 
     frames = run_tiled(specs, _qc_tile, n_jobs=n_jobs, scatter=(labels,), desc="QC tiles")
     df = pd.concat([f for f in frames if len(f)], ignore_index=True).sort_values("label").reset_index(drop=True)
+
+    if d > 1:
+        # report everything in FULL-RESOLUTION units, like the reference
+        # (which downsamples only the per-cell analysis crop and compensates
+        # its thresholds, reference tl/_tiling_qc.py:370-389): centroids and
+        # run lengths scale by d, areas by d², so the obsm['spatial'] overlay
+        # stays aligned with the full-res labels element and the
+        # min_run_px/min_area gates keep their full-res meaning
+        df["centroid_x"] *= d
+        df["centroid_y"] *= d
+        df["straight_run_px"] *= d
+        df["area"] *= d * d
 
     # tiny cells trivially reach straightness 1.0, so the flag also requires
     # an absolute straight run of at least `min_run_px` pixels

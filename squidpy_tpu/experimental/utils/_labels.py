@@ -85,10 +85,14 @@ def _chunk_regions(
         uniq = uniq[np.isin(uniq, np.fromiter(subset, dtype=np.int64, count=len(subset)))]
     if not len(uniq):
         return
-    # dense relabel so find_objects/bincount stay O(n_present), not O(max id)
+    # dense relabel so find_objects/bincount stay O(n_present), not O(max id);
+    # values absent from uniq (background AND subset-excluded labels) must map
+    # to 0, not to searchsorted's insertion point — that would contaminate a
+    # neighboring kept label's area/centroid/intensity
     dense = np.searchsorted(uniq, chunk)
-    dense[chunk == 0] = -1
-    dense += 1  # 0 = background, 1..m = uniq order
+    np.clip(dense, 0, len(uniq) - 1, out=dense)
+    dense[uniq[dense] != chunk] = -1
+    dense += 1  # 0 = background/excluded, 1..m = uniq order
     slices = ndimage.find_objects(dense)
     flat = dense.ravel()
     area = np.bincount(flat, minlength=len(uniq) + 1)[1:]

@@ -34,7 +34,11 @@ def _infer_shape_dtype(path: Pathlike_t) -> tuple[tuple[int, ...], np.dtype]:
     if is_tiff(path):
         pages = TiffReader(path).pages
         if len(pages) > 1 and len({p.shape for p in pages}) == 1:
-            # equal-shaped pages stack as a leading axis (z/pages)
+            # matches the loaders (_open_image_file): equal-shaped GRAYSCALE
+            # pages are channels-last (y, x, pages); pages that already carry
+            # channels stack on a leading axis (pages, y, x, c)
+            if len(pages[0].shape) == 2:
+                return (*pages[0].shape, len(pages)), np.dtype(pages[0].dtype.newbyteorder("="))
             return (len(pages), *pages[0].shape), np.dtype(pages[0].dtype.newbyteorder("="))
         return pages[0].shape, np.dtype(pages[0].dtype.newbyteorder("="))
 
@@ -49,7 +53,10 @@ def _infer_shape_dtype(path: Pathlike_t) -> tuple[tuple[int, ...], np.dtype]:
                        "RGBA": np.uint8, "I": np.int32, "I;16": np.uint16, "F": np.float32}
         dtype = np.dtype(mode_dtypes.get(img.mode, np.uint8))
     if n_frames > 1:
-        return (n_frames, h, w) + ((bands,) if bands > 1 else ()), dtype
+        # same convention as the loaders: grayscale frames are channels-last
+        if bands > 1:
+            return (n_frames, h, w, bands), dtype
+        return (h, w, n_frames), dtype
     return (h, w) + ((bands,) if bands > 1 else ()), dtype
 
 

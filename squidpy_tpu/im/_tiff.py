@@ -57,7 +57,7 @@ _TYPES = {
     11: ("f", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8),
 }
 
-_SUPPORTED_COMPRESSIONS = {1, 8, 32746, 32773, 32946}
+_SUPPORTED_COMPRESSIONS = {1, 8, 32773, 32946}
 
 
 def is_tiff(path: Pathlike_t) -> bool:
@@ -127,7 +127,14 @@ def _decompress(raw: bytes, compression: int, expected: int) -> bytes:
 
 
 def _undo_predictor(block: np.ndarray, predictor: int) -> np.ndarray:
-    if predictor == 2:  # horizontal differencing: cumulative sum along x
+    """Undo horizontal differencing on a (rows, cols, planes) chunk.
+
+    The TIFF spec (6.0 §14) differences each sample COMPONENT against the
+    same component of the previous pixel, so the cumulative sum runs along
+    the column axis independently per interleaved plane — flattening
+    cols*planes first would mix channels and corrupt RGB data.
+    """
+    if predictor == 2:
         return np.cumsum(block, axis=1, dtype=block.dtype)
     return block
 
@@ -258,8 +265,7 @@ class TiffReader:
         data = _decompress(raw, page.compression, expected)
         arr = np.frombuffer(data[:expected], dtype=page.dtype).reshape(rows, cols, planes)
         if page.predictor == 2:
-            # differencing runs along x over interleaved samples
-            arr = _undo_predictor(arr.reshape(rows, cols * planes), 2).reshape(rows, cols, planes)
+            arr = _undo_predictor(arr, 2)
         return arr
 
     def read_region(self, y0: int, y1: int, x0: int, x1: int, page_index: int = 0) -> np.ndarray:
@@ -328,11 +334,14 @@ def write_tiff(
     tile: tuple[int, int] | None = None,
     compression: str | None = None,
     bigtiff: bool = False,
+    predictor: int = 1,
 ) -> None:
     """Write a (y, x[, c]) array as classic (or Big) TIFF, stripped or tiled.
 
-    ``compression``: ``None`` or ``"deflate"``. Tiles are padded at edges as
-    the spec requires.
+    ``compression``: ``None`` or ``"deflate"``. ``predictor=2`` applies
+    horizontal differencing per sample component (TIFF 6.0 §14, integer
+    dtypes only — typically shrinks deflate output on smooth imagery).
+    Tiles are padded at edges as the spec requires.
     """
     arr = np.asarray(array)
     if arr.ndim == 2:
@@ -344,6 +353,18 @@ def write_tiff(
     if arr.dtype.byteorder == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
     comp_id = {None: 1, "deflate": 8}[compression]
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}.")
+    if predictor == 2 and arr.dtype.kind not in "ui":
+        raise ValueError("predictor=2 (horizontal differencing) requires an integer dtype.")
+
+    def _diff(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            block = block.copy()
+            # per-component difference along x; modular wrap matches the
+            # reader's same-dtype cumsum
+            block[:, 1:] = block[:, 1:] - block[:, :-1]
+        return block.tobytes()
 
     chunks: list[bytes] = []
     rows_per_strip = h
@@ -356,18 +377,19 @@ def write_tiff(
                 block = np.zeros((tl, tw, c), dtype=arr.dtype)
                 sub = arr[y0 : y0 + tl, x0 : x0 + tw]
                 block[: sub.shape[0], : sub.shape[1]] = sub
-                chunks.append(block.tobytes())
+                chunks.append(_diff(block))
     else:
         rows_per_strip = max(1, min(h, max(1, (1 << 16) // max(w * c * arr.dtype.itemsize, 1))))
         for y0 in range(0, h, rows_per_strip):
-            chunks.append(arr[y0 : y0 + rows_per_strip].tobytes())
+            chunks.append(_diff(arr[y0 : y0 + rows_per_strip]))
     if comp_id == 8:
         chunks = [zlib.compress(b) for b in chunks]
 
     sample_format = {"u": 1, "i": 2, "f": 3}[arr.dtype.kind]
     bits = arr.dtype.itemsize * 8
     _write_container(
-        path, chunks, h, w, c, bits, comp_id, sample_format, tile, rows_per_strip, big=bigtiff
+        path, chunks, h, w, c, bits, comp_id, sample_format, tile, rows_per_strip,
+        big=bigtiff, predictor=predictor,
     )
 
 
@@ -384,6 +406,7 @@ def _write_container(
     rows_per_strip: int,
     *,
     big: bool,
+    predictor: int = 1,
 ) -> None:
     bo = "<"
     off_t, cnt_t, entry_sz, inline = ("Q", "Q", 20, 8) if big else ("I", "I", 12, 4)
@@ -418,6 +441,8 @@ def _write_container(
         (_SAMPLE_FORMAT, 3, c, [sample_format] * c),
         (_PLANAR_CONFIG, 3, 1, [1]),
     ]
+    if predictor != 1:
+        tags.append((_PREDICTOR, 3, 1, [predictor]))
     if tile is not None:
         tl, tw = tile
         tags += [

@@ -1,0 +1,324 @@
+"""Regression tests for the round-3 code-review findings.
+
+Each test pins a bug found by the review pass over the round-3 diff:
+wrong-unit or silently-corrupt outputs that the ordinary round-trip tests
+could not see (writer and reader sharing one wrong convention, misbound
+positional arguments being ignored, out-of-range slices yielding zeros).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+import squidpy_tpu as sq
+from squidpy_tpu.im._tiff import TiffReader, write_tiff
+
+
+# ---------------------------------------------------------------------------
+# TIFF predictor=2 decode (per-component differencing, TIFF 6.0 §14)
+# ---------------------------------------------------------------------------
+
+
+def _write_predictor2_rgb_strip(path, pixels: np.ndarray) -> None:
+    """Hand-craft a deflate+predictor2 RGB TIFF independent of write_tiff,
+    differencing per sample COMPONENT as the spec requires."""
+    h, w, c = pixels.shape
+    diff = pixels.astype(np.uint8).copy()
+    diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+    data = zlib.compress(diff.tobytes())
+
+    bo = "<"
+    entries = []
+
+    def tag(t, ftype, count, values):
+        code = {3: "H", 4: "I"}[ftype]
+        payload = struct.pack(bo + code * count, *values)
+        entries.append(struct.pack(bo + "HHI", t, ftype, count) + payload.ljust(4, b"\0"))
+
+    data_off = 8
+    ifd_off = data_off + len(data)
+    # BitsPerSample needs an external array for 3 shorts (6 bytes > 4)
+    bps_off = ifd_off  # placed right before the IFD
+    ifd_off += 6
+    tag(256, 4, 1, [w])            # ImageWidth
+    tag(257, 4, 1, [h])            # ImageLength
+    entries.append(struct.pack(bo + "HHII", 258, 3, 3, bps_off))  # BitsPerSample ->ext
+    tag(259, 3, 1, [8])            # Compression: deflate
+    tag(262, 3, 1, [2])            # Photometric: RGB
+    tag(273, 4, 1, [data_off])     # StripOffsets
+    tag(277, 3, 1, [3])            # SamplesPerPixel
+    tag(278, 4, 1, [h])            # RowsPerStrip
+    tag(279, 4, 1, [len(data)])    # StripByteCounts
+    tag(317, 3, 1, [2])            # Predictor: horizontal differencing
+    entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
+    with open(path, "wb") as fh:
+        fh.write(b"II" + struct.pack(bo + "HI", 42, ifd_off))
+        fh.write(data)
+        fh.write(struct.pack(bo + "HHH", 8, 8, 8))
+        fh.write(struct.pack(bo + "H", len(entries)))
+        fh.writelines(entries)
+        fh.write(struct.pack(bo + "I", 0))
+
+
+class TestTiffPredictor:
+    def test_predictor2_rgb_per_component(self, tmp_path):
+        """Differencing runs per sample component — flattening cols*planes
+        would mix channels and corrupt every compressed RGB read."""
+        px = np.array(
+            [[[10, 20, 30], [11, 22, 33], [13, 25, 37]],
+             [[200, 100, 50], [199, 102, 55], [195, 110, 60]]],
+            dtype=np.uint8,
+        )
+        p = tmp_path / "pred2.tif"
+        _write_predictor2_rgb_strip(p, px)
+        got = TiffReader(p).read_full()
+        np.testing.assert_array_equal(got, px)
+
+    def test_predictor2_roundtrip_strip_and_tile(self, tmp_path):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (40, 52, 3), dtype=np.int64).astype(np.uint8)
+        for kw in ({}, {"tile": (16, 16)}):
+            p = tmp_path / f"rt_{'tile' if kw else 'strip'}.tif"
+            write_tiff(p, img, compression="deflate", predictor=2, **kw)
+            np.testing.assert_array_equal(TiffReader(p).read_full(), img)
+
+    def test_predictor2_pil_interop(self, tmp_path):
+        """PIL (an independent TIFF implementation) decodes our predictor=2
+        deflate output to the same pixels."""
+        from PIL import Image
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (24, 33, 3), dtype=np.int64).astype(np.uint8)
+        p = tmp_path / "pil.tif"
+        write_tiff(p, img, compression="deflate", predictor=2)
+        with Image.open(str(p)) as handle:
+            got = np.asarray(handle)
+        np.testing.assert_array_equal(got, img)
+
+    def test_predictor2_uint16_grayscale(self, tmp_path):
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 60_000, (30, 20), dtype=np.int64).astype(np.uint16)
+        p = tmp_path / "u16.tif"
+        write_tiff(p, img, compression="deflate", predictor=2)
+        np.testing.assert_array_equal(TiffReader(p).read_full().squeeze(), img)
+
+    def test_predictor_rejects_float(self, tmp_path):
+        with pytest.raises(ValueError, match="integer dtype"):
+            write_tiff(tmp_path / "f.tif", np.zeros((4, 4), np.float32), predictor=2)
+
+    def test_unimplemented_compression_not_claimed_supported(self):
+        """Compression 32746 has no decoder, so `supported` must be False
+        (it gates the PIL fallback in _open_image_file)."""
+        from squidpy_tpu.im._tiff import _SUPPORTED_COMPRESSIONS, _decompress
+
+        for comp in _SUPPORTED_COMPRESSIONS:
+            if comp == 1:
+                continue
+            try:
+                _decompress(b"\x00", comp, 1)
+            except NotImplementedError:
+                pytest.fail(f"compression {comp} claimed supported but has no decoder")
+            except Exception:
+                pass  # garbage input may fail inside the codec — fine
+
+
+# ---------------------------------------------------------------------------
+# LazyImage shape ↔ materialized shape agreement (multi-page grayscale)
+# ---------------------------------------------------------------------------
+
+
+class TestLazyImageMultipageShape:
+    def test_probe_matches_loaded_array(self, tmp_path):
+        from PIL import Image
+
+        from squidpy_tpu.im._io import LazyImage
+
+        rng = np.random.default_rng(0)
+        frames = [Image.fromarray(rng.integers(0, 255, (17, 23), dtype=np.int64).astype(np.uint8))
+                  for _ in range(3)]
+        p = tmp_path / "stack.tif"
+        frames[0].save(str(p), save_all=True, append_images=frames[1:])
+        lazy = LazyImage(p)
+        arr = np.asarray(lazy)
+        assert lazy.shape == arr.shape, (lazy.shape, arr.shape)
+        assert arr.shape == (17, 23, 3)  # grayscale pages are channels-last
+
+
+# ---------------------------------------------------------------------------
+# iter_chunked_regionprops label_subset exclusion
+# ---------------------------------------------------------------------------
+
+
+class TestRegionpropsSubset:
+    def test_excluded_labels_do_not_contaminate(self):
+        from squidpy_tpu.experimental.utils import iter_chunked_regionprops
+
+        labels = np.array([[1, 2, 3], [0, 0, 0]], dtype=np.int32)
+        regions = {lid: r for lid, r, _, _ in iter_chunked_regionprops(labels, label_subset=[1, 3])}
+        assert set(regions) == {1, 3}
+        assert regions[3].area == 1
+        assert regions[3].bbox == (0, 2, 1, 3)
+        assert regions[3].centroid == (0.0, 2.0)
+        assert regions[1].area == 1
+
+    def test_subset_mean_intensity_unpolluted(self):
+        from squidpy_tpu.experimental.utils import iter_chunked_regionprops
+
+        labels = np.array([[1, 2, 2, 3]], dtype=np.int32)
+        intens = np.array([[10.0, 100.0, 100.0, 20.0]])
+        regions = {
+            lid: r
+            for lid, r, _, _ in iter_chunked_regionprops(
+                labels, intensity_image=intens, label_subset=[1, 3]
+            )
+        }
+        assert regions[1].mean_intensity == 10.0
+        assert regions[3].mean_intensity == 20.0
+
+    def test_subset_matches_full_run(self):
+        from squidpy_tpu.experimental.utils import iter_chunked_regionprops
+
+        rng = np.random.default_rng(0)
+        labels = rng.integers(0, 9, (40, 40)).astype(np.int32)
+        keep = [2, 5, 7]
+        full = {lid: r for lid, r, _, _ in iter_chunked_regionprops(labels) if lid in keep}
+        sub = {lid: r for lid, r, _, _ in iter_chunked_regionprops(labels, label_subset=keep)}
+        assert set(full) == set(sub)
+        for lid in keep:
+            assert full[lid].area == sub[lid].area
+            assert full[lid].centroid == sub[lid].centroid
+            assert full[lid].bbox == sub[lid].bbox
+
+
+# ---------------------------------------------------------------------------
+# calculate_tiling_qc downsample: outputs in full-resolution units
+# ---------------------------------------------------------------------------
+
+
+class TestTilingQCDownsampleUnits:
+    def _labels(self):
+        labels = np.zeros((120, 120), np.int32)
+        labels[8:40, 8:40] = 1
+        labels[8:40, 60:112] = 2
+        labels[60:112, 8:40] = 3
+        return labels
+
+    def test_centroids_and_area_full_res(self):
+        from squidpy_tpu.experimental import tl as exp_tl
+
+        qc_full = exp_tl.calculate_tiling_qc(self._labels(), tile_size=128)
+        qc_ds = exp_tl.calculate_tiling_qc(self._labels(), tile_size=128, downsample=2)
+        assert qc_full.n_obs == qc_ds.n_obs
+        # centroids within a pixel of the full-res run, area within the
+        # decimation's sampling error
+        np.testing.assert_allclose(qc_ds.obsm["spatial"], qc_full.obsm["spatial"], atol=2.0)
+        a_full = qc_full.obs["area"].to_numpy(dtype=float)
+        a_ds = qc_ds.obs["area"].to_numpy(dtype=float)
+        np.testing.assert_allclose(a_ds, a_full, rtol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# qc_image tissue mask at a different pyramid scale
+# ---------------------------------------------------------------------------
+
+
+class TestQcImageMaskAlignment:
+    def test_small_mask_is_aligned_not_zero(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (256, 256)).astype(np.float32)
+        sd = sq.SpatialData(images={"im": img})
+        # mask at quarter resolution: left half tissue
+        mask = np.zeros((64, 64), np.int32)
+        mask[:, :32] = 1
+        sd.labels["tm"] = mask
+        qc = exp_im.qc_image(sd, image_key="im", tile_size=128, tissue_mask_key="tm")
+        left = qc.obs["tile_col"].to_numpy() == 0
+        assert (qc.obs.loc[left, "is_tissue"] == "True").all()
+        assert (qc.obs.loc[~left, "is_tissue"] == "False").all()
+
+
+# ---------------------------------------------------------------------------
+# misbound positional arguments fail loudly
+# ---------------------------------------------------------------------------
+
+
+class TestMisboundPositionals:
+    def test_detect_tissue_array_with_key_raises(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        img = np.zeros((64, 64), np.uint8)
+        with pytest.raises(TypeError, match="plain array"):
+            exp_im.detect_tissue(img, "kmeans")
+
+    def test_qc_image_array_with_key_raises(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        with pytest.raises(TypeError, match="plain array"):
+            exp_im.qc_image(np.zeros((64, 64), np.float32), "whoops", tile_size=32)
+
+    def test_pl_tiling_qc_array_in_key_slot_raises(self):
+        from squidpy_tpu import AnnData
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        qc = AnnData(X=np.zeros((3, 1)))
+        qc.obs["cut_score"] = [0.1, 0.2, 0.3]
+        qc.obsm["spatial"] = np.zeros((3, 2))
+        with pytest.raises(TypeError, match="labels"):
+            exp_pl.tiling_qc(qc, np.zeros((8, 8), np.int32))
+
+
+# ---------------------------------------------------------------------------
+# single-image sdata key fallbacks ("image", not "None")
+# ---------------------------------------------------------------------------
+
+
+class TestSingleImageKeyFallbacks:
+    def _hne_sdata(self):
+        # synthetic H&E mixture (two planted stain directions), same recipe
+        # as tests/test_stain.py's he_rgb fixture
+        rng = np.random.default_rng(0)
+        h = np.array([0.65, 0.70, 0.29])
+        e = np.array([0.07, 0.99, 0.11])
+        n = 96
+        t = rng.uniform(0, 1, n * n)
+        mag = np.abs(rng.normal(0.8, 0.3, n * n))
+        conc = np.stack([mag * t, mag * (1 - t)], axis=1)
+        conc[: n * 10] *= 0.01
+        od = conc @ np.stack([h / np.linalg.norm(h), e / np.linalg.norm(e)])
+        img = np.clip(240.0 * np.power(10.0, -od), 1, 255).reshape(n, n, 3).astype(np.uint8)
+        return sq.SpatialData(images={"only": img})
+
+    def test_decompose_stains_prefix(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        sd = self._hne_sdata()
+        sd.labels["only_tissue"] = np.ones((96, 96), np.int32)
+        exp_im.decompose_stains(sd, tissue_mask_key="only_tissue")
+        bad = [k for k in sd.images if k.startswith("None")]
+        assert not bad, bad
+        assert any(k.endswith("_hematoxylin") for k in sd.images)
+
+    def test_normalize_stains_key(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        sd = self._hne_sdata()
+        sd.labels["only_tissue"] = np.ones((96, 96), np.int32)
+        ref = exp_im.fit_stain_reference(sd, tissue_mask_key="only_tissue")
+        exp_im.normalize_stains(sd, reference=ref, tissue_mask_key="only_tissue")
+        assert "None_normalized" not in sd.images
+        assert any(k.endswith("_normalized") for k in sd.images)
+
+    def test_pl_qc_image_single_image_roundtrip(self, tmp_path):
+        from squidpy_tpu.experimental import im as exp_im, pl as exp_pl
+
+        rng = np.random.default_rng(0)
+        sd = sq.SpatialData(images={"solo": rng.uniform(0, 255, (128, 128)).astype(np.float32)})
+        exp_im.qc_image(sd, tile_size=64, metrics=["tenengrad"], progress=False)
+        exp_pl.qc_image(sd, save=str(tmp_path / "qc.png"))
+        assert (tmp_path / "qc.png").exists()
