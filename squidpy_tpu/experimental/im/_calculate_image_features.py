@@ -381,10 +381,18 @@ def _per_cell_squidpy_features(
             for zi, (zn, zm, _t) in enumerate(zernike_table(ZERNIKE_NMAX)):
                 out[f"zernike_{zn}_{zm}"] = mags[:, zi]
 
+        # only the correlation branch needs several channels' crop stacks
+        # alive at once; everywhere else a one-slot cache caps the tile's
+        # crop memory at a single channel (a full crop stack can run to
+        # ~100s of MB, and fresh large allocations are expensive on this
+        # single-core host)
+        keep_all = bool(parsed.correlation) and len(channels) >= 2
         per_channel_crops: dict[int, np.ndarray] = {}
 
         def get_crops(c: int) -> np.ndarray:
             if c not in per_channel_crops:
+                if not keep_all:
+                    per_channel_crops.clear()
                 per_channel_crops[c] = channel_crops(c)
             return per_channel_crops[c]
 
@@ -601,9 +609,15 @@ def calculate_image_features(
             if image is None:
                 raise ValueError("`shapes_key` requires `image_key` (shapes rasterize onto the image grid).")
             shapes = sdata.shapes[shapes_key]
-            labels = _rasterize_circles(shapes, np.asarray(image).shape)
+            # .shape only — never materialize a possibly-lazy WSI here
+            labels = _rasterize_circles(shapes, image.shape)
         else:
             labels = resolve_element(sdata, labels, tree="labels", scale=scale, what="labels")
+    if labels is None:
+        raise ValueError(
+            "No segmentation provided: pass `labels_key` (or `shapes_key`) with the "
+            "sdata form, or a labels array."
+        )
 
     parsed = parse_features(features)
     if morphology_props is not None:
@@ -614,7 +628,13 @@ def calculate_image_features(
     elif features is None:
         parsed = parsed._replace(morphology_props=frozenset(_DEFAULT_MORPHOLOGY))
     if not intensity:
-        parsed = parsed._replace(intensity_props=None, summary=False, texture=False, histogram=False)
+        # every pixel-value-derived family goes, not just the classic four —
+        # granularity/radial/correlation read intensities too; zernike stays
+        # (it is computed on the binary mask)
+        parsed = parsed._replace(
+            intensity_props=None, summary=False, texture=False, histogram=False,
+            granularity=False, radial=False, correlation=frozenset(),
+        )
     if not (
         parsed.morphology_props
         or parsed.intensity_props
@@ -756,7 +776,14 @@ def _rasterize_circles(shapes: Any, image_shape: tuple[int, ...]) -> np.ndarray:
             f"Shapes table must provide columns x/y/radius to rasterize, missing {missing}. "
             "(Polygon geometries require the geopandas-backed reference path.)"
         )
-    h, w = image_shape[:2] if len(image_shape) >= 2 else image_shape
+    if len(image_shape) == 3:
+        # the image may be channel-first (c, y, x) or channels-last
+        # (y, x, c): the channel axis is the smaller of the two ends
+        h, w = image_shape[1:] if image_shape[0] < image_shape[-1] else image_shape[:2]
+    elif len(image_shape) == 2:
+        h, w = image_shape
+    else:
+        raise ValueError(f"Cannot rasterize onto an image of shape {tuple(image_shape)}.")
     out = np.zeros((h, w), np.int32)
     for lid, row in enumerate(df.itertuples(index=False), start=1):
         x = float(getattr(row, cols["x"]))

@@ -432,6 +432,21 @@ def ligrec(
         )
 
 
+def _is_integral(a: np.ndarray, block: int = 1 << 22) -> bool:
+    """Whether every value is an exact integer, checked in ~16 MB blocks.
+
+    A whole-array ``a != np.floor(a)`` would materialize a full float copy
+    plus a full bool mask before any reduction; blockwise probing keeps the
+    temporaries bounded and exits on the first fractional block.
+    """
+    flat = a.reshape(-1)
+    for i in range(0, flat.size, block):
+        blk = flat[i : i + block]
+        if np.any(blk != np.floor(blk)):
+            return False
+    return True
+
+
 def _analysis(
     data: np.ndarray,          # (n_cells, n_genes) float64
     clustering: np.ndarray,    # (n_cells,) int32 codes
@@ -443,6 +458,10 @@ def _analysis(
     seed: int | None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Observed means/mask on host, permutation loop on device.
+
+    (See also ``_is_integral`` below — the integrality probe runs in bounded
+    blocks so a multi-GB expression matrix never spawns full-size floor/bool
+    temporaries on this page-fault-sensitive single-core host.)
 
     Precision follows the dtype fixed at :class:`PermutationTestABC`
     construction: float64 for small/x64 runs (exact parity with the
@@ -461,7 +480,7 @@ def _analysis(
     if data_h.size and np.issubdtype(data_h.dtype, np.floating):
         dmax = float(data_h.max())
         dmin = float(data_h.min())
-        if 0.0 <= dmin and dmax < 65536.0 and not np.any(data_h != np.floor(data_h)):
+        if 0.0 <= dmin and dmax < 65536.0 and _is_integral(data_h):
             x_ship = data_h.astype(np.uint8 if dmax < 256.0 else np.uint16)
     x_dev = jnp.asarray(x_ship)
     if x_dev.dtype != data_h.dtype:

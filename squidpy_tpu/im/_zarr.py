@@ -66,7 +66,9 @@ def write_array(
         if arr.nbytes > 64 << 20 and arr.shape:
             lead = max(1, arr.shape[0] * (64 << 20) // arr.nbytes)
             chunks[0] = int(lead)
-        chunks = tuple(int(c) for c in chunks)
+        # zero-length dims must still get chunk extent >= 1 (the spec requires
+        # positive chunk shapes; a 0 would also divide-by-zero the grid walk)
+        chunks = tuple(max(1, int(c)) for c in chunks)
     meta = {
         "zarr_format": _ZARR_FORMAT,
         "shape": list(arr.shape),
@@ -116,7 +118,9 @@ def read_array(adir: Path) -> tuple[np.ndarray, dict[str, Any]]:
     out = np.full(shape if shape else (1,), meta.get("fill_value") or 0, dtype=dtype)
     if not shape:
         raw = (adir / "0").read_bytes()
-        data = zlib.decompress(raw) if comp else raw
+        # wbits=47 auto-detects both zlib and gzip framing (numcodecs' GZip
+        # codec writes gzip headers that plain zlib.decompress rejects)
+        data = zlib.decompress(raw, 47) if comp else raw
         return np.frombuffer(data, dtype=dtype)[0], _read_attrs(adir)
     sep = "." if any((adir / ".".join(map(str, idx))).exists() for idx in _chunk_grid(shape, chunks)) else "/"
     for idx in _chunk_grid(shape, chunks):
@@ -124,7 +128,7 @@ def read_array(adir: Path) -> tuple[np.ndarray, dict[str, Any]]:
         if not cpath.exists():
             continue  # missing chunk = fill_value
         raw = cpath.read_bytes()
-        data = zlib.decompress(raw) if comp else raw
+        data = zlib.decompress(raw, 47) if comp else raw
         block = np.frombuffer(data, dtype=dtype).reshape(chunks)
         sl = tuple(slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape))
         out[sl] = block[tuple(slice(0, x.stop - x.start) for x in sl)]

@@ -175,7 +175,10 @@ def vizgen(
     return adata
 
 
-_FOV_SUFFIX = re.compile(r"_F0*(\d+)\.(jpg|jpeg|png|tif|tiff)$", re.IGNORECASE)
+# the F-number usually sits right before the extension (CellComposite_F001.jpg)
+# but vendor/exported names may append suffixes (…_F001_overlay.jpg) — accept
+# anything after the number as long as the extension is an image type
+_FOV_SUFFIX = re.compile(r"_F0*(\d+)(?:[_.-][^.]*)?\.(jpg|jpeg|png|tif|tiff)$", re.IGNORECASE)
 _IMG_DIRS = {"CellComposite": "hires", "CellLabels": "segmentation"}
 
 

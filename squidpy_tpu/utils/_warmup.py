@@ -90,8 +90,10 @@ def warmup(
     if unknown:
         raise ValueError(f"Unknown warmup families {sorted(unknown)}. Valid: {_FAMILIES}.")
     graph_users = {"nhood", "moran", "cooccur", "ripley", "ligrec"}
-    if graph_users & set(families) and "graph" not in families:
-        families.insert(0, "graph")
+    if graph_users & set(families):
+        # the graph build must precede every statistic that reads it —
+        # including when the caller listed "graph" explicitly but later
+        families = ["graph"] + [f for f in families if f != "graph"]
 
     adata = _synthetic_adata(n_cells, n_genes, n_clusters, seed)
     timings: dict[str, float] = {}
@@ -117,12 +119,24 @@ def warmup(
                 ),
             )
         elif fam == "moran":
+            # warm BOTH modes the production call may hit: the analytic
+            # score path, and — when the caller plans permutation p-values —
+            # the perm-mode kernels (cipher + per-perm gather-dots), which
+            # compile separately. Perm chunks are internally bucketed, so
+            # min(n_perms, 100) compiles the same kernels as the full run.
             _run(
                 "moran",
                 lambda: sq.gr.spatial_autocorr(
                     adata, mode="moran", n_perms=None, copy=True, seed=seed
                 ),
             )
+            if n_perms:
+                _run(
+                    "moran_perms",
+                    lambda: sq.gr.spatial_autocorr(
+                        adata, mode="moran", n_perms=min(n_perms, 100), copy=True, seed=seed
+                    ),
+                )
         elif fam == "cooccur":
             _run(
                 "cooccur",

@@ -322,3 +322,129 @@ class TestSingleImageKeyFallbacks:
         exp_im.qc_image(sd, tile_size=64, metrics=["tenengrad"], progress=False)
         exp_pl.qc_image(sd, save=str(tmp_path / "qc.png"))
         assert (tmp_path / "qc.png").exists()
+
+
+# ---------------------------------------------------------------------------
+# second review batch
+# ---------------------------------------------------------------------------
+
+
+class TestZarrRobustness:
+    def test_gzip_framed_chunks_decode(self, tmp_path):
+        """numcodecs' GZip codec writes gzip framing, not zlib framing —
+        an interop store must still decode."""
+        import gzip as gz
+        import json
+
+        from squidpy_tpu.im._zarr import read_array
+
+        adir = tmp_path / "arr"
+        adir.mkdir()
+        arr = np.arange(12, dtype=np.int64).reshape(3, 4)
+        meta = {
+            "zarr_format": 2, "shape": [3, 4], "chunks": [3, 4],
+            "dtype": "<i8", "compressor": {"id": "gzip", "level": 1},
+            "fill_value": 0, "order": "C", "filters": None,
+        }
+        (adir / ".zarray").write_text(json.dumps(meta))
+        (adir / "0.0").write_bytes(gz.compress(arr.tobytes()))
+        got, _ = read_array(adir)
+        np.testing.assert_array_equal(got, arr)
+
+    def test_zero_length_dim_roundtrip(self, tmp_path):
+        from squidpy_tpu.im._zarr import read_array, write_array
+
+        write_array(tmp_path, "empty", np.zeros((0, 5), np.float32))
+        got, _ = read_array(tmp_path / "empty")
+        assert got.shape == (0, 5)
+        assert got.dtype == np.float32
+
+
+class TestFeaturizationReviewFixes:
+    def _fixture(self):
+        rng = np.random.default_rng(0)
+        labels = np.zeros((96, 96), np.int32)
+        labels[10:40, 10:40] = 1
+        labels[50:90, 50:90] = 2
+        img = rng.integers(0, 255, (96, 96, 3), dtype=np.int64).astype(np.uint8)
+        return img, labels
+
+    def test_intensity_false_disables_pixel_families(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        img, labels = self._fixture()
+        res = exp_im.calculate_image_features(img, labels, intensity=False)
+        pixel_prefixes = ("granularity_", "radial_", "correlation_", "texture_", "summary_", "histogram_")
+        bad = [c for c in res.var_names if c.startswith(pixel_prefixes)]
+        assert not bad, bad
+
+    def test_labels_only_intensity_false_no_error(self):
+        """The sdata form without an image must not demand pixel data when
+        the user disabled intensity features."""
+        import squidpy_tpu as sq
+        from squidpy_tpu.experimental import im as exp_im
+
+        _, labels = self._fixture()
+        sd = sq.SpatialData(images={}, labels={"cells": labels})
+        res = exp_im.calculate_image_features(sd, labels_key="cells", intensity=False)
+        assert res.n_obs == 2
+
+    def test_missing_labels_key_clear_error(self):
+        import squidpy_tpu as sq
+        from squidpy_tpu.experimental import im as exp_im
+
+        img, _ = self._fixture()
+        sd = sq.SpatialData(images={"he": img})
+        with pytest.raises(ValueError, match="labels_key"):
+            exp_im.calculate_image_features(sd, image_key="he")
+
+    def test_rasterize_channel_first_image(self):
+        from squidpy_tpu.experimental.im._calculate_image_features import _rasterize_circles
+
+        shapes = {"x": [30.0], "y": [40.0], "radius": [5.0]}
+        lab_cf = _rasterize_circles(shapes, (3, 80, 60))   # (c, y, x)
+        lab_cl = _rasterize_circles(shapes, (80, 60, 3))   # (y, x, c)
+        assert lab_cf.shape == (80, 60)
+        np.testing.assert_array_equal(lab_cf, lab_cl)
+        assert lab_cf[40, 30] == 1
+
+
+class TestWarmupOrdering:
+    def test_graph_runs_first_even_when_listed_late(self):
+        import squidpy_tpu as sq
+
+        timings = sq.warmup(
+            500, n_genes=8, n_clusters=3, n_perms=10,
+            families=("nhood", "graph"), verbose=False,
+        )
+        assert "graph" in timings and "nhood" in timings
+
+    def test_moran_perm_kernels_warmed(self):
+        import squidpy_tpu as sq
+
+        timings = sq.warmup(
+            500, n_genes=8, n_clusters=3, n_perms=10,
+            families=("moran",), verbose=False,
+        )
+        assert "moran_perms" in timings
+
+
+class TestCosmxFovNames:
+    def test_fov_suffix_variants(self):
+        from squidpy_tpu.read._read import _FOV_SUFFIX
+
+        assert _FOV_SUFFIX.search("CellComposite_F001.jpg").group(1) == "1"
+        assert _FOV_SUFFIX.search("CellComposite_F001_overlay.jpg").group(1) == "1"
+        assert _FOV_SUFFIX.search("CellLabels_F02-export.tif").group(1) == "2"
+        assert _FOV_SUFFIX.search("notafov.jpg") is None
+
+
+class TestLigrecIntegralityProbe:
+    def test_blockwise_matches_global(self):
+        from squidpy_tpu.gr._ligrec import _is_integral
+
+        a = np.arange(100, dtype=np.float32)
+        assert _is_integral(a, block=7)
+        a[63] = 0.5
+        assert not _is_integral(a, block=7)
+        assert _is_integral(np.zeros(0, np.float64))

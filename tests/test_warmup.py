@@ -14,7 +14,7 @@ class TestWarmup:
             500, n_genes=16, n_clusters=4, n_perms=16,
             families=["nhood", "moran"], verbose=False,
         )
-        assert set(t) == {"graph", "nhood", "moran"}
+        assert set(t) == {"graph", "nhood", "moran", "moran_perms"}
         assert all(v > 0 for v in t.values())
 
     def test_unknown_family_raises(self):
