@@ -295,7 +295,10 @@ def detect_tissue(
         if sdata is None:
             raise TypeError("detect_tissue() needs an image (or `sdata` + `image_key`).")
         image = sdata  # reference keyword form: detect_tissue(sdata=..., image_key=...)
-    sdata = image if is_sdata(image) else None
+    # a plain-array image with an explicit sdata= keyword keeps the sdata
+    # (the mask still stores there); only derive it from `image` when given
+    if is_sdata(image):
+        sdata = image
     image = resolve_element(image, image_key, tree="images", scale=scale, what="image")
     if background_detection_params is not None:
         background_params = background_detection_params
@@ -318,8 +321,17 @@ def detect_tissue(
         label_components = True  # the stored element is a labeled mask
 
     arr = np.asarray(image).squeeze()
-    if channel_format == "rgba" and arr.ndim == 3 and arr.shape[-1] == 4:
-        arr = arr[..., :3]
+    if arr.ndim == 3 and arr.shape[-1] == 4:
+        if channel_format == "rgba":
+            arr = arr[..., :3]
+        elif channel_format == "infer":
+            # a constant 4th channel is an alpha plane, not signal —
+            # averaging it into the grayscale would compress the
+            # tissue/background contrast by 25% and shift the threshold;
+            # a varying 4th channel is treated as multichannel data
+            a4 = arr[::16, ::16, 3]
+            if a4.size and (a4 == a4.flat[0]).all():
+                arr = arr[..., :3]
     if arr.ndim == 3 and channel_format == "rgb" and arr.shape[-1] != 3:
         raise ValueError(f"channel_format='rgb' but image has {arr.shape[-1]} channels.")
     gray = arr.mean(axis=-1) if arr.ndim == 3 else arr.astype(float)

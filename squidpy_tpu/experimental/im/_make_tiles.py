@@ -79,6 +79,14 @@ def make_tiles(
     if tissue_mask is None:
         tissue_mask = detect_tissue(arr, **detect_kwargs)
     tissue_mask = np.asarray(tissue_mask).squeeze().astype(bool)
+    if tissue_mask.shape != (h, w):
+        # the stored mask may live at a different pyramid level than the
+        # image (detect_tissue defaults to scale='auto') — align it before
+        # the tile fractions, or full-res tile coords index past the small
+        # mask and every tile silently classifies as background
+        from squidpy_tpu.experimental.im._stain import _nearest_resize_mask
+
+        tissue_mask = _nearest_resize_mask(tissue_mask, (h, w))
 
     ty, tx = (tile_size, tile_size) if np.isscalar(tile_size) else tile_size
     off_y = off_x = 0
@@ -194,7 +202,16 @@ def make_tiles_from_spots(
     if tissue_mask is None and image is not None:
         tissue_mask = detect_tissue(np.asarray(image).squeeze(), **detect_kwargs)
     if tissue_mask is not None:
-        tiles["tissue_fraction"] = _tissue_fractions(np.asarray(tissue_mask).squeeze().astype(bool), tiles)
+        tissue_mask = np.asarray(tissue_mask).squeeze().astype(bool)
+        if image is not None:
+            img_hw = np.asarray(image).squeeze().shape[:2]
+            if tissue_mask.shape != tuple(img_hw):
+                # stored masks may live at a coarser pyramid level — align
+                # to the image grid the spot coordinates live in
+                from squidpy_tpu.experimental.im._stain import _nearest_resize_mask
+
+                tissue_mask = _nearest_resize_mask(tissue_mask, img_hw)
+        tiles["tissue_fraction"] = _tissue_fractions(tissue_mask, tiles)
         tiles["tile_classification"] = _classify(tiles["tissue_fraction"].to_numpy(), min_tissue_fraction)
     if sdata is not None and hasattr(sdata, "shapes"):
         sdata.shapes[new_shapes_key or f"{spots_key}_tiles"] = tiles

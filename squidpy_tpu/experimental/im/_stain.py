@@ -292,6 +292,7 @@ def white_point_from_background(rgb: Any, background_mask: np.ndarray) -> np.nda
     ``background_intensity`` semantics). ``background_mask`` is ``(y, x)``
     True over non-tissue pixels.
     """
+    factor = _rgb_scale_factor(np.asarray(rgb))
     rgb = _as_float_rgb(rgb)
     mask = np.asarray(background_mask, dtype=bool)
     if mask.shape != rgb.shape[:2]:
@@ -300,7 +301,10 @@ def white_point_from_background(rgb: Any, background_mask: np.ndarray) -> np.nda
         )
     if not mask.any():
         raise ValueError("background_mask selects no pixels; cannot anchor a white point.")
-    return np.median(rgb[mask], axis=0).astype(np.float64)
+    # returned in the IMAGE'S OWN units — the convention every white_point=
+    # parameter expects (they re-canonicalize on ingest), so an estimated
+    # white point round-trips without double-scaling
+    return (np.median(rgb[mask], axis=0) / factor).astype(np.float64)
 
 
 def estimate_white_point(
@@ -317,7 +321,11 @@ def estimate_white_point(
     form (``estimate_white_point(sdata, image_key)``): the per-channel median
     over non-tissue pixels — the complement of the ``detect_tissue`` mask
     (reference semantics: experimental/im/_stain/_normalize.py:175-209;
-    a tissue mask is required there)."""
+    a tissue mask is required there).
+
+    The estimate is returned in the image's OWN unit convention (like
+    :func:`default_white_point`), so it can be passed straight back as a
+    ``white_point=`` argument."""
     from squidpy_tpu.experimental._sdata import is_sdata, resolve_element
 
     if is_sdata(image):
@@ -327,8 +335,16 @@ def estimate_white_point(
         arr = np.asarray(da).squeeze()
         tissue = _resolve_tissue_mask_bool(sdata, image_key, tissue_mask_key, arr.shape[:2])
         return white_point_from_background(arr, ~tissue)
-    rgb = _as_float_rgb(image)
-    return _estimate_white_point_flat(rgb.reshape(-1, 3), percentile)
+    if image_key is not None:
+        raise TypeError(
+            f"`image_key`={image_key!r} was given, but the input is a plain array, "
+            "not a SpatialData-like object. Pass the array alone (percentile is "
+            "keyword-only)."
+        )
+    arr = np.asarray(image)
+    factor = _rgb_scale_factor(arr)
+    rgb = _as_float_rgb(arr)
+    return _estimate_white_point_flat(rgb.reshape(-1, 3), percentile) / factor
 
 
 def _estimate_white_point_flat(flat: np.ndarray, percentile: float = 95.0) -> np.ndarray:
@@ -541,8 +557,19 @@ def fit_stain_reference(
     if sdata is None and is_sdata(image):
         sdata = image
     if sdata is None and image_key in _VALID_METHODS:
-        # array-form convenience: fit_stain_reference(img, "vahadane")
-        method, image_key = image_key, None
+        # array-form convenience: fit_stain_reference(img, "vahadane") — the
+        # old positional order was (image, method, white_point), so whatever
+        # landed in `method` shifts along to white_point instead of being
+        # silently dropped
+        if not isinstance(method, str):
+            if white_point is not None:
+                raise TypeError(
+                    "Ambiguous positional arguments: pass white_point by keyword."
+                )
+            method, white_point = image_key, method
+            image_key = None
+        else:
+            method, image_key = image_key, None
     if sdata is not None:
         if max_angle_deg is None:
             # the deviation gate is the reference sdata pipeline's default
@@ -838,10 +865,14 @@ def normalize_stains(
     if sdata is None and is_sdata(image):
         sdata = image
     # array-form compatibility: the second positional slot historically held
-    # the reference
+    # the reference (and the third the method string)
     if image_key is not None and not isinstance(image_key, str):
-        if reference is None and isinstance(image_key, StainReference):
-            reference = image_key
+        if isinstance(image_key, StainReference):
+            if isinstance(reference, str) and reference in ("macenko", "vahadane"):
+                # old (image, reference, method) positional form
+                method, reference = reference, image_key
+            elif reference is None:
+                reference = image_key
         image_key = None
     if sdata is not None:
         from squidpy_tpu.experimental._sdata import resolve_element
@@ -885,11 +916,18 @@ def normalize_stains(
 
     if not isinstance(reference, StainReference):
         raise TypeError("normalize_stains requires a fitted StainReference.")
-    rgb = _as_float_rgb(image)
+    # a user-supplied white_point describes the SOURCE image in its own
+    # units: canonicalize it together with the image (passing it through
+    # **kwargs into the inner fit would both collide with the reference's
+    # white point and skip the unit conversion)
+    rgb, source_wp = _ingest_rgb(image, kwargs.pop("white_point", None))
     if reference.method == "reinhard":
         out255 = _reinhard_apply_masked(rgb, reference, None, method_params)
         return np.clip(out255, 0, 255).astype(out_dtype)
-    out255 = _normalize_core(rgb, reference, method=method, method_params=method_params, **kwargs)
+    out255 = _normalize_core(
+        rgb, reference, method=method, method_params=method_params,
+        source_white_point=source_wp, **kwargs,
+    )
     return out255.astype(out_dtype)
 
 
@@ -900,23 +938,31 @@ def _normalize_core(
     method: str = "macenko",
     method_params: Any = None,
     tissue_mask: np.ndarray | None = None,
+    source_white_point: np.ndarray | None = None,
     **kwargs: Any,
 ) -> np.ndarray:
-    """0-255-scale normalized float image for a 0-255-scale float source."""
+    """0-255-scale normalized float image for a 0-255-scale float source.
+
+    ``source_white_point`` (already canonicalized to the 0-255 scale)
+    overrides the reference's white point for the SOURCE fit."""
+    wp = reference.white_point if source_white_point is None else np.asarray(source_white_point, dtype=float)
     src = fit_stain_reference(
-        rgb, method=method, white_point=reference.white_point,
+        rgb, method=method, white_point=wp,
         method_params=method_params, tissue_mask=tissue_mask, **kwargs,
     )
     scale = np.ones(3)
     scale[:2] = reference.max_concentrations / src.max_concentrations
     # fold deconvolve -> rescale -> reconvolve into ONE 3x3 pixel matrix
     combined = np.linalg.pinv(src.stain_matrix).T * scale[None, :] @ reference.stain_matrix.T
+    # forward OD in the SOURCE's white point, reconstruction in the
+    # reference's (identical when no source override was given)
     if _apply_on_host(rgb):
-        wp32 = reference.white_point.astype(np.float32)
-        od = -np.log10(np.maximum(rgb, 1.0) / wp32)
+        wp_src32 = np.asarray(wp, dtype=np.float32)
+        wp_ref32 = reference.white_point.astype(np.float32)
+        od = -np.log10(np.maximum(rgb, 1.0) / wp_src32)
         od_out = (od.reshape(-1, 3) @ combined.astype(np.float32)).reshape(od.shape)
-        return np.clip(wp32 * np.exp(od_out * np.float32(-np.log(10.0))), 0, 255)
-    od = _rgb_to_od(jnp.asarray(rgb), jnp.asarray(reference.white_point))
+        return np.clip(wp_ref32 * np.exp(od_out * np.float32(-np.log(10.0))), 0, 255)
+    od = _rgb_to_od(jnp.asarray(rgb), jnp.asarray(wp))
     od_out = jnp.dot(od.reshape(-1, 3), jnp.asarray(combined)).reshape(od.shape)
     rgb_out = _od_to_rgb(od_out, jnp.asarray(reference.white_point))
     return np.asarray(rgb_out)

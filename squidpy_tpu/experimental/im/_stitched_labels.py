@@ -210,6 +210,11 @@ def make_stitched_labels(
         labels = resolve_element(sdata, labels_key, tree="labels", scale=scale, what="labels")
     if qc_table is None and sdata is not None:
         qc_table = sdata.tables[qc_table_key or f"{labels_key}_qc"]
+    if qc_table is None:
+        raise ValueError(
+            "make_stitched_labels needs the stitch-group table: pass `qc_table=` "
+            "(or an sdata holding it) — run `assign_stitch_groups` first."
+        )
     obs = qc_table.obs
     if "stitch_group_id" not in obs:
         raise KeyError("`stitch_group_id` not found; run `assign_stitch_groups` first.")

@@ -423,6 +423,11 @@ def assign_stitch_groups(
         labels = resolve_element(sdata, labels_key, tree="labels", scale=scale, what="labels")
     if qc_table is None and sdata is not None:
         qc_table = sdata.tables[qc_table_key or f"{labels_key}_qc"]
+    if qc_table is None:
+        raise ValueError(
+            "assign_stitch_groups needs the tiling-QC table: pass `qc_table=` "
+            "(or an sdata holding it) — run `calculate_tiling_qc` first."
+        )
     labels_arr = np.asarray(labels).squeeze()
     obs = qc_table.obs
     flagged = obs.get("is_outlier", obs.get("tile_cut"))

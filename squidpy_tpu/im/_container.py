@@ -56,13 +56,18 @@ def _open_image_file(path: Pathlike_t) -> NDArrayA:
         if all(p.supported for p in reader.pages):
             if len(reader.pages) == 1:
                 return reader.read_full()
-            pages = [reader.read_full(i) for i in range(len(reader.pages))]
-            if len({p.shape for p in pages}) == 1:
+            # decide stack-vs-pyramid from IFD metadata BEFORE decoding: a
+            # pyramidal WSI must decode only its full-resolution level, not
+            # every level (1.33x the slide, all held at once)
+            shapes = [p.shape for p in reader.pages]
+            if len(set(shapes)) == 1:
+                pages = [reader.read_full(i) for i in range(len(reader.pages))]
                 arr = np.stack(pages, axis=0)  # (pages, y, x[, c])
                 if arr.ndim == 3:  # pages as channels
                     arr = np.transpose(arr, (1, 2, 0))
                 return arr
-            return pages[0]  # pyramid: full-resolution page
+            finest = max(range(len(shapes)), key=lambda i: shapes[i][0] * shapes[i][1])
+            return reader.read_full(finest)
 
     from PIL import Image
 

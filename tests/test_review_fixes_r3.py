@@ -448,3 +448,147 @@ class TestLigrecIntegralityProbe:
         a[63] = 0.5
         assert not _is_integral(a, block=7)
         assert _is_integral(np.zeros(0, np.float64))
+
+
+# ---------------------------------------------------------------------------
+# third review batch (stain unit conventions, mask alignment, compat shims)
+# ---------------------------------------------------------------------------
+
+
+def _he_image(n: int = 96) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    h = np.array([0.65, 0.70, 0.29])
+    e = np.array([0.07, 0.99, 0.11])
+    t = rng.uniform(0, 1, n * n)
+    mag = np.abs(rng.normal(0.8, 0.3, n * n))
+    conc = np.stack([mag * t, mag * (1 - t)], axis=1)
+    conc[: n * 10] *= 0.01
+    od = conc @ np.stack([h / np.linalg.norm(h), e / np.linalg.norm(e)])
+    return np.clip(240.0 * np.power(10.0, -od), 1, 255).reshape(n, n, 3).astype(np.uint8)
+
+
+class TestWhitePointUnits:
+    def test_estimate_round_trips_on_unit_floats(self):
+        """estimate_white_point must return image-unit values so they can be
+        passed straight back as white_point= without double-scaling."""
+        from squidpy_tpu.experimental import im as exp_im
+
+        img8 = _he_image()
+        imgf = img8.astype(np.float32) / 255.0
+        wp8 = exp_im.estimate_white_point(img8)
+        wpf = exp_im.estimate_white_point(imgf)
+        np.testing.assert_allclose(wpf * 255.0, wp8, rtol=1e-4)
+        ref8 = exp_im.fit_stain_reference(img8, white_point=wp8, max_pixels=4000)
+        reff = exp_im.fit_stain_reference(imgf, white_point=wpf, max_pixels=4000)
+        np.testing.assert_allclose(reff.stain_matrix, ref8.stain_matrix, atol=1e-3)
+
+    def test_normalize_accepts_white_point_kwarg(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        img = _he_image()
+        ref = exp_im.fit_stain_reference(img, max_pixels=4000)
+        out = exp_im.normalize_stains(img, ref, white_point=np.full(3, 245.0))
+        assert out.shape == img.shape
+
+    def test_apply_stain_normalization_white_point(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        img = _he_image()
+        out = exp_im.apply_stain_normalization(img, white_point=np.full(3, 245.0))
+        assert out.shape == img.shape
+
+
+class TestStainPositionalShims:
+    def test_fit_old_positional_white_point_not_dropped(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        img = _he_image()
+        wp = np.full(3, 200.0)
+        ref = exp_im.fit_stain_reference(img, "macenko", wp, max_pixels=4000)
+        np.testing.assert_allclose(ref.white_point, wp)
+
+    def test_normalize_old_three_positional_form(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        img = _he_image()
+        ref = exp_im.fit_stain_reference(img, max_pixels=4000)
+        out = exp_im.normalize_stains(img, ref, "macenko")
+        assert out.shape == img.shape
+
+    def test_estimate_white_point_positional_misuse_raises(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        with pytest.raises(TypeError, match="plain array"):
+            exp_im.estimate_white_point(_he_image(), 50)
+
+
+class TestMakeTilesMaskAlignment:
+    def test_coarse_mask_classifies_correctly(self):
+        import squidpy_tpu as sq
+        from squidpy_tpu.experimental import im as exp_im
+
+        img = np.full((512, 512, 3), 230, np.uint8)
+        sd = sq.SpatialData(images={"he": img})
+        mask = np.zeros((128, 128), np.int32)
+        mask[:, :64] = 1  # left half tissue, at quarter resolution
+        sd.labels["he_tissue"] = mask
+        tiles = exp_im.make_tiles(sd, image_key="he", tissue_mask_key="he_tissue",
+                                  tile_size=256, preview=False)
+        left = tiles["pixel_x0"].to_numpy() < 256
+        assert (tiles.loc[left, "tissue_fraction"] > 0.9).all()
+        assert (tiles.loc[~left, "tissue_fraction"] < 0.1).all()
+
+
+class TestDetectTissueInferAndSdata:
+    def test_rgba_alpha_stripped_under_infer(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        rgb = np.full((128, 128, 3), 240, np.uint8)
+        rgb[30:100, 30:100] = 120
+        rgba = np.dstack([rgb, np.full((128, 128), 255, np.uint8)])
+        m_rgb = exp_im.detect_tissue(rgb)
+        m_rgba = exp_im.detect_tissue(rgba)  # channel_format='infer'
+        np.testing.assert_array_equal(m_rgba, m_rgb)
+
+    def test_explicit_sdata_kwarg_with_array_stores_mask(self):
+        import squidpy_tpu as sq
+        from squidpy_tpu.experimental import im as exp_im
+
+        img = np.full((128, 128), 240, np.uint8)
+        img[30:100, 30:100] = 100
+        sd = sq.SpatialData(images={})
+        exp_im.detect_tissue(img, sdata=sd, new_labels_key="tissue")
+        assert "tissue" in sd.labels
+
+
+class TestStitchMissingTableErrors:
+    def test_make_stitched_labels_clear_error(self):
+        from squidpy_tpu.experimental import im as exp_im
+
+        with pytest.raises(ValueError, match="assign_stitch_groups"):
+            exp_im.make_stitched_labels(np.zeros((16, 16), np.int32))
+
+    def test_assign_stitch_groups_clear_error(self):
+        from squidpy_tpu.experimental import tl as exp_tl
+
+        with pytest.raises(ValueError, match="calculate_tiling_qc"):
+            exp_tl.assign_stitch_groups(np.zeros((16, 16), np.int32))
+
+
+class TestPyramidTiffSingleDecode:
+    def test_pyramid_loads_finest_page(self, tmp_path):
+        from squidpy_tpu.im._container import _open_image_file
+        from squidpy_tpu.im._tiff import write_tiff
+
+        # write_tiff emits one page per file; splice two files' IFDs is
+        # overkill — use PIL to produce a true multi-page pyramid instead
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        full = rng.integers(0, 255, (64, 64), dtype=np.int64).astype(np.uint8)
+        half = full[::2, ::2]
+        p = tmp_path / "pyr.tif"
+        Image.fromarray(full).save(str(p), save_all=True,
+                                   append_images=[Image.fromarray(half)])
+        arr = _open_image_file(p)
+        np.testing.assert_array_equal(arr.squeeze(), full)
