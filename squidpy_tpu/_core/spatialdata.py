@@ -63,6 +63,18 @@ class SpatialData:
         from squidpy_tpu.im._zarr import _ZARR_FORMAT, write_array
 
         root = Path(path)
+        if root.exists():
+            # overwrite semantics: a re-write reflects the CURRENT container —
+            # leftover element directories from a previous write would
+            # otherwise resurrect deleted/renamed elements on read()
+            import shutil
+
+            if not (root / ".zgroup").exists() and any(root.iterdir()):
+                raise ValueError(
+                    f"`{root}` exists and is not a zarr group written by SpatialData.write; "
+                    "refusing to overwrite."
+                )
+            shutil.rmtree(root)
         root.mkdir(parents=True, exist_ok=True)
         (root / ".zgroup").write_text(json.dumps({"zarr_format": _ZARR_FORMAT}))
         for tree in ("images", "labels"):

@@ -97,17 +97,16 @@ class PermutationTestABC(ABC):
         X = data_obj.X
         owned = issparse(X)  # whether X is our private copy (safe to mutate)
         X = np.asarray(csc_matrix(X).todense()) if issparse(X) else np.asarray(X)
-        # dtype policy (applies to the whole pipeline: host BLAS, tunnel
-        # transfer, device kernel): exact float64 only for small matrices
-        # under x64 — the golden-parity regime — float32 at scale, where this
-        # 1-core host's f64 BLAS and the emulated-f64 device math would
-        # dominate the call
-        import jax
-
-        exact = jax.config.jax_enable_x64 and X.size <= 4_000_000
-        want = np.float64 if exact else np.float32
-        if X.dtype != want:
-            X = X.astype(want)
+        # keep the ORIGINAL dtype here: the precision decision (exact float64
+        # for small/x64 runs vs float32 at scale) belongs in `_analysis`,
+        # where it is taken on the interaction-FILTERED matrix — deciding on
+        # the raw gene count would demote a cheap post-trim f64 run to f32
+        # just because the dataset carries many unused genes
+        if not np.issubdtype(X.dtype, np.floating):
+            X = X.astype(np.float32)
+            owned = True
+        elif X.dtype == np.float16:
+            X = X.astype(np.float32)
             owned = True
         # replace NaNs only when present: fillna unconditionally copies the
         # whole (possibly multi-100MB) matrix
@@ -439,7 +438,10 @@ def _is_integral(a: np.ndarray, block: int = 1 << 22) -> bool:
     plus a full bool mask before any reduction; blockwise probing keeps the
     temporaries bounded and exits on the first fractional block.
     """
-    flat = a.reshape(-1)
+    # order='K' keeps this a VIEW for both C- and F-contiguous inputs
+    # (pandas .to_numpy() is typically F-contiguous; reshape(-1) would copy
+    # the whole matrix before the first block is probed)
+    flat = a.ravel(order="K")
     for i in range(0, flat.size, block):
         blk = flat[i : i + block]
         if np.any(blk != np.floor(blk)):
@@ -463,11 +465,16 @@ def _analysis(
     blocks so a multi-GB expression matrix never spawns full-size floor/bool
     temporaries on this page-fault-sensitive single-core host.)
 
-    Precision follows the dtype fixed at :class:`PermutationTestABC`
-    construction: float64 for small/x64 runs (exact parity with the
-    reference's float64 pipeline, golden-pickle tests), float32 at scale.
+    Precision policy (decided HERE, on the interaction-filtered matrix —
+    the whole pipeline downstream runs in it): exact float64 for small/x64
+    runs (parity with the reference's float64 pipeline, golden-pickle
+    tests), float32 at scale, where this 1-core host's f64 BLAS and the
+    emulated-f64 device math would dominate the call.
     """
-    host_t = np.float32 if data.dtype == np.float32 else np.float64
+    import jax
+
+    exact = bool(jax.config.jax_enable_x64) and data.size <= 4_000_000
+    host_t = np.float64 if exact else np.float32
     data_h = data if data.dtype == host_t else data.astype(host_t)
 
     # Ship the expression matrix FIRST (async device_put overlaps the host

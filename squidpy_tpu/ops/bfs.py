@@ -32,16 +32,25 @@ _INF = np.int32(2**30)
 
 
 def csr_to_ell(indptr: np.ndarray, indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Pad CSR rows to dense ``(n, k_max)`` index/mask arrays (host prep)."""
+    """Pad CSR rows to dense ``(n, k_max)`` index/mask arrays (host prep).
+
+    Same vectorized O(nnz) scatter as ``SpatialGraph.from_csr``
+    (_core/graph.py) — each nonzero lands at (row, position-within-row) in
+    one pass, instead of k_max full-length passes.
+    """
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
     n = len(indptr) - 1
     deg = np.diff(indptr)
-    k = int(deg.max()) if n else 0
-    idx = np.zeros((n, max(k, 1)), np.int32)
-    mask = np.zeros((n, max(k, 1)), bool)
-    for col in range(k):
-        has = deg > col
-        idx[has, col] = indices[indptr[:-1][has] + col]
-        mask[has, col] = True
+    k = max(int(deg.max()) if n else 0, 1)
+    idx = np.zeros((n, k), np.int32)
+    mask = np.zeros((n, k), bool)
+    nnz = int(indptr[-1]) if n else 0
+    if nnz:
+        rows = np.repeat(np.arange(n), deg)
+        pos = np.arange(nnz) - np.repeat(indptr[:-1], deg)
+        idx[rows, pos] = indices
+        mask[rows, pos] = True
     return idx, mask
 
 

@@ -58,7 +58,12 @@ def gaussian_blur(img: np.ndarray, sigma: float, truncate: float = 4.0) -> np.nd
 
 def rgb2gray(img: np.ndarray) -> np.ndarray:
     """ITU-R 601 luminance conversion (skimage ``rgb2gray`` weights)."""
-    arr = np.asarray(img, dtype=np.float64)
+    # f32 throughout: slide-sized host math in f64 forfeits SIMD and doubles
+    # peak memory on this 1-core host (CLAUDE.md host-math rule); the
+    # luminance weights lose nothing meaningful at f32
+    src = np.asarray(img)
+    arr = src.astype(np.float32, copy=False)
+    owned = arr is not src  # astype copied, so in-place ops cannot leak out
     # ndim guard matters: per-z slices arrive with a singleton channel axis
     # squeezed, so a 2D (y, x) array must not have its x-extent read as a
     # channel count (and a width-3 2D array must not silently "convert")
@@ -67,5 +72,8 @@ def rgb2gray(img: np.ndarray) -> np.ndarray:
             f"Expected an RGB image with 3 channels in the last axis, found shape `{arr.shape}`."
         )
     if arr.max() > 1.0:
-        arr = arr / 255.0
-    return arr @ np.array([0.2125, 0.7154, 0.0721])
+        if owned:
+            arr /= np.float32(255.0)
+        else:
+            arr = arr / np.float32(255.0)
+    return arr @ np.array([0.2125, 0.7154, 0.0721], dtype=np.float32)

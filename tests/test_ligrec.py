@@ -469,12 +469,19 @@ class TestExpressionShipping:
         pt = PermutationTest(self._adata(X), use_raw=False)
         assert pt._data.to_numpy().dtype == np.float64  # small + x64 -> exact path
 
-    def test_dtype_policy_large_is_f32(self):
+    def test_dtype_policy_decided_on_filtered_matrix(self):
+        """Construction preserves the input float dtype; the f64-vs-f32
+        decision happens in `_analysis` on the interaction-FILTERED matrix
+        (a dataset's unused genes must not demote a small run to f32)."""
         from squidpy_tpu.gr._ligrec import PermutationTestABC
 
         rng = np.random.default_rng(0)
-        # > 4e6 elements -> f32 at construction
-        X = rng.poisson(1.0, (5000, 1000)).astype(np.float64)
+        X = rng.poisson(1.0, (5000, 1000)).astype(np.float64)  # > 4e6 raw
         pt = PermutationTestABC.__new__(PermutationTestABC)
         PermutationTestABC.__init__(pt, self._adata(X), use_raw=False)
-        assert pt._data.to_numpy().dtype == np.float32
+        assert pt._data.to_numpy().dtype == np.float64  # original kept
+        # integer inputs are made float for the pipeline
+        Xi = rng.poisson(1.0, (100, 10)).astype(np.int32)
+        pt2 = PermutationTestABC.__new__(PermutationTestABC)
+        PermutationTestABC.__init__(pt2, self._adata(Xi), use_raw=False)
+        assert pt2._data.to_numpy().dtype == np.float32

