@@ -96,6 +96,14 @@ def qc_image(
                 f"No QC data found for image '{image_key}'. Run experimental.im.qc_image() first."
             )
         qc_adata = tables[table_key]
+    elif image_key is not None:
+        # with a QC AnnData the second positional is image_key, not metrics —
+        # silently dropping it would plot every metric instead of the
+        # requested ones
+        raise TypeError(
+            f"`image_key`={image_key!r} requires a SpatialData input; with a QC "
+            "AnnData, pass metrics via the keyword `metrics=[...]`."
+        )
     if "qc_image" not in qc_adata.uns:
         raise ValueError("No qc_image metadata found. Run experimental.im.qc_image() first.")
     ny, nx = qc_adata.uns["qc_image"]["grid_shape"]
@@ -138,8 +146,8 @@ def tiling_qc(
     qc_adata: Any,
     labels_key: str | None = None,
     qc_key: str | None = None,
-    score_col: str = "cut_score",
-    cmap: str = "viridis",
+    score_col: str = "nhood_outlier_fraction",
+    cmap: str = "RdYlGn_r",
     figsize: tuple[float, float] | None = None,
     *,
     labels: Any | None = None,
@@ -152,17 +160,21 @@ def tiling_qc(
     :func:`squidpy_tpu.experimental.tl.calculate_tiling_qc`).
 
     SpatialData form — ``tiling_qc(sdata, labels_key, qc_key, score_col,
-    cmap)`` (reference surface: experimental/pl/_tiling_qc.py:12-26;
-    reference defaults ``score_col='nhood_outlier_fraction'``,
-    ``cmap='RdYlGn_r'``) — reads the QC table at
-    ``sdata.tables[qc_key or f"{labels_key}_qc"]`` and overlays the labels
-    element. The array form takes a QC AnnData plus an optional ``labels``
-    array.
+    cmap)`` with the reference's defaults (experimental/pl/_tiling_qc.py:
+    12-26: ``score_col='nhood_outlier_fraction'``, ``cmap='RdYlGn_r'``) —
+    reads the QC table at ``sdata.tables[qc_key or f"{labels_key}_qc"]``
+    and overlays the labels element. The array form takes a QC AnnData plus
+    an optional ``labels`` array.
     """
     from squidpy_tpu.experimental._sdata import is_sdata, resolve_scale
 
     if is_sdata(qc_adata):
         sdata = qc_adata
+        if labels_key is None and qc_key is None:
+            raise ValueError(
+                "Pass `labels_key` (the labels element the QC table was computed "
+                "for) or an explicit `qc_key`."
+            )
         table_key = qc_key if qc_key is not None else f"{labels_key}_qc"
         tables = getattr(sdata, "tables", None) or {}
         if table_key not in tables:
@@ -172,7 +184,10 @@ def tiling_qc(
             )
         qc_adata = tables[table_key]
         if labels is None and labels_key in (getattr(sdata, "labels", None) or {}):
-            labels = resolve_scale(sdata.labels[labels_key], "auto")
+            # the QC table's coordinates are FULL-resolution (calculate_
+            # tiling_qc resolves scale='full'): the overlay must be too, or
+            # a multiscale element's coarsest level shrinks into the corner
+            labels = resolve_scale(sdata.labels[labels_key], "full")
     elif labels_key is not None:
         # an array in the labels_key slot means a misbound positional call
         # (old array form was tiling_qc(qc_adata, labels_arr)) — the overlay

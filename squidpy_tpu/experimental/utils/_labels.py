@@ -72,6 +72,28 @@ class ChunkRegion:
         return f"ChunkRegion(label={self.label}, bbox={self.bbox}, area={self.area})"
 
 
+_COORD_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _coord_vectors(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (h*w,) row/column coordinate vectors, cached by shape.
+
+    A WSI sweep visits hundreds of equal-shaped interior chunks; fresh
+    ~134 MB float64 allocations per chunk cost seconds of page faults on
+    this 1-core host, so the interior shape (plus the edge shapes) is
+    built once and reused.
+    """
+    key = (h, w)
+    if key not in _COORD_CACHE:
+        if len(_COORD_CACHE) > 8:  # edge shapes vary; keep the cache tiny
+            _COORD_CACHE.clear()
+        _COORD_CACHE[key] = (
+            np.repeat(np.arange(h, dtype=np.float64), w),
+            np.tile(np.arange(w, dtype=np.float64), h),
+        )
+    return _COORD_CACHE[key]
+
+
 def _chunk_regions(
     chunk: np.ndarray,
     subset: set[int] | None,
@@ -97,8 +119,7 @@ def _chunk_regions(
     flat = dense.ravel()
     area = np.bincount(flat, minlength=len(uniq) + 1)[1:]
     h, w = chunk.shape
-    yy = np.repeat(np.arange(h, dtype=np.float64), w)
-    xx = np.tile(np.arange(w, dtype=np.float64), h)
+    yy, xx = _coord_vectors(h, w)
     cy = np.bincount(flat, weights=yy, minlength=len(uniq) + 1)[1:] / area
     cx = np.bincount(flat, weights=xx, minlength=len(uniq) + 1)[1:] / area
     mean_int = None
@@ -134,7 +155,12 @@ def iter_chunked_regionprops(
     labels array.
 
     ``region`` coordinates (``bbox``, ``centroid``, ``slice``, ``coords``)
-    are LOCAL to the chunk; add ``y0`` / ``x0`` for global coordinates. Cells
+    are LOCAL to the chunk; add ``y0`` / ``x0`` for global coordinates.
+
+    A plain in-memory :class:`numpy.ndarray` is processed as ONE chunk
+    (exact regions, ``y0 = x0 = 0``) — the reference's contract for ndarray
+    input (/root/reference/src/squidpy/experimental/utils/_labels.py:37-42).
+    Lazy/windowed inputs are walked in ``chunk_size`` windows, where cells
     spanning chunk borders appear once per intersected chunk with partial
     statistics — merge across yields (as
     :func:`squidpy_tpu.experimental.tl.assign_stitch_groups` does for
@@ -148,6 +174,8 @@ def iter_chunked_regionprops(
     if subset is not None and not subset:
         return
     h, w = int(labels.shape[-2]), int(labels.shape[-1])
+    if isinstance(labels, np.ndarray):
+        chunk_size = max(h, w, 1)  # single exact chunk
     for y0 in range(0, h, chunk_size):
         for x0 in range(0, w, chunk_size):
             chunk = np.asarray(labels[..., y0 : y0 + chunk_size, x0 : x0 + chunk_size])
@@ -166,9 +194,10 @@ def resolve_labels_array(sdata: Any, labels_key: str, scale: str | None = None) 
     """Resolve a labels element to its 2-D array (reference:
     /root/reference/src/squidpy/experimental/utils/_labels.py:59-73).
 
-    Single-scale elements pass through; multi-scale (dict-of-scales) elements
-    require an explicit ``scale`` and raise otherwise; ``scale`` on a
-    single-scale element logs a warning and is ignored.
+    Behavior contract (matches the reference): a flat element returns its
+    array directly (a ``scale`` request is then pointless and only warned
+    about); a pyramid needs the caller to name the level — there is no
+    default, because silently picking one would change downstream geometry.
     """
     from squidpy_tpu.utils import logg
 
@@ -178,10 +207,18 @@ def resolve_labels_array(sdata: Any, labels_key: str, scale: str | None = None) 
     node = labels[labels_key]
     if hasattr(node, "keys") and not hasattr(node, "shape"):  # multiscale dict
         if scale is None:
-            raise ValueError(f"Labels `{labels_key}` is multi-scale; pass `scale` (e.g. 'scale0').")
+            raise ValueError(
+                f"The labels element `{labels_key}` is a pyramid — choose a level "
+                f"with `scale=` (one of {sorted(node)})."
+            )
         if scale not in node:
-            raise KeyError(f"Scale `{scale}` not found in labels `{labels_key}`; available: {sorted(node)}.")
+            raise KeyError(
+                f"No level `{scale}` in the `{labels_key}` pyramid (levels: {sorted(node)})."
+            )
         return np.asarray(node[scale]).squeeze()
     if scale is not None:
-        logg.warning(f"`scale={scale!r}` ignored: labels at `{labels_key}` are single-scale.")
+        logg.warning(
+            f"`{labels_key}` has a single resolution — the requested scale={scale!r} "
+            "has no effect."
+        )
     return np.asarray(node).squeeze()

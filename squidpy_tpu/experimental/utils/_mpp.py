@@ -182,9 +182,9 @@ def derive_mpp(
     return um_square_edge / edge_target
 
 
-def _shapes_element_geometry(elem: Any) -> tuple[Any, np.ndarray | None]:
+def _shapes_element_geometry(elem: Any, radius_column: str = "radius") -> tuple[Any, np.ndarray | None]:
     """Extract ``(shapes, radii)`` for :func:`derive_mpp` from a shapes
-    element: a DataFrame with ``x``/``y`` (+ optional ``radius``) columns, a
+    element: a DataFrame with ``x``/``y`` (+ optional radius) columns, a
     column of polygon vertex arrays, or raw arrays."""
     if hasattr(elem, "columns"):
         cols = set(elem.columns)
@@ -197,7 +197,7 @@ def _shapes_element_geometry(elem: Any) -> tuple[Any, np.ndarray | None]:
             return polys, None
         if {"x", "y"} <= cols:
             pts = np.column_stack([np.asarray(elem["x"], float), np.asarray(elem["y"], float)])
-            radii = np.asarray(elem["radius"], float) if "radius" in cols else None
+            radii = np.asarray(elem[radius_column], float) if radius_column in cols else None
             return pts, radii
         raise ValueError(
             f"Cannot extract geometry from shapes element with columns {sorted(cols)}; "
@@ -235,6 +235,7 @@ def derive_mpp_from_shapes(
     um_diameter: float | None = None,
     um_square_edge: float | None = None,
     radius_column: str = "radius",
+    known_diameter_um: float | None = None,
 ) -> float:
     """Derive microns-per-pixel from a shapes element with a known physical
     scale (reference surface:
@@ -266,8 +267,25 @@ def derive_mpp_from_shapes(
         elem = shapes_trees[shapes_key]
         if hasattr(elem, "__len__") and len(elem) == 0:
             raise ValueError(f"Shapes element {shapes_key!r} is empty; cannot derive mpp.")
-        geom, radii = _shapes_element_geometry(elem)
-        transform = None if coordinate_system is None else _element_transform(elem, coordinate_system)
+        geom, radii = _shapes_element_geometry(elem, radius_column)
+        if coordinate_system is not None:
+            transform = _element_transform(elem, coordinate_system)
+        else:
+            # the element may still carry registered transforms — silently
+            # measuring in its NATIVE frame would be off by the transform's
+            # scale. One registered frame resolves unambiguously; several
+            # require the caller to name one.
+            attrs = getattr(elem, "attrs", None)
+            transforms = attrs.get("transform") if isinstance(attrs, dict) else None
+            if isinstance(transforms, dict) and transforms:
+                if len(transforms) > 1:
+                    raise ValueError(
+                        "This shapes element registers several coordinate systems "
+                        f"({sorted(transforms)}); pass `coordinate_system` to pick one."
+                    )
+                transform = next(iter(transforms.values()))
+            else:
+                transform = None
         return derive_mpp(
             geom,
             um_between_centers=um_between_centers,
@@ -277,11 +295,20 @@ def derive_mpp_from_shapes(
             transform=transform,
         )
 
-    # legacy array form: (radii_or_df, known_diameter_um=55.0)
+    # legacy array form: (radii_or_df, known_diameter_um=55.0) — positional
+    # or by the original keyword
     shapes = sdata
-    known_diameter_um = float(shapes_key) if shapes_key is not None else (
-        um_diameter if um_diameter is not None else 55.0
-    )
+    if shapes_key is not None:
+        try:
+            known_diameter_um = float(shapes_key)
+        except (TypeError, ValueError):
+            raise TypeError(
+                f"Second argument {shapes_key!r} is neither a known diameter (µm) "
+                "for the array form nor applicable here — the first argument is "
+                "not a SpatialData object, so `shapes_key` has no meaning."
+            ) from None
+    if known_diameter_um is None:
+        known_diameter_um = um_diameter if um_diameter is not None else 55.0
     if hasattr(shapes, "columns"):
         if radius_column not in shapes.columns:
             raise KeyError(f"Column `{radius_column}` not found in shapes.")

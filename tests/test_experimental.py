@@ -493,7 +493,7 @@ class TestUtils:
         sdata = SpatialData(labels={"single": lab, "multi": {"scale0": lab, "scale1": lab[::2, ::2]}})
         np.testing.assert_array_equal(resolve_labels_array(sdata, "single"), lab)
         np.testing.assert_array_equal(resolve_labels_array(sdata, "multi", "scale1"), lab[::2, ::2])
-        with pytest.raises(ValueError, match="multi-scale"):
+        with pytest.raises(ValueError, match="pyramid"):
             resolve_labels_array(sdata, "multi")
         with pytest.raises(KeyError, match="scale7"):
             resolve_labels_array(sdata, "multi", "scale7")

@@ -682,3 +682,131 @@ class TestCsrToEll:
 
         idx, mask = csr_to_ell(np.zeros(5, np.int64), np.zeros(0, np.int64))
         assert idx.shape == (4, 1) and not mask.any()
+
+
+# ---------------------------------------------------------------------------
+# fifth review batch (pl surfaces, regionprops contract, derive_mpp)
+# ---------------------------------------------------------------------------
+
+
+class TestPlTilingQcSurface:
+    def _qc_sdata(self):
+        import pandas as pd
+        from squidpy_tpu.experimental import tl as exp_tl
+
+        labels = np.zeros((120, 120), np.int32)
+        labels[10:50, 10:50] = 1
+        labels[60:110, 60:110] = 2
+        sd = sq.SpatialData(labels={"seg": labels})
+        exp_tl.calculate_tiling_qc(sd, labels_key="seg", tile_size=128)
+        return sd
+
+    def test_reference_defaults(self):
+        import inspect
+
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        sig = inspect.signature(exp_pl.tiling_qc)
+        assert sig.parameters["score_col"].default == "nhood_outlier_fraction"
+        assert sig.parameters["cmap"].default == "RdYlGn_r"
+
+    def test_multiscale_overlay_uses_full_res(self, tmp_path, monkeypatch):
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        sd = self._qc_sdata()
+        full = np.asarray(sd.labels["seg"])
+        sd.labels["seg"] = {"scale0": full, "scale1": full[::4, ::4]}
+        seen = {}
+        import matplotlib.axes
+
+        orig = matplotlib.axes.Axes.imshow
+
+        def spy(self, arr, *a, **k):
+            seen["shape"] = np.asarray(arr).shape
+            return orig(self, arr, *a, **k)
+
+        monkeypatch.setattr(matplotlib.axes.Axes, "imshow", spy)
+        exp_pl.tiling_qc(sd, "seg", save=str(tmp_path / "ms.png"))
+        assert seen["shape"] == full.shape  # full-res frame, not the coarsest
+
+    def test_missing_keys_clear_error(self):
+        from squidpy_tpu.experimental import pl as exp_pl
+
+        with pytest.raises(ValueError, match="labels_key"):
+            exp_pl.tiling_qc(self._qc_sdata())
+
+
+class TestPlQcImagePositionalGuard:
+    def test_metrics_in_image_key_slot_raises(self):
+        from squidpy_tpu.experimental import im as exp_im, pl as exp_pl
+
+        img = np.random.default_rng(0).uniform(0, 255, (128, 128)).astype(np.float32)
+        qc = exp_im.qc_image(img, tile_size=64, metrics=["tenengrad"], progress=False)
+        with pytest.raises(TypeError, match="metrics"):
+            exp_pl.qc_image(qc, ["tenengrad"])
+
+
+class TestRegionpropsNdarrayContract:
+    def test_ndarray_is_single_exact_chunk(self):
+        """Reference contract (_labels.py:37-42): plain ndarray input yields
+        one exact region per label even past the chunk size."""
+        from squidpy_tpu.experimental.utils import iter_chunked_regionprops
+
+        labels = np.zeros((5000, 8), np.int32)
+        labels[4090:4103, 2:6] = 7  # spans the 4096 chunk boundary
+        regions = list(iter_chunked_regionprops(labels))
+        assert len(regions) == 1
+        lid, r, y0, x0 = regions[0]
+        assert (lid, y0, x0) == (7, 0, 0)
+        assert r.area == 13 * 4
+        assert r.centroid[0] == pytest.approx(4096.0)
+
+
+class TestDeriveMppFixes:
+    def _spots(self, with_transform=None):
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "x": np.repeat(np.arange(5) * 50.0, 5),
+            "y": np.tile(np.arange(5) * 50.0, 5),
+            "spot_radius": np.full(25, 10.0),
+        })
+        if with_transform is not None:
+            df.attrs["transform"] = with_transform
+        return df
+
+    def test_radius_column_respected_on_sdata_path(self):
+        from squidpy_tpu.experimental.utils import derive_mpp_from_shapes
+
+        sd = sq.SpatialData(shapes={"spots": self._spots()})
+        mpp = derive_mpp_from_shapes(
+            sd, "spots", um_diameter=55.0, radius_column="spot_radius"
+        )
+        assert mpp == pytest.approx(55.0 / 20.0)
+
+    def test_single_registered_transform_applied_without_cs(self):
+        from squidpy_tpu.experimental.utils import derive_mpp_from_shapes
+
+        A2 = np.diag([2.0, 2.0])  # element coords are half-scale
+        sd_plain = sq.SpatialData(shapes={"s": self._spots()})
+        sd_tf = sq.SpatialData(shapes={"s": self._spots(with_transform={"global": A2})})
+        base = derive_mpp_from_shapes(sd_plain, "s", um_between_centers=100.0)
+        scaled = derive_mpp_from_shapes(sd_tf, "s", um_between_centers=100.0)
+        assert scaled == pytest.approx(base / 2.0)
+
+    def test_multiple_transforms_require_explicit_cs(self):
+        from squidpy_tpu.experimental.utils import derive_mpp_from_shapes
+
+        tf = {"global": np.eye(2), "other": np.diag([2.0, 2.0])}
+        sd = sq.SpatialData(shapes={"s": self._spots(with_transform=tf)})
+        with pytest.raises(ValueError, match="coordinate_system"):
+            derive_mpp_from_shapes(sd, "s", um_between_centers=100.0)
+
+    def test_legacy_keyword_form(self):
+        from squidpy_tpu.experimental.utils import derive_mpp_from_shapes
+
+        radii = np.full(10, 27.5)
+        assert derive_mpp_from_shapes(radii, known_diameter_um=110.0) == pytest.approx(2.0)
+        assert derive_mpp_from_shapes(radii, 55.0) == pytest.approx(1.0)
+        with pytest.raises(TypeError, match="known diameter"):
+            derive_mpp_from_shapes(radii, "radius")
