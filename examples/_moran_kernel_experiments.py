@@ -18,6 +18,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    import squidpy_tpu  # noqa: F401
+except ModuleNotFoundError:  # running the script in place, package not installed
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from squidpy_tpu.ops.autocorr import spmv_genes
 
 N, K = 1_000_000, 6

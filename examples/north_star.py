@@ -11,7 +11,8 @@ Workload (BASELINE.json / SURVEY §6): on a 1M-cell k=6 spatial graph,
 Prints per-phase and combined wall-clock. Warmed numbers (second run with
 fresh inputs) are the reported ones — first run pays the remote compile.
 
-Run from /root/repo: PYTHONPATH=/root/repo python examples/north_star.py
+Run: python examples/north_star.py (the script bootstraps its own import
+path; do NOT export a bare PYTHONPATH — it shadows the axon site dir).
 """
 
 from __future__ import annotations
@@ -22,6 +23,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+try:
+    import squidpy_tpu  # noqa: F401
+except ModuleNotFoundError:  # running the script in place, package not installed
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from squidpy_tpu._core.index_cipher import cipher_label_columns
 from squidpy_tpu._core.rng import spawn_keys

@@ -20,6 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:
+    import squidpy_tpu  # noqa: F401
+except ModuleNotFoundError:  # running the script in place, package not installed
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 from squidpy_tpu._core.index_cipher import cipher_label_columns
 from squidpy_tpu._core.rng import spawn_keys
 from squidpy_tpu.ops.nhood import permuted_pair_counts_cols
