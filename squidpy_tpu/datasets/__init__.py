@@ -57,9 +57,29 @@ visium_hne_sdata = _make_loader("visium_hne_sdata")
 cells = _make_loader("cells")
 
 
-def visium(sample_id: str, *, path: Any = None, include_hires_tiff: bool = False, **kwargs: Any) -> Any:
-    """Download a 10x Genomics Visium sample by name (e.g. ``V1_Human_Heart``)."""
-    return get_downloader().download(sample_id, path, include_hires_tiff=include_hires_tiff, **kwargs)
+def visium(
+    sample_id: str,
+    *,
+    include_hires_tiff: bool = False,
+    base_dir: Any = None,
+    path: Any = None,
+    **kwargs: Any,
+) -> Any:
+    """Download a 10x Genomics Visium sample by name (e.g. ``V1_Human_Heart``).
+
+    Mirrors the reference signature (datasets/_datasets.py:101-137):
+    ``base_dir`` is where the three SpaceRanger files land; ``path`` is kept
+    as a backwards-compatible alias for earlier squidpy_tpu releases.
+    """
+    downloader = get_downloader()
+    if sample_id not in downloader.registry:
+        raise ValueError(
+            f"Unknown Visium sample: {sample_id}. "
+            f"Available samples: {downloader.registry.visium_datasets}"
+        )
+    if base_dir is None:
+        base_dir = path
+    return downloader.download(sample_id, base_dir, include_hires_tiff=include_hires_tiff, **kwargs)
 
 
 __all__ = [

@@ -205,6 +205,12 @@ class DatasetDownloader:
     def __init__(self, registry: DatasetRegistry | None = None):
         self._registry = registry or get_registry()
 
+    @property
+    def registry(self) -> DatasetRegistry:
+        """The registry this downloader resolves names against
+        (reference: datasets/_downloader.py exposes ``downloader.registry``)."""
+        return self._registry
+
     def _fetch_file(self, entry: DatasetEntry, file: FileEntry, base_dir: Path) -> Path:
         target = base_dir / entry.name / file.name
         target.parent.mkdir(parents=True, exist_ok=True)

@@ -84,7 +84,7 @@ class TestDatasetRegistryProtocol:
         assert set(reg.anndata_names) == set(reg.names("anndata"))
         assert "imc" in reg.anndata_names
         assert len(reg.image_names) == 3
-        assert len(reg.visium_names) == 5
+        assert len(reg.visium_names) == 35  # full 10x sample catalogue, matching the reference YAML
         assert len(reg.spatialdata_names) == 2
         typed = (
             set(reg.anndata_names) | set(reg.image_names)
@@ -337,3 +337,55 @@ class TestReferenceRegistryApi:
         assert entry.get_file("definitely-not-a-file") is None
         assert entry.get_file_by_suffix(".xyzq") is None
         assert entry.get_file_by_name_prefix("zzz~") is None
+
+
+class TestVisiumSampleCatalogue:
+    """The full 10x sample catalogue + visium() entry-point contract
+    (reference: datasets/_datasets.py:101-137, datasets.yaml visium_10x)."""
+
+    def test_catalogue_contains_all_10x_families(self):
+        from squidpy_tpu.datasets import get_registry
+
+        vd = set(get_registry().visium_datasets)
+        assert len(vd) == 35
+        # One representative per naming family.
+        for name in (
+            "V1_Adult_Mouse_Brain",
+            "V1_Human_Heart",
+            "Visium_FFPE_Mouse_Brain",
+            "Visium_FFPE_Human_Prostate_IF",
+            "Parent_Visium_Human_Cerebellum",
+            "Targeted_Visium_Human_SpinalCord_Neuroscience",
+        ):
+            assert name in vd
+        # Every sample ships the matrix + spatial archive; most also ship a
+        # source image (two upstream entries genuinely lack/vary it).
+        reg = get_registry()
+        for name in vd:
+            files = {f.name for f in reg.get(name).files}
+            assert {"filtered_feature_bc_matrix.h5", "spatial.tar.gz"} <= files
+            extra = files - {"filtered_feature_bc_matrix.h5", "spatial.tar.gz"}
+            assert extra <= {"image.tif", "image.jpg"}
+
+    def test_visium_rejects_unknown_sample(self):
+        import pytest
+
+        import squidpy_tpu as sq
+
+        with pytest.raises(ValueError, match="Unknown Visium sample"):
+            sq.datasets.visium("NotASample")
+
+    def test_visium_signature_matches_reference(self):
+        import inspect
+
+        import squidpy_tpu as sq
+
+        params = inspect.signature(sq.datasets.visium).parameters
+        assert "base_dir" in params and params["base_dir"].kind is inspect.Parameter.KEYWORD_ONLY
+        assert "include_hires_tiff" in params
+
+    def test_downloader_exposes_registry(self):
+        import squidpy_tpu as sq
+
+        dl = sq.datasets.get_downloader()
+        assert "Visium_FFPE_Mouse_Kidney" in dl.registry
