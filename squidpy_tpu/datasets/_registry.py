@@ -109,6 +109,18 @@ class DatasetRegistry:
                 doc_header=data.get("doc_header"),
                 library_id=data.get("library_id"),
             )
+        # 10x Visium samples are stored compactly (filename -> sha256 per
+        # sample); every file lives at 10x_genomics/{sample}/{sample}_{file}.
+        for name, file_shas in config.get("visium_10x_samples", {}).items():
+            registry.datasets[name] = DatasetEntry(
+                name=name,
+                type="visium_10x",
+                files=[
+                    FileEntry(name=fn, s3_key=f"10x_genomics/{name}/{name}_{fn}", sha256=sha)
+                    for fn, sha in file_shas.items()
+                ],
+                doc_header=f"10x Genomics Visium dataset {name}.",
+            )
         return registry
 
     def get(self, name: str) -> DatasetEntry | None:
