@@ -282,12 +282,6 @@ class DatasetDownloader:
                 adata.uns["spatial"][entry.name]["metadata"]["source_image_path"] = str(files.get("image.tif"))
             return adata
         if entry.type == "spatialdata":
-            try:
-                import spatialdata as sd
-            except ImportError as e:
-                raise ImportError(
-                    f"Dataset `{name}` requires the optional `spatialdata` package."
-                ) from e
             import zipfile
 
             fpath = self._fetch_file(entry, entry.files[0], base_dir)
@@ -295,7 +289,25 @@ class DatasetDownloader:
             if not out_dir.exists():
                 with zipfile.ZipFile(fpath) as zf:
                     zf.extractall(fpath.parent)
-            return sd.read_zarr(out_dir)
+            try:
+                import spatialdata as sd
+
+                return sd.read_zarr(out_dir)
+            except ImportError:
+                pass
+            # Best-effort in-repo reader (zlib/gzip-coded zarr v2 only; real
+            # spatialdata stores often use blosc, which we cannot decode).
+            from squidpy_tpu._core.spatialdata import SpatialData
+
+            try:
+                return SpatialData.read(out_dir)
+            except NotImplementedError as e:
+                raise ImportError(
+                    f"Dataset `{name}` was downloaded and extracted to `{out_dir}`, "
+                    f"but reading it needs the optional `spatialdata` package "
+                    f"(the store uses a zarr codec the built-in reader does not "
+                    f"support: {e})."
+                ) from e
         raise NotImplementedError(f"Dataset type `{entry.type}` is not supported.")
 
 

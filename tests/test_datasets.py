@@ -389,3 +389,46 @@ class TestVisiumSampleCatalogue:
 
         dl = sq.datasets.get_downloader()
         assert "Visium_FFPE_Mouse_Kidney" in dl.registry
+
+
+class TestSpatialDataFallbackReader:
+    """spatialdata-typed downloads fall back to the in-repo SpatialData reader
+    when the external `spatialdata` package is absent (registry.download)."""
+
+    def test_zip_roundtrips_through_builtin_reader(self, tmp_path):
+        import hashlib
+        import zipfile
+
+        import numpy as np
+
+        from squidpy_tpu._core.spatialdata import SpatialData
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        # Write a store with our own writer, zip it like the hosted datasets.
+        sdata = SpatialData()
+        sdata.images["img"] = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        store = tmp_path / "build" / "toy_sdata"
+        store.parent.mkdir(parents=True)
+        sdata.write(store)
+        zpath = tmp_path / "toy_sdata.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for f in sorted(store.rglob("*")):
+                if f.is_file():
+                    zf.write(f, f.relative_to(store.parent))
+
+        payload = zpath.read_bytes()
+        reg = DatasetRegistry(s3_base_url="https://unreachable.invalid")
+        reg.datasets["toy_sdata"] = DatasetEntry(
+            name="toy_sdata", type="spatialdata",
+            files=[FileEntry(name="toy_sdata.zip", s3_key="toy_sdata.zip",
+                             sha256=hashlib.sha256(payload).hexdigest())],
+        )
+        cache = tmp_path / "cache"
+        (cache / "toy_sdata").mkdir(parents=True)
+        (cache / "toy_sdata" / "toy_sdata.zip").write_bytes(payload)
+
+        out = DatasetDownloader(reg).download("toy_sdata", cache)
+        np.testing.assert_array_equal(np.asarray(out.images["img"]),
+                                      np.asarray(sdata.images["img"]))
