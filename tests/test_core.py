@@ -456,3 +456,35 @@ class TestKnnOps:
         rows = np.arange(8)[:, None]
         assert not np.any(np.asarray(idx) == rows)
         np.testing.assert_allclose(np.asarray(dists), 0.0, atol=1e-5)
+
+
+class TestObspSpatialKeyContract:
+    """Key suffixing rules (reference: tests/graph/test_utils.py:36-67)."""
+
+    def test_defaults(self):
+        from squidpy_tpu._constants._pkg_constants import Key
+
+        assert Key.obsp.spatial_conn() == "spatial_connectivities"
+        assert Key.obsp.spatial_dist() == "spatial_distances"
+
+    def test_custom_prefix(self):
+        from squidpy_tpu._constants._pkg_constants import Key
+
+        assert Key.obsp.spatial_conn("mykey") == "mykey_connectivities"
+        assert Key.obsp.spatial_dist("mykey") == "mykey_distances"
+
+    def test_idempotent_and_already_suffixed(self):
+        from squidpy_tpu._constants._pkg_constants import Key
+
+        once = Key.obsp.spatial_conn("custom")
+        assert Key.obsp.spatial_conn(once) == once == "custom_connectivities"
+        once = Key.obsp.spatial_dist("custom")
+        assert Key.obsp.spatial_dist(once) == once == "custom_distances"
+        assert Key.obsp.spatial_conn("foo_connectivities") == "foo_connectivities"
+        assert Key.obsp.spatial_dist("foo_distances") == "foo_distances"
+
+    def test_suffix_not_partial_match(self):
+        from squidpy_tpu._constants._pkg_constants import Key
+
+        assert Key.obsp.spatial_conn("my_conn") == "my_conn_connectivities"
+        assert Key.obsp.spatial_dist("my_dist") == "my_dist_distances"
