@@ -271,16 +271,33 @@ class DatasetDownloader:
         if entry.type == "visium_10x":
             from squidpy_tpu.read import visium as read_visium
 
-            files = {f.name: self._fetch_file(entry, f, base_dir) for f in entry.files}
-            sample_dir = files["filtered_feature_bc_matrix.h5"].parent
+            include_hires_tiff = bool(kwargs.pop("include_hires_tiff", False))
+            # Fetch only what is needed (reference downloads the multi-GB
+            # high-res image only on request, _downloader.py:250-262).
+            matrix = entry.get_file("filtered_feature_bc_matrix.h5")
+            if matrix is None:
+                raise ValueError(f"Dataset `{entry.name}` is missing `filtered_feature_bc_matrix.h5`.")
+            sample_dir = self._fetch_file(entry, matrix, base_dir).parent
+            spatial = entry.get_file("spatial.tar.gz")
             spatial_dir = sample_dir / "spatial"
-            if not spatial_dir.exists() and "spatial.tar.gz" in files:
-                with tarfile.open(files["spatial.tar.gz"]) as tar:
-                    tar.extractall(sample_dir)
-            adata = read_visium(sample_dir, library_id=entry.name, **kwargs)
-            if kwargs.get("include_hires_tiff", False):
-                adata.uns["spatial"][entry.name]["metadata"]["source_image_path"] = str(files.get("image.tif"))
-            return adata
+            if spatial is not None:
+                spatial_tar = self._fetch_file(entry, spatial, base_dir)
+                if not spatial_dir.exists():
+                    with tarfile.open(spatial_tar) as tar:
+                        tar.extractall(sample_dir)
+            source_image_path: Path | None = None
+            if include_hires_tiff:
+                # Samples ship image.tif OR image.jpg — or no image at all
+                # (reference resolves by prefix and warns when absent,
+                # _downloader.py:252-262).
+                image_file = entry.get_file_by_name_prefix("image.")
+                if image_file is None:
+                    logg.warning(f"High-res image not available for `{entry.name}`")
+                else:
+                    source_image_path = self._fetch_file(entry, image_file, base_dir)
+            return read_visium(
+                sample_dir, library_id=entry.name, source_image_path=source_image_path, **kwargs
+            )
         if entry.type == "spatialdata":
             import zipfile
 
@@ -291,10 +308,13 @@ class DatasetDownloader:
                     zf.extractall(fpath.parent)
             try:
                 import spatialdata as sd
-
-                return sd.read_zarr(out_dir)
             except ImportError:
-                pass
+                sd = None
+            if sd is not None:
+                # Outside the try: an ImportError raised *inside* read_zarr
+                # (a missing optional dep of an installed spatialdata) must
+                # surface, not silently degrade to the limited reader.
+                return sd.read_zarr(out_dir)
             # Best-effort in-repo reader (zlib/gzip-coded zarr v2 only; real
             # spatialdata stores often use blosc, which we cannot decode).
             from squidpy_tpu._core.spatialdata import SpatialData

@@ -222,12 +222,90 @@ class TestDownloaderEdgeCases:
         reg.datasets["multi"] = DatasetEntry(
             name="multi", type="visium_10x",
             files=[
-                FileEntry(name="a.h5", s3_key="a.h5"),
-                FileEntry(name="b.png", s3_key="b.png"),
+                FileEntry(name="filtered_feature_bc_matrix.h5", s3_key="a.h5"),
+                FileEntry(name="spatial.tar.gz", s3_key="b.tar.gz"),
             ],
         )
         with pytest.raises(ExceptionGroup):
             DatasetDownloader(reg).download("multi", path=tmp_path)
+
+    def test_visium_10x_lazy_fetch_and_image_prefix(self, tmp_path, monkeypatch):
+        """With include_hires_tiff=False only matrix+spatial are fetched; with
+        True the image is resolved by the ``image.`` prefix (tif OR jpg) and a
+        missing image warns instead of recording a bogus path
+        (ADVICE r3: Visium_FFPE_Human_Normal_Prostate ships image.jpg,
+        Visium_FFPE_Mouse_Brain ships no image)."""
+        from squidpy_tpu.datasets import _registry as regmod
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        reg = DatasetRegistry(s3_base_url="http://127.0.0.1:1/x/")
+        reg.datasets["jpg_sample"] = DatasetEntry(
+            name="jpg_sample", type="visium_10x",
+            files=[
+                FileEntry(name="filtered_feature_bc_matrix.h5", s3_key="m.h5"),
+                FileEntry(name="spatial.tar.gz", s3_key="s.tar.gz"),
+                FileEntry(name="image.jpg", s3_key="i.jpg"),
+            ],
+        )
+        reg.datasets["no_image"] = DatasetEntry(
+            name="no_image", type="visium_10x",
+            files=[
+                FileEntry(name="filtered_feature_bc_matrix.h5", s3_key="m.h5"),
+                FileEntry(name="spatial.tar.gz", s3_key="s.tar.gz"),
+            ],
+        )
+        fetched: list[str] = []
+
+        def fake_fetch(self, entry, file, base_dir):
+            fetched.append(file.name)
+            target = base_dir / entry.name / file.name
+            target.parent.mkdir(parents=True, exist_ok=True)
+            target.write_bytes(b"")
+            return target
+
+        read_calls: list[dict] = []
+
+        def fake_read_visium(sample_dir, **kw):
+            read_calls.append(kw)
+            return "adata"
+
+        monkeypatch.setattr(DatasetDownloader, "_fetch_file", fake_fetch)
+        import squidpy_tpu.read as sqread
+
+        monkeypatch.setattr(sqread, "visium", fake_read_visium)
+        d = DatasetDownloader(reg)
+        # pre-extracted spatial/ dirs: extraction of the placeholder tar is skipped
+        for name in ("jpg_sample", "no_image"):
+            (tmp_path / name / "spatial").mkdir(parents=True)
+
+        assert d.download("jpg_sample", path=tmp_path) == "adata"
+        assert fetched == ["filtered_feature_bc_matrix.h5", "spatial.tar.gz"]
+        assert read_calls[-1]["source_image_path"] is None
+
+        fetched.clear()
+        assert d.download("jpg_sample", path=tmp_path, include_hires_tiff=True) == "adata"
+        assert "image.jpg" in fetched
+        assert str(read_calls[-1]["source_image_path"]).endswith("image.jpg")
+
+        fetched.clear()
+        assert d.download("no_image", path=tmp_path, include_hires_tiff=True) == "adata"
+        assert fetched == ["filtered_feature_bc_matrix.h5", "spatial.tar.gz"]
+        assert read_calls[-1]["source_image_path"] is None
+
+    def test_visium_10x_entry_without_matrix_raises_valueerror(self, tmp_path):
+        from squidpy_tpu.datasets._registry import (
+            DatasetDownloader, DatasetEntry, DatasetRegistry, FileEntry,
+        )
+
+        reg = DatasetRegistry(s3_base_url="http://127.0.0.1:1/x/")
+        reg.datasets["nomatrix"] = DatasetEntry(
+            name="nomatrix", type="visium_10x",
+            files=[FileEntry(name="b.png", s3_key="b.png")],
+        )
+        with pytest.raises(ValueError, match="filtered_feature_bc_matrix"):
+            DatasetDownloader(reg).download("nomatrix", path=tmp_path)
 
     def test_sha_mismatch_evicts_and_raises(self, tmp_path):
         import hashlib
