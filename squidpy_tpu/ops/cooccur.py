@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from squidpy_tpu.ops.knn import pairwise_sq_dists
+from squidpy_tpu.ops.knn import pairwise_sq_dists_exact as pairwise_sq_dists
 
 __all__ = ["co_occurrence_counts", "co_occurrence_probs"]
 
@@ -40,8 +40,13 @@ def pair_digit_matmuls(ind: jax.Array, onehot_cols: jax.Array, oh_rows: jax.Arra
     s = jnp.dot(ind, onehot_cols, preferred_element_type=jnp.float32)  # (tile, C), ≤ n
     s_hi = jnp.floor(s * (1.0 / _SPLIT))  # exact: power-of-two scale of an exact int
     s_lo = s - s_hi * _SPLIT
-    hi = jnp.dot(oh_rows.T, s_hi, preferred_element_type=jnp.float32)
-    lo = jnp.dot(oh_rows.T, s_lo, preferred_element_type=jnp.float32)
+    # HIGHEST precision: the MXU truncates f32 inputs to bf16 at DEFAULT,
+    # which cannot represent integers > 256 — s_hi/s_lo reach 4095. The 0/1
+    # first matmul is bf16-exact and stays DEFAULT.
+    hi = jnp.dot(oh_rows.T, s_hi, preferred_element_type=jnp.float32,
+                 precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST))
+    lo = jnp.dot(oh_rows.T, s_lo, preferred_element_type=jnp.float32,
+                 precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST))
     return hi.astype(jnp.int32), lo.astype(jnp.int32)
 
 
@@ -164,7 +169,12 @@ def cooccur_block_pairs_device(
             # block sums ≤ tile² < 2^24: the (tile, C) partial and the C×C
             # block count are both exact f32 integers
             s = jnp.dot(ind, oh_j, preferred_element_type=jnp.float32)
-            cnt = jnp.dot(oh_i.T, s, preferred_element_type=jnp.float32).astype(jnp.int32)
+            # HIGHEST: s entries reach `tile` — bf16-truncated MXU inputs
+            # (DEFAULT) round integers > 256 and corrupt the exact counts
+            cnt = jnp.dot(
+                oh_i.T, s, preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+            ).astype(jnp.int32)
             return cnt >> 12, cnt & (_SPLIT - 1)
 
         hi, lo = jax.lax.map(per_thresh, thresholds)
@@ -186,13 +196,25 @@ def co_occurrence_counts(
     n_cls: int,
     *,
     row_tile: int = 2048,
+    method: str = "auto",
 ) -> np.ndarray:
     """Cumulative pair counts ``(n_cls, n_cls, L)`` with ``d² ≤ thresholds[r]``.
 
     Matches the reference's ``_occur_count`` output layout
-    (counts[label_i, label_j, r], self-pairs excluded).
+    (counts[label_i, label_j, r], self-pairs excluded). ``method='auto'``
+    switches to the spatially binned dual-tree sweep
+    (:mod:`squidpy_tpu.ops.pairbins`) at scale — bitwise-identical counts,
+    near-O(n·L) device work instead of O(n²·L); the dense triangular sweep
+    stays as the small-n path and the parity oracle.
     """
     from squidpy_tpu.parallel.sharded import auto_cooccur_counts
+
+    if method not in ("auto", "dense", "binned"):
+        raise ValueError(f"Unknown co-occurrence method `{method}`.")
+    if method == "binned" or (method == "auto" and coords.shape[0] >= 100_000):
+        from squidpy_tpu.ops.pairbins import binned_cooccur_counts
+
+        return binned_cooccur_counts(coords, labels, thresholds, n_cls)
 
     coords = np.ascontiguousarray(coords, dtype=np.float32)
     out = auto_cooccur_counts(

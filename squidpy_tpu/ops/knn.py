@@ -56,6 +56,27 @@ def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(a2 + b2.T - 2.0 * cross, 0.0)
 
 
+def pairwise_sq_dists_exact(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Difference-form squared distances for THRESHOLD comparisons.
+
+    The expanded ``|a|²−2ab+|b|²`` form is unusable for threshold compares on
+    TPU: the MXU truncates f32 matmul inputs to bf16 at default precision
+    (measured d² error ~1e-2·|p|²_max), and even ``Precision.HIGHEST`` leaves
+    the error anchored to ``ulp(|p|²_max)`` — near-threshold pairs mis-bin
+    when coordinates are large relative to the distances of interest. The
+    per-dimension difference form ``Σ(a_d−b_d)²`` runs on the VPU in full f32
+    with error ~ulp(d²) *of the distance itself* (a few parts in 10⁷), and
+    XLA fuses the per-dim broadcasts without materializing an (m, n, d)
+    intermediate. kNN keeps the fast expanded MXU form (only relative order
+    matters there).
+    """
+    d2 = jnp.zeros((a.shape[0], b.shape[0]), a.dtype)
+    for dim in range(a.shape[1]):
+        diff = a[:, dim][:, None] - b[:, dim][None, :]
+        d2 = d2 + diff * diff
+    return d2
+
+
 @partial(jax.jit, static_argnames=("k", "row_tile", "col_tile", "exclude_self"))
 def _knn_device(coords: jax.Array, k: int, row_tile: int, col_tile: int, exclude_self: bool) -> tuple[jax.Array, jax.Array]:
     n, d = coords.shape

@@ -25,7 +25,13 @@ __all__ = ["ligrec_perm_counts", "cluster_means"]
 def cluster_means(x: jax.Array, labels: jax.Array, n_cls: int) -> jax.Array:
     """Per-cluster gene means ``(n_cls, n_genes)`` via one-hot matmul."""
     onehot = jax.nn.one_hot(labels, n_cls, dtype=x.dtype)  # (n, C)
-    sums = jnp.dot(onehot.T, x, preferred_element_type=x.dtype)
+    # rhs HIGHEST: expression values are full f32 — the MXU's DEFAULT bf16
+    # input truncation would corrupt the means (~0.4% relative); the 0/1
+    # one-hot side is bf16-exact and stays DEFAULT (3 passes, not 9)
+    sums = jnp.dot(
+        onehot.T, x, preferred_element_type=x.dtype,
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+    )
     counts = jnp.sum(onehot, axis=0)[:, None]
     return sums / jnp.where(counts == 0, 1.0, counts)
 
@@ -51,7 +57,12 @@ def _perm_counts_scan(
         w = jax.lax.dynamic_slice_in_dim(weights, i * chunk, chunk)
         oh = jax.nn.one_hot(lab.T, n_cls, dtype=x.dtype)                # (n, chunk, C)
         oh2 = oh.reshape(n, chunk * n_cls)                              # free reshape
-        groups = jnp.dot(oh2.T, x, preferred_element_type=x.dtype)      # ONE matmul
+        groups = jnp.dot(
+            oh2.T, x, preferred_element_type=x.dtype,
+            # rhs HIGHEST: full-f32 expression vs the MXU's bf16 input
+            # truncation at DEFAULT; 0/1 lhs stays DEFAULT
+            precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+        )                                                                # ONE matmul
         groups = groups.reshape(chunk, n_cls, n_genes) * inv_counts[None, :, None]
         g_rec = groups[:, c1[None, :], rec[:, None]]                    # (chunk, I, J)
         g_lig = groups[:, c2[None, :], lig[:, None]]

@@ -46,7 +46,12 @@ def _pair_counts_block(
     nbr_onehot = jax.nn.one_hot(label_table[indices], n_cls, dtype=acc_t)  # (n, k, C)
     R = jnp.einsum("nk,nkc->nc", w, nbr_onehot)  # R[i, c] = Σ_k w[i,k]·1[lbl=c]
     src_onehot = jax.nn.one_hot(src_labels, n_cls, dtype=acc_t)  # (n, C)
-    return jnp.dot(src_onehot.T, R, preferred_element_type=acc_t)
+    # rhs HIGHEST: R entries reach k, and the MXU truncates f32 inputs to
+    # bf16 (exact only to 256) at DEFAULT; the 0/1 lhs stays DEFAULT
+    return jnp.dot(
+        src_onehot.T, R, preferred_element_type=acc_t,
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+    )
 
 
 def exact_pair_counts(

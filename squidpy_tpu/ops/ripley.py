@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.spatial import ConvexHull, Delaunay
 
-from squidpy_tpu.ops.knn import pairwise_sq_dists
+from squidpy_tpu.ops.knn import pairwise_sq_dists_exact as pairwise_sq_dists
 
 __all__ = ["pair_counts_cumulative", "ppp_sample"]
 
@@ -70,9 +70,23 @@ def _pair_counts_device(
     return jnp.sum(per_block.reshape(-1, group, per_block.shape[1]), axis=1)
 
 
-def pair_counts_cumulative(points: np.ndarray, support: np.ndarray, *, row_tile: int = 1024) -> np.ndarray:
+def pair_counts_cumulative(
+    points: np.ndarray, support: np.ndarray, *, row_tile: int = 1024, method: str = "auto"
+) -> np.ndarray:
     """#ordered pairs (i, j), i≠j, with ``d_ij ≤ support[r]`` — the KDTree
-    ``two_point_correlation(...) - n`` quantity of the reference's L function."""
+    ``two_point_correlation(...) - n`` quantity of the reference's L function.
+
+    ``method='auto'`` switches to the spatially binned dual-tree sweep
+    (:mod:`squidpy_tpu.ops.pairbins`, class-free ``C = 1`` instance) at scale;
+    the dense triangular sweep remains the small-n path and parity oracle.
+    """
+    if method not in ("auto", "dense", "binned"):
+        raise ValueError(f"Unknown pair-count method `{method}`.")
+    if method == "binned" or (method == "auto" and points.shape[0] >= 100_000):
+        from squidpy_tpu.ops.pairbins import binned_ordered_pair_counts
+
+        return binned_ordered_pair_counts(points, support)
+
     points = np.ascontiguousarray(points, dtype=np.float32)
     m = points.shape[0]
     # below row_tile, bucket to 256 so small clusters of different sizes

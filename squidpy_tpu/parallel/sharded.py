@@ -35,6 +35,8 @@ __all__ = [
     "auto_permuted_pair_counts",
     "auto_ligrec_counts",
     "auto_cooccur_counts",
+    "sharded_binned_pair_counts",
+    "auto_binned_pair_counts",
     "auto_sepal_iters",
     "batch0_sharded",
 ]
@@ -438,6 +440,88 @@ def auto_cooccur_counts(
         coords_p, onehot_p, n, jnp.asarray(ti), jnp.asarray(tj), thresholds, n_cls, t
     )
     return ordered_from_upper_digits(upper)
+
+
+def sharded_binned_pair_counts(
+    mesh: Mesh,
+    coords_s: np.ndarray,
+    labels_s: np.ndarray,
+    plan,  # BinnedPairPlan
+    n_cls: int,
+) -> jax.Array:
+    """Binned boundary-block pair counts with the **work-item list** sharded
+    across the mesh (round-robin over (block, threshold-group) items; exact
+    integer digits merge with one ``psum`` — bitwise device-count-invariant).
+    The analytic full-block half of the statistic is host-side and
+    device-independent."""
+    from squidpy_tpu.ops.cooccur import digit_normalize
+    from squidpy_tpu.ops.pairbins import binned_pair_counts_device
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    n = plan.n
+    coords_p = jnp.pad(jnp.asarray(coords_s), ((0, plan.n_pad - n), (0, 0)))
+    onehot_p = jnp.pad(
+        jax.nn.one_hot(jnp.asarray(labels_s), n_cls, dtype=jnp.float32),
+        ((0, plan.n_pad - n), (0, 0)),
+    )
+    ti, tj, rf, gid = plan.ti, plan.tj, plan.rfull, plan.gid
+    pad_b = (-len(ti)) % n_dev
+    if pad_b:
+        ti = np.concatenate([ti, np.full(pad_b, -1, np.int32)])
+        tj = np.concatenate([tj, np.zeros(pad_b, np.int32)])
+        rf = np.concatenate([rf, np.zeros(pad_b, np.int32)])
+        gid = np.concatenate([gid, np.zeros(pad_b, np.int32)])
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(),
+    )
+    def f(coords_r, oh_r, ti_s, tj_s, rf_s, gid_s, thr_g, offs):
+        d = binned_pair_counts_device(
+            coords_r, oh_r, n, ti_s, tj_s, rf_s, gid_s, thr_g, offs,
+            n_cls, plan.tile, plan.gsize, vary_axis=axis,
+        )
+        a1 = jax.lax.psum(d[0], axis)
+        a0 = jax.lax.psum(d[1], axis)
+        return digit_normalize(a1, a0)
+
+    return f(
+        coords_p, onehot_p, jnp.asarray(ti), jnp.asarray(tj), jnp.asarray(rf),
+        jnp.asarray(gid), jnp.asarray(plan.thr_groups), jnp.asarray(plan.offsets),
+    )
+
+
+def auto_binned_pair_counts(
+    coords_s: np.ndarray,
+    labels_s: np.ndarray,
+    plan,  # BinnedPairPlan
+    n_cls: int,
+) -> jax.Array:
+    """Binned pair-count digits ``(2, G, gsize, C, C)``: item-sharded across
+    all local devices when available, single-device otherwise. Bitwise equal
+    at any device count (exact integer digits)."""
+    from squidpy_tpu.ops.pairbins import binned_pair_counts_device
+    from squidpy_tpu.parallel.mesh import default_mesh
+
+    if jax.device_count() > 1:
+        return sharded_binned_pair_counts(
+            default_mesh(axis_name="pairs"), coords_s, labels_s, plan, n_cls
+        )
+    n = plan.n
+    coords_p = jnp.pad(jnp.asarray(coords_s), ((0, plan.n_pad - n), (0, 0)))
+    onehot_p = jnp.pad(
+        jax.nn.one_hot(jnp.asarray(labels_s), n_cls, dtype=jnp.float32),
+        ((0, plan.n_pad - n), (0, 0)),
+    )
+    return binned_pair_counts_device(
+        coords_p, onehot_p, n, jnp.asarray(plan.ti), jnp.asarray(plan.tj),
+        jnp.asarray(plan.rfull), jnp.asarray(plan.gid),
+        jnp.asarray(plan.thr_groups), jnp.asarray(plan.offsets),
+        n_cls, plan.tile, plan.gsize,
+    )
 
 
 def auto_sepal_iters(
