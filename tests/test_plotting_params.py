@@ -1,0 +1,235 @@
+"""The reference's kwargs-mediated plotting parameter families (VERDICT r3 #2).
+
+img_alpha / img_cmap / img_channel
+(/root/reference/src/squidpy/pl/_spatial_utils.py:75-185), size_key with its
+scalefactor validation (:222-254), ncols/wspace/hspace/library_first panel
+control (:786-894), and return_ax with Axes returns
+(/root/reference/src/squidpy/pl/_spatial.py:110,344)."""
+
+from __future__ import annotations
+
+import time
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import pytest
+
+import squidpy_tpu as sq
+
+
+@pytest.fixture(autouse=True)
+def _close_figs():
+    yield
+    plt.close("all")
+
+
+@pytest.fixture()
+def adata_img(adata_ref):
+    adata = adata_ref.copy()
+    lid = list(adata.uns["spatial"])[0]
+    rng = np.random.default_rng(0)
+    adata.uns["spatial"][lid]["images"] = {
+        "hires": rng.integers(0, 255, size=(80, 80, 3), dtype=np.uint8)
+    }
+    adata.uns["spatial"][lid].setdefault("scalefactors", {})["tissue_hires_scalef"] = 0.01
+    return adata
+
+
+class TestImageParams:
+    def test_img_alpha(self, adata_img):
+        ax = sq.pl.spatial_scatter(adata_img, color="leiden", img_alpha=0.3, return_ax=True)
+        imgs = ax.get_images()
+        assert imgs and imgs[0].get_alpha() == 0.3
+
+    def test_img_cmap_gray(self, adata_img):
+        ax = sq.pl.spatial_scatter(adata_img, color="leiden", img_cmap="gray", return_ax=True)
+        im = ax.get_images()[0]
+        assert im.get_array().ndim == 2  # luminance image
+        assert im.get_cmap().name == "gray"
+
+    def test_img_channel_int(self, adata_img):
+        ax = sq.pl.spatial_scatter(adata_img, color="leiden", img_channel=1, return_ax=True)
+        im = ax.get_images()[0]
+        arr = np.asarray(im.get_array())
+        lid = list(adata_img.uns["spatial"])[0]
+        want = adata_img.uns["spatial"][lid]["images"]["hires"][..., 1]
+        np.testing.assert_array_equal(arr, want)
+
+    def test_img_channel_list(self, adata_img):
+        ax = sq.pl.spatial_scatter(adata_img, color="leiden", img_channel=[0, 2, 1], return_ax=True)
+        arr = np.asarray(ax.get_images()[0].get_array())
+        assert arr.shape[-1] == 3
+
+    def test_img_channel_bad_type(self, adata_img):
+        with pytest.raises(TypeError, match="Expected image channel"):
+            sq.pl.spatial_scatter(adata_img, color="leiden", img_channel="red")
+
+
+class TestSizeKey:
+    def test_missing_size_key_raises_reference_error(self, adata_img):
+        adata = adata_img.copy()
+        lid = list(adata.uns["spatial"])[0]
+        del adata.uns["spatial"][lid]["scalefactors"]["spot_diameter_fullres"]
+        with pytest.raises(ValueError, match="does not exist and size is `None`"):
+            sq.pl.spatial_scatter(adata, color="leiden")
+
+    def test_missing_size_key_ok_with_explicit_size(self, adata_img):
+        adata = adata_img.copy()
+        lid = list(adata.uns["spatial"])[0]
+        del adata.uns["spatial"][lid]["scalefactors"]["spot_diameter_fullres"]
+        sq.pl.spatial_scatter(adata, color="leiden", size=3.0)
+
+    def test_custom_size_key(self, adata_img):
+        adata = adata_img.copy()
+        lid = list(adata.uns["spatial"])[0]
+        adata.uns["spatial"][lid]["scalefactors"]["bin_size_um"] = 55.0
+        sq.pl.spatial_scatter(adata, color="leiden", size_key="bin_size_um")
+
+
+class TestPanelGrid:
+    def test_ncols_controls_grid(self, adata_ref):
+        adata = adata_ref.copy()
+        n = adata.n_obs
+        adata.obs["lib"] = pd.Categorical(["A"] * (n // 2) + ["B"] * (n - n // 2))
+        axs = sq.pl.spatial_scatter(
+            adata, color=["leiden", adata.var_names[0]], library_key="lib",
+            img=False, ncols=1, return_ax=True,
+        )
+        assert len(axs) == 4
+        # ncols=1 → panels stack vertically: all share one column position
+        cols = {a.get_subplotspec().colspan.start for a in axs}
+        assert cols == {0}
+
+    def test_wspace_hspace_accepted(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.obs["lib"] = pd.Categorical(["A"] * 30 + ["B"] * (adata.n_obs - 30))
+        sq.pl.spatial_scatter(
+            adata, color="leiden", library_key="lib", img=False,
+            wspace=0.5, hspace=0.8,
+        )
+
+    def test_library_first_order(self, adata_ref):
+        adata = adata_ref.copy()
+        n = adata.n_obs
+        adata.obs["lib"] = pd.Categorical(["A"] * (n // 2) + ["B"] * (n - n // 2))
+        gene = adata.var_names[0]
+        axs1 = sq.pl.spatial_scatter(
+            adata, color=["leiden", gene], library_key="lib", img=False,
+            library_first=True, return_ax=True,
+        )
+        # library-major: A/leiden, A/gene, B/leiden, B/gene
+        assert "A" in axs1[0].get_title() and "A" in axs1[1].get_title()
+        plt.close("all")
+        axs2 = sq.pl.spatial_scatter(
+            adata, color=["leiden", gene], library_key="lib", img=False,
+            library_first=False, return_ax=True,
+        )
+        # color-major: leiden/A, leiden/B, gene/A, gene/B
+        assert "A" in axs2[0].get_title() and "B" in axs2[1].get_title()
+
+    def test_multi_ax_requires_fig(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.obs["lib"] = pd.Categorical(["A"] * 30 + ["B"] * (adata.n_obs - 30))
+        fig, axes = plt.subplots(1, 2)
+        with pytest.raises(ValueError, match="a `Figure` must also be specified"):
+            sq.pl.spatial_scatter(adata, color="leiden", library_key="lib", img=False, ax=axes)
+        sq.pl.spatial_scatter(adata, color="leiden", library_key="lib", img=False, fig=fig, ax=axes)
+
+    def test_ax_count_mismatch(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.obs["lib"] = pd.Categorical(["A"] * 30 + ["B"] * (adata.n_obs - 30))
+        fig, axes = plt.subplots(1, 3)
+        with pytest.raises(ValueError, match="not equal to number of panels"):
+            sq.pl.spatial_scatter(adata, color="leiden", library_key="lib", img=False, fig=fig, ax=axes)
+
+
+class TestReturnAx:
+    def test_single_returns_axes(self, adata_ref):
+        ax = sq.pl.spatial_scatter(adata_ref.copy(), color="leiden", img=False, return_ax=True)
+        assert isinstance(ax, plt.Axes)
+
+    def test_multi_returns_list(self, adata_ref):
+        adata = adata_ref.copy()
+        adata.obs["lib"] = pd.Categorical(["A"] * 30 + ["B"] * (adata.n_obs - 30))
+        axs = sq.pl.spatial_scatter(adata, color="leiden", library_key="lib", img=False, return_ax=True)
+        assert isinstance(axs, list) and len(axs) == 2
+
+    def test_default_returns_none(self, adata_ref):
+        out = sq.pl.spatial_scatter(adata_ref.copy(), color="leiden", img=False)
+        assert out is None
+
+
+def _segment_fixture(n_cells: int, img_side: int, n_libs: int = 1):
+    rng = np.random.default_rng(0)
+    side = int(np.ceil(np.sqrt(n_cells)))
+    seg = np.arange(side * side, dtype=np.int64).reshape(side, side) + 1
+    reps = max(1, img_side // side)
+    seg = np.kron(seg, np.ones((reps, reps), dtype=np.int64))[:img_side, :img_side]
+    adata = sq.AnnData(
+        X=rng.normal(size=(n_cells, 2)),
+        obs=pd.DataFrame({
+            "cell_id": np.arange(1, n_cells + 1),
+            "cl": pd.Categorical(rng.choice(["a", "b", "c"], size=n_cells)),
+            "val": rng.normal(size=n_cells),
+            "lib": pd.Categorical(rng.choice([f"L{i}" for i in range(n_libs)], size=n_cells)),
+        }),
+    )
+    adata.obsm["spatial"] = rng.uniform(0, img_side, size=(n_cells, 2))
+    adata.uns["spatial"] = {
+        f"L{i}": {"images": {"segmentation": seg}, "scalefactors": {}} for i in range(n_libs)
+    }
+    return adata
+
+
+class TestSegmentParams:
+    def test_return_ax(self):
+        adata = _segment_fixture(16, 32)
+        ax = sq.pl.spatial_segment(adata, color="cl", seg_cell_id="cell_id",
+                                   seg_key="segmentation", library_id="L0", return_ax=True)
+        assert isinstance(ax, plt.Axes)
+
+    def test_library_key_panels(self):
+        adata = _segment_fixture(24, 32, n_libs=2)
+        axs = sq.pl.spatial_segment(adata, color="cl", seg_cell_id="cell_id",
+                                    seg_key="segmentation", library_key="lib", return_ax=True)
+        assert len(axs) == 2
+
+    def test_lut_vectorized_fast_at_1m_labels(self):
+        """Category-code fancy-indexing, not a per-cell Python loop
+        (VERDICT r3 weak #5): 1M labels in well under a second."""
+        from squidpy_tpu.pl._spatial import _segment_lut
+
+        n = 1_000_000
+        rng = np.random.default_rng(1)
+        cell_ids = rng.permutation(n).astype(np.int64) + 1
+        values = pd.Categorical(rng.choice(["a", "b", "c", "d"], size=n))
+        values = pd.Series(values)
+
+        class _A:  # _get_palette needs .uns/.obs only when palette colors are cached
+            uns: dict = {}
+            obs = pd.DataFrame({"c": values})
+
+        t0 = time.perf_counter()
+        lut = _segment_lut(n, cell_ids, values, True, adata=_A(), col_name="c",
+                           palette=None, cmap="viridis")
+        dt = time.perf_counter() - t0
+        assert lut.shape == (n + 1, 4)
+        assert dt < 1.0, f"LUT build took {dt:.2f}s"
+
+    def test_continuous_lut(self):
+        adata = _segment_fixture(16, 32)
+        sq.pl.spatial_segment(adata, color="val", seg_cell_id="cell_id",
+                              seg_key="segmentation", library_id="L0")
+
+    def test_seg_false_hides_mask(self):
+        adata = _segment_fixture(16, 32)
+        ax = sq.pl.spatial_segment(adata, color="cl", seg_cell_id="cell_id",
+                                   seg_key="segmentation", library_id="L0",
+                                   seg=False, return_ax=True)
+        arr = np.asarray(ax.get_images()[-1].get_array())
+        assert arr[..., 3].max() == 0.0
