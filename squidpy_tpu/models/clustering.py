@@ -5,10 +5,12 @@ leidenalg, ``tl.pca``, ``pp.scale``) and sklearn's GaussianMixture
 (/root/reference/src/squidpy/gr/_niche.py:399-721). scanpy/leidenalg are not
 available here, so:
 
-- graph clustering uses networkx's Louvain community detection (the same
-  modularity-optimization family as Leiden; labels are sorted by community
-  size for determinism) over an exact kNN graph built by the device
-  brute-force search;
+- graph clustering uses the native C++ CSR Louvain
+  (:func:`squidpy_tpu.native.louvain_csr` — the same modularity-optimization
+  family as Leiden; labels are sorted by community size for determinism) over
+  an exact kNN graph built by the device brute-force search. networkx's
+  pure-Python Louvain (the r1-r3 backend) takes minutes-to-hours at 100k-1M
+  cells and survives only as the small-fixture quality oracle in tests;
 - PCA and GMM come from sklearn;
 - z-scoring is plain numpy.
 """
@@ -16,7 +18,6 @@ available here, so:
 from __future__ import annotations
 
 import numpy as np
-import networkx as nx
 from scipy import sparse as sp
 from sklearn.decomposition import PCA
 from sklearn.mixture import GaussianMixture
@@ -43,20 +44,20 @@ def graph_cluster(
     resolution: float = 1.0,
     random_state: int = 0,
 ) -> np.ndarray:
-    """Community labels ('0', '1', …) for rows of ``X`` via Louvain on the kNN
-    graph — squidpy_tpu's stand-in for scanpy's leiden. Communities are
+    """Community labels ('0', '1', …) for rows of ``X`` via the native C++
+    CSR Louvain on the kNN graph — squidpy_tpu's stand-in for scanpy's leiden
+    (which the reference drives through leidenalg's C core,
+    /root/reference/src/squidpy/gr/_niche.py:399-457). Communities are
     numbered largest-first, matching scanpy's label convention."""
+    from squidpy_tpu.native import louvain_csr
+
     adj = knn_graph(X, n_neighbors)
-    g = nx.from_scipy_sparse_array(adj)
-    communities = nx.community.louvain_communities(
-        g, resolution=resolution, seed=int(random_state)
-    )
-    communities = sorted(communities, key=len, reverse=True)
-    labels = np.empty(X.shape[0], dtype=object)
-    for i, comm in enumerate(communities):
-        for node in comm:
-            labels[node] = str(i)
-    return labels.astype(str)
+    labels, k = louvain_csr(adj, resolution=resolution, seed=int(random_state))
+    sizes = np.bincount(labels, minlength=max(k, 1))
+    order = np.argsort(-sizes, kind="stable")  # largest community -> '0'
+    remap = np.empty(len(order), dtype=np.int64)
+    remap[order] = np.arange(len(order))
+    return remap[labels].astype(str)
 
 
 def gmm_cluster(X: np.ndarray, n_components: int, random_state: int = 42) -> np.ndarray:

@@ -14,10 +14,10 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["watershed", "relabel_merge", "felzenszwalb", "ensure_built"]
+__all__ = ["watershed", "relabel_merge", "felzenszwalb", "louvain_csr", "ensure_built"]
 
 _HERE = Path(__file__).parent
-_SRCS = (_HERE / "watershed.cpp", _HERE / "felzenszwalb.cpp")
+_SRCS = (_HERE / "watershed.cpp", _HERE / "felzenszwalb.cpp", _HERE / "louvain.cpp")
 _SO = _HERE / "_native.so"
 _LIB: ctypes.CDLL | None = None
 
@@ -63,6 +63,17 @@ def _lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.felzenszwalb.restype = None
+        lib.louvain_csr.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.c_uint64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.louvain_csr.restype = ctypes.c_int64
         _LIB = lib
     return _LIB
 
@@ -135,3 +146,39 @@ def felzenszwalb(image: np.ndarray, scale: float = 100.0, min_size: int = 20) ->
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+def louvain_csr(
+    adj: "object",
+    *,
+    resolution: float = 1.0,
+    seed: int = 0,
+    max_levels: int = 32,
+) -> tuple[np.ndarray, int]:
+    """Louvain community labels over a symmetric CSR adjacency (native C++).
+
+    The reference's niche flavors cluster with leidenalg's C core via scanpy
+    (/root/reference/src/squidpy/gr/_niche.py:399-457); this is the
+    modularity-optimization counterpart that survives 100k-1M cells where
+    pure-Python Louvain takes minutes-to-hours. Deterministic per seed.
+    Returns ``(labels, n_communities)`` with unordered compact ids.
+    """
+    from scipy import sparse as sp
+
+    adj = sp.csr_matrix(adj)
+    n = adj.shape[0]
+    indptr = np.ascontiguousarray(adj.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(adj.indices, dtype=np.int32)
+    weights = np.ascontiguousarray(adj.data, dtype=np.float64)
+    labels = np.zeros(n, dtype=np.int32)
+    n_comm = _lib().louvain_csr(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n,
+        float(resolution),
+        int(seed) & 0xFFFFFFFFFFFFFFFF,
+        int(max_levels),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return labels, int(n_comm)
