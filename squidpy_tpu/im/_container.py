@@ -885,3 +885,30 @@ class ImageContainer(FeatureMixin):
         return s
 
     __str__ = __repr__
+
+    def _ipython_key_completions_(self) -> list[str]:
+        """Layer names for IPython's ``container[<TAB>`` completion
+        (reference: im/_container.py:1524-1525)."""
+        return sorted(map(str, self._layers))
+
+    def _repr_html_(self) -> str:
+        """Notebook HTML rendering: one line per layer with its dims
+        (reference: im/_container.py:1533-1545; first 10 layers shown)."""
+        import html
+
+        if not len(self):
+            return f"{self.__class__.__name__} object with 0 layers"
+        inflection = "" if len(self) <= 1 else "s"
+        s = f"{self.__class__.__name__} object with {len(self._layers)} layer{inflection}:"
+        style = "text-indent: 25px; margin-top: 0px; margin-bottom: 0px;"
+        dims = ("y", "x", "z", "channels")
+        for i, (name, arr) in enumerate(self._layers.items()):
+            s += f"<p style={style!r}><strong>{html.escape(str(name))}</strong>: "
+            s += ", ".join(
+                f"<em>{html.escape(dim)}</em> ({size})" for dim, size in zip(dims, arr.shape)
+            )
+            s += "</p>"
+            if i == 9 and i < len(self) - 1:
+                s += f"<p style={style!r}>and {len(self) - i - 1} more layer(s)</p>"
+                break
+        return s

@@ -315,3 +315,42 @@ class TestContainerProtocol:
         cont["seg"] = np.zeros((100, 120))
         r = repr(cont)
         assert "image" in r and "seg" in r and "2 layer" in r
+
+
+class TestNotebookErgonomics:
+    """_repr_html_ + _ipython_key_completions_ (reference
+    im/_container.py:1524-1545; VERDICT r3 missing #3)."""
+
+    def test_key_completions(self):
+        import numpy as np
+
+        import squidpy_tpu as sq
+
+        img = sq.im.ImageContainer(np.zeros((8, 8, 3), np.uint8), layer="b")
+        img.add_img(np.zeros((8, 8, 1), np.uint8), layer="a")
+        assert img._ipython_key_completions_() == ["a", "b"]
+
+    def test_repr_html(self):
+        import numpy as np
+
+        import squidpy_tpu as sq
+
+        img = sq.im.ImageContainer()
+        assert "0 layers" in img._repr_html_()
+        img.add_img(np.zeros((8, 6, 3), np.uint8), layer="image")
+        h = img._repr_html_()
+        assert "<strong>image</strong>" in h
+        assert "<em>y</em> (8)" in h and "<em>x</em> (6)" in h
+        assert "1 layer:" in h
+
+    def test_repr_html_truncates_at_ten(self):
+        import numpy as np
+
+        import squidpy_tpu as sq
+
+        img = sq.im.ImageContainer()
+        for i in range(12):
+            img.add_img(np.zeros((4, 4, 1), np.uint8), layer=f"l{i:02d}")
+        h = img._repr_html_()
+        assert "and 2 more layer(s)" in h
+        assert "l10" not in h
