@@ -224,6 +224,16 @@ def spatial_autocorr(
 
         gene_sharding = NamedSharding(default_mesh(axis_name="genes"), P(None, "genes"))
 
+    # permutation gather precision: the per-perm O(n·g) row gather of u = Wz
+    # is the entire permutation-mode cost, and the gather engine saturates
+    # (~150 GB/s) only at ~2 KB rows. At scale, gather u in bf16 over a
+    # 2×-wider gene superblock: same 2 KB rows, half the bytes per gene —
+    # null sims shift ~1e-3 relative (products still accumulate full
+    # precision against z), far below permutation resolution. Scores and
+    # analytic p-values never touch this path.
+    gather_bf16 = (not jax.config.jax_enable_x64) and n_cells >= (1 << 19)
+    perm_width = 2 * gene_block_size if gather_bf16 else gene_block_size
+
     def _score_blocks() -> dict[str, np.ndarray]:
         score_parts: list[np.ndarray] = []
         sims_parts: list[np.ndarray] = []
@@ -231,6 +241,30 @@ def spatial_autocorr(
         # numpy operand on a non-x64 backend emits a truncation warning
         host_float = np.float64 if jax.config.jax_enable_x64 else np.float32
         row_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=1), dtype=host_float).ravel())
+
+        perm_buf: list[tuple[Any, ...]] = []  # stripped (z, u[, v]) device parts
+        perm_cols = 0
+
+        def _flush_perms() -> None:
+            nonlocal perm_buf, perm_cols
+            if not perm_buf:
+                return
+            zc = jnp.concatenate([p[0] for p in perm_buf], axis=1) if len(perm_buf) > 1 else perm_buf[0][0]
+            uc = jnp.concatenate([p[1] for p in perm_buf], axis=1) if len(perm_buf) > 1 else perm_buf[0][1]
+            if mode == SpatialAutocorr.MORAN:
+                sims_parts.append(
+                    np.asarray(moran_perm_scores(zc, uc, perms_idx, s0, gather_bf16=gather_bf16))
+                )
+            else:
+                vc = jnp.concatenate([p[2] for p in perm_buf], axis=1) if len(perm_buf) > 1 else perm_buf[0][2]
+                sims_parts.append(
+                    np.asarray(
+                        geary_perm_scores(zc, uc, vc, row_sums_dev, perms_idx, s0, gather_bf16=gather_bf16)
+                    )
+                )
+            perm_buf = []
+            perm_cols = 0
+
         for start_col in range(0, n_feats, gene_block_size):
             block = _to_dense_block(vals, slice(start_col, start_col + gene_block_size))
             n_block = block.shape[1]
@@ -251,17 +285,31 @@ def spatial_autocorr(
                 # SpMV once and derive the observed score from it
                 zb = xb - jnp.mean(xb, axis=0, keepdims=True)
                 ub = _spmv(zb)
+                # buffered u (and v) drop to bf16 at once so the f32 SpMV
+                # output frees before the next block (HBM headroom at 1M×1024)
+                gdt = jnp.bfloat16 if gather_bf16 else zb.dtype
                 if mode == SpatialAutocorr.MORAN:
                     score_parts.append(_strip(np.asarray(moran_scores_from_u(zb, ub, s0))))
-                    sims_parts.append(_strip(np.asarray(moran_perm_scores(zb, ub, perms_idx, s0))))
+                    perm_buf.append((
+                        zb[:, :n_block] if pad_g else zb,
+                        (ub[:, :n_block] if pad_g else ub).astype(gdt),
+                    ))
                 else:
                     score_parts.append(_strip(np.asarray(_geary(xb, s0))))
                     vb = _spmv(zb * zb)
-                    sims_parts.append(_strip(np.asarray(geary_perm_scores(zb, ub, vb, row_sums_dev, perms_idx, s0))))
+                    perm_buf.append((
+                        zb[:, :n_block] if pad_g else zb,
+                        (ub[:, :n_block] if pad_g else ub).astype(gdt),
+                        (vb[:, :n_block] if pad_g else vb).astype(gdt),
+                    ))
+                perm_cols += n_block
+                if perm_cols >= perm_width:
+                    _flush_perms()
             elif mode == SpatialAutocorr.MORAN:
                 score_parts.append(_strip(np.asarray(_moran(xb, s0))))
             else:
                 score_parts.append(_strip(np.asarray(_geary(xb, s0))))
+        _flush_perms()
         out = {"score": np.concatenate(score_parts) if score_parts else np.empty(0)}
         if sims_parts:
             out["sims"] = np.concatenate(sims_parts, axis=1)

@@ -266,18 +266,28 @@ def moran_perm_scores(
     s0: jax.Array,
     *,
     chunk_size: int | None = None,
+    gather_bf16: bool = False,
 ) -> jax.Array:
     """Moran's I under row-permutation of W, batched over permutations.
 
     ``z`` centered values ``(n, g)``, ``u = W z`` precomputed, ``perms``
     ``(n_perms, n)`` permutation index batches. Matches the reference's
     ``morans_i(g[idx_shuffle, :], vals)`` semantics exactly.
+
+    ``gather_bf16``: gather ``u`` in bf16. The per-perm O(n·g) row gather is
+    the whole cost, and the gather engine is bandwidth-limited (~150 GB/s)
+    only once rows reach ~2 KB — bf16 halves the gathered bytes so a
+    2×-wider gene superblock keeps the 2 KB row sweet spot. Null sims shift
+    by ~1e-3 relative (the products still accumulate in f32/f64 against the
+    full-precision ``z``), far below permutation-test resolution; scores and
+    analytic p-values never use this path.
     """
     n = z.shape[0]
     den = jnp.sum(z * z, axis=0)
+    u_g = u.astype(jnp.bfloat16) if gather_bf16 else u
 
     def one(perm: jax.Array) -> jax.Array:
-        return (n / s0) * jnp.sum(z * u[perm, :], axis=0) / den
+        return (n / s0) * jnp.sum(z * u_g[perm, :].astype(z.dtype), axis=0) / den
 
     if chunk_size is None:
         bytes_per_perm = 8 * z.shape[0] * max(z.shape[1], 1)
@@ -294,19 +304,28 @@ def geary_perm_scores(
     s0: jax.Array,
     *,
     chunk_size: int | None = None,
+    gather_bf16: bool = False,
 ) -> jax.Array:
     """Geary's C under row-permutation of W.
 
     With ``W' = P W``: ``Σ_ij w'_ij (z_i - z_j)²
     = Σ_i [z_i² r_{p(i)} - 2 z_i u_{p(i)} + v_{p(i)}]`` where ``u = W z``,
-    ``v = W z²``, ``r`` = row sums of W.
+    ``v = W z²``, ``r`` = row sums of W. ``gather_bf16`` as in
+    :func:`moran_perm_scores` (applies to the gathered ``u``/``v``).
     """
     n = z.shape[0]
     den = jnp.sum(z * z, axis=0)
     z2 = z * z
+    u_g = u.astype(jnp.bfloat16) if gather_bf16 else u
+    v_g = v.astype(jnp.bfloat16) if gather_bf16 else v
 
     def one(perm: jax.Array) -> jax.Array:
-        num = jnp.sum(z2 * r[perm, None] - 2.0 * z * u[perm, :] + v[perm, :], axis=0)
+        num = jnp.sum(
+            z2 * r[perm, None]
+            - 2.0 * z * u_g[perm, :].astype(z.dtype)
+            + v_g[perm, :].astype(z.dtype),
+            axis=0,
+        )
         return ((n - 1) / (2.0 * s0)) * num / den
 
     if chunk_size is None:
