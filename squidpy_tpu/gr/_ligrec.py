@@ -40,6 +40,12 @@ SOURCE = "source"
 TARGET = "target"
 
 
+# below this (interaction-filtered) element count, x64 runs take the exact
+# float64 host path (golden-pickle parity); above it, f32 + the device
+# expression handle
+_EXACT_SIZE_LIMIT = 4_000_000
+
+
 def _fdr_correct(
     pvals: pd.DataFrame,
     corr_method: str,
@@ -83,6 +89,8 @@ class PermutationTestABC(ABC):
             raise ValueError("No genes are in `adata.var_names`.")
 
         self._adata = adata
+        self._use_raw = bool(use_raw)
+        self._had_nan = False
         if use_raw:
             if adata.raw is None:
                 raise AttributeError("No `.raw` attribute found. Try specifying `use_raw=False`.")
@@ -112,6 +120,7 @@ class PermutationTestABC(ABC):
         # whole (possibly multi-100MB) matrix
         if np.isnan(X).any():
             X = np.nan_to_num(X, nan=0.0, posinf=np.inf, neginf=-np.inf, copy=not owned)
+            self._had_nan = True  # the raw-X device handle would not reflect this cleanup
         self._data = pd.DataFrame(X, index=adata.obs_names, columns=data_obj.var_names, copy=False)
 
         self._interactions: pd.DataFrame | None = None
@@ -242,8 +251,40 @@ class PermutationTestABC(ABC):
             f"and `{len(clusters)}` cluster combinations on device"
         )
 
+        # session-scoped device expression: at scale, reuse/create the cached
+        # device X (ships once, shared with spatial_autocorr/sepal) instead of
+        # re-shipping the trimmed matrix per call. The f64-exact small-run
+        # path and any row-subset / NaN-cleaned / renamed-genes case keep the
+        # host route.
+        x_dev = None
+        import jax as _jax
+
+        exact = bool(_jax.config.jax_enable_x64) and data.size <= _EXACT_SIZE_LIMIT
+        if not exact and row_mask.all() and not self._had_nan:
+            from squidpy_tpu._core.device_x import device_expression
+
+            n_vars_src = self._adata.raw.n_vars if self._use_raw else self._adata.n_vars
+            handle = device_expression(
+                self._adata, use_raw=self._use_raw,
+                create=2 * len(data.columns) >= n_vars_src,
+            )
+            if handle is not None:
+                # prepare() uppercases the data columns (CellPhoneDB gene
+                # convention, :165); resolve against uppercased handle names,
+                # bailing out on ambiguity (two genes differing only by case)
+                upper_map: dict[str, int] = {}
+                for i, v in enumerate(handle.var_names):
+                    u = v.upper()
+                    upper_map[u] = -1 if u in upper_map else i
+                try:
+                    cols = np.asarray([upper_map[str(c).upper()] for c in data.columns], dtype=np.int64)
+                    if (cols >= 0).all():
+                        x_dev = handle.dense_block(cols)
+                except KeyError:
+                    x_dev = None
+
         res_means, res_pvalues = _analysis(
-            data.to_numpy(),
+            None if x_dev is not None else data.to_numpy(),
             np.asarray(cat.codes.to_numpy(), dtype=np.int32),
             len(cat.categories),
             interactions_,
@@ -251,6 +292,7 @@ class PermutationTestABC(ABC):
             threshold=threshold,
             n_perms=n_perms,
             seed=seed,
+            x_dev=x_dev,
         )
 
         index = pd.MultiIndex.from_frame(interactions, names=[SOURCE, TARGET])
@@ -450,7 +492,7 @@ def _is_integral(a: np.ndarray, block: int = 1 << 22) -> bool:
 
 
 def _analysis(
-    data: np.ndarray,          # (n_cells, n_genes) float64
+    data: np.ndarray | None,   # (n_cells, n_genes) — None when x_dev is given
     clustering: np.ndarray,    # (n_cells,) int32 codes
     n_cls: int,
     interactions: np.ndarray,  # (I, 2) [receptor, ligand] gene columns
@@ -458,6 +500,7 @@ def _analysis(
     threshold: float,
     n_perms: int,
     seed: int | None,
+    x_dev: Any = None,         # device-resident expression (see device_x.py)
 ) -> tuple[np.ndarray, np.ndarray]:
     """Observed means/mask on host, permutation loop on device.
 
@@ -473,34 +516,49 @@ def _analysis(
     """
     import jax
 
-    exact = bool(jax.config.jax_enable_x64) and data.size <= 4_000_000
-    host_t = np.float64 if exact else np.float32
-    data_h = data if data.dtype == host_t else data.astype(host_t)
+    if x_dev is not None:
+        # device-resident expression path: per-cluster means and the
+        # expression-fraction mask come from two one-hot matmuls on device
+        # (HIGHEST precision on the data operand, ops/ligrec.py) — only the
+        # tiny (C, G) tables cross the tunnel; X never ships here.
+        from squidpy_tpu.ops.ligrec import cluster_means
 
-    # Ship the expression matrix FIRST (async device_put overlaps the host
-    # mean/mask pass below) and in the narrowest lossless container: raw
-    # counts are typically small non-negative integers, so a u8/u16 cast
-    # moves 4-8x fewer bytes through the ~17 MB/s host<->device tunnel —
-    # the measured round-2 bottleneck of this call. The widening back to
-    # float happens on device.
-    x_ship: np.ndarray = data_h
-    if data_h.size and np.issubdtype(data_h.dtype, np.floating):
-        dmax = float(data_h.max())
-        dmin = float(data_h.min())
-        if 0.0 <= dmin and dmax < 65536.0 and _is_integral(data_h):
-            x_ship = data_h.astype(np.uint8 if dmax < 256.0 else np.uint16)
-    x_dev = jnp.asarray(x_ship)
-    if x_dev.dtype != data_h.dtype:
-        x_dev = x_dev.astype(data_h.dtype)
+        labels_dev = jnp.asarray(clustering)
+        counts = np.bincount(clustering, minlength=n_cls).astype(np.float64)
+        mean = np.asarray(cluster_means(x_dev, labels_dev, n_cls)).T.astype(np.float64)
+        frac = np.asarray(
+            cluster_means((x_dev > 0).astype(x_dev.dtype), labels_dev, n_cls)
+        ).T.astype(np.float64)
+        mask = frac >= threshold
+    else:
+        exact = bool(jax.config.jax_enable_x64) and data.size <= _EXACT_SIZE_LIMIT
+        host_t = np.float64 if exact else np.float32
+        data_h = data if data.dtype == host_t else data.astype(host_t)
 
-    # observed per-cluster means and expression-fraction mask
-    onehot = np.zeros((len(clustering), n_cls), dtype=host_t)
-    onehot[np.arange(len(clustering)), clustering] = 1.0
-    counts = onehot.sum(axis=0)
-    safe_counts = np.where(counts == 0, 1.0, counts).astype(host_t)
-    mean = (data_h.T @ onehot) / safe_counts                               # (G, C)
-    frac = ((data_h > 0).astype(host_t).T @ onehot) / safe_counts
-    mask = frac >= threshold                                               # (G, C)
+        # Ship the expression matrix FIRST (async device_put overlaps the host
+        # mean/mask pass below) and in the narrowest lossless container: raw
+        # counts are typically small non-negative integers, so a u8/u16 cast
+        # moves 4-8x fewer bytes through the ~17 MB/s host<->device tunnel —
+        # the measured round-2 bottleneck of this call. The widening back to
+        # float happens on device.
+        x_ship: np.ndarray = data_h
+        if data_h.size and np.issubdtype(data_h.dtype, np.floating):
+            dmax = float(data_h.max())
+            dmin = float(data_h.min())
+            if 0.0 <= dmin and dmax < 65536.0 and _is_integral(data_h):
+                x_ship = data_h.astype(np.uint8 if dmax < 256.0 else np.uint16)
+        x_dev = jnp.asarray(x_ship)
+        if x_dev.dtype != data_h.dtype:
+            x_dev = x_dev.astype(data_h.dtype)
+
+        # observed per-cluster means and expression-fraction mask
+        onehot = np.zeros((len(clustering), n_cls), dtype=host_t)
+        onehot[np.arange(len(clustering)), clustering] = 1.0
+        counts = onehot.sum(axis=0)
+        safe_counts = np.where(counts == 0, 1.0, counts).astype(host_t)
+        mean = (data_h.T @ onehot) / safe_counts                               # (G, C)
+        frac = ((data_h > 0).astype(host_t).T @ onehot) / safe_counts
+        mask = frac >= threshold                                               # (G, C)
 
     rec, lig = interactions[:, 0], interactions[:, 1]
     c1, c2 = interaction_clusters[:, 0], interaction_clusters[:, 1]

@@ -140,6 +140,23 @@ def spatial_autocorr(
     else:
         raise NotImplementedError(f"Extracting from `adata.{attr}` is not yet implemented.")
 
+    # session-scoped device expression: X ships once (narrowest lossless
+    # container) and every gene block is sliced/densified on device — shared
+    # with ligrec/sepal via the same adata.uns cache (_core/device_x.py)
+    dev_handle = dev_cols = None
+    if attr == "X":
+        from squidpy_tpu._core.device_x import device_expression
+
+        n_vars_src = adata.raw.n_vars if (use_raw and adata.raw is not None) else adata.n_vars
+        dev_handle = device_expression(
+            adata, layer=layer, use_raw=use_raw,
+            # don't force the whole matrix onto the device for a small gene
+            # subset; an already-cached handle is reused either way
+            create=2 * len(index) >= n_vars_src,
+        )
+        if dev_handle is not None:
+            dev_cols = dev_handle.columns_of(list(map(str, index)))
+
     mode = SpatialAutocorr(mode)
     params: dict[str, Any] = {"mode": mode.s, "transformation": transformation, "two_tailed": two_tailed}
     if mode == SpatialAutocorr.MORAN:
@@ -166,10 +183,11 @@ def spatial_autocorr(
     if buckets is not None:
         logg.info(f"Using `{len(buckets)}` degree buckets for the skewed graph")
 
-    def _spmv(y: Any) -> Any:
+    def _spmv(y: Any, group: int | None = None) -> Any:
+        kw = {} if group is None else {"group": group}
         if buckets is not None:
-            return spmv_genes_bucketed(buckets, y)
-        return spmv_genes(graph.indices, graph.weights, y)
+            return spmv_genes_bucketed(buckets, y, **kw)
+        return spmv_genes(graph.indices, graph.weights, y, **kw)
 
     def _moran(y: Any, s0_: Any) -> Any:
         if buckets is not None:
@@ -232,7 +250,10 @@ def spatial_autocorr(
     # precision against z), far below permutation resolution. Scores and
     # analytic p-values never touch this path.
     gather_bf16 = (not jax.config.jax_enable_x64) and n_cells >= (1 << 19)
-    perm_width = 2 * gene_block_size if gather_bf16 else gene_block_size
+    # at scale z also streams in bf16, which frees the HBM for a 4×-wide
+    # superblock (2048-gene = 4 KB gather rows, the measured gather-engine
+    # sweet spot); sims shift ≲1e-3 relative — see ops/autocorr.py
+    perm_width = 4 * gene_block_size if gather_bf16 else gene_block_size
 
     def _score_blocks() -> dict[str, np.ndarray]:
         score_parts: list[np.ndarray] = []
@@ -253,7 +274,12 @@ def spatial_autocorr(
             uc = jnp.concatenate([p[1] for p in perm_buf], axis=1) if len(perm_buf) > 1 else perm_buf[0][1]
             if mode == SpatialAutocorr.MORAN:
                 sims_parts.append(
-                    np.asarray(moran_perm_scores(zc, uc, perms_idx, s0, gather_bf16=gather_bf16))
+                    np.asarray(
+                        moran_perm_scores(
+                            zc, uc, perms_idx, s0,
+                            gather_bf16=gather_bf16, z_bf16=gather_bf16,
+                        )
+                    )
                 )
             else:
                 vc = jnp.concatenate([p[2] for p in perm_buf], axis=1) if len(perm_buf) > 1 else perm_buf[0][2]
@@ -266,16 +292,26 @@ def spatial_autocorr(
             perm_cols = 0
 
         for start_col in range(0, n_feats, gene_block_size):
-            block = _to_dense_block(vals, slice(start_col, start_col + gene_block_size))
-            n_block = block.shape[1]
-            pad_g = 0
-            if gene_sharding is not None:
-                pad_g = (-n_block) % n_dev
-                if pad_g:
-                    block = np.pad(block, ((0, 0), (0, pad_g)))
-                xb = jax.device_put(jnp.asarray(block), gene_sharding)
+            if dev_cols is not None:
+                xb = dev_handle.dense_block(dev_cols[start_col : start_col + gene_block_size])
+                n_block = xb.shape[1]
+                pad_g = 0
+                if gene_sharding is not None:
+                    pad_g = (-n_block) % n_dev
+                    if pad_g:
+                        xb = jnp.pad(xb, ((0, 0), (0, pad_g)))
+                    xb = jax.device_put(xb, gene_sharding)
             else:
-                xb = jnp.asarray(block)
+                block = _to_dense_block(vals, slice(start_col, start_col + gene_block_size))
+                n_block = block.shape[1]
+                pad_g = 0
+                if gene_sharding is not None:
+                    pad_g = (-n_block) % n_dev
+                    if pad_g:
+                        block = np.pad(block, ((0, 0), (0, pad_g)))
+                    xb = jax.device_put(jnp.asarray(block), gene_sharding)
+                else:
+                    xb = jnp.asarray(block)
 
             def _strip(arr: np.ndarray) -> np.ndarray:
                 return arr[..., :n_block] if pad_g else arr
@@ -284,14 +320,21 @@ def spatial_autocorr(
                 # the permutation identities need u = W z anyway — pay the
                 # SpMV once and derive the observed score from it
                 zb = xb - jnp.mean(xb, axis=0, keepdims=True)
-                ub = _spmv(zb)
+                xb = None  # free 1 block of HBM before the SpMV's gather temps
+                # at 1M×512 the SpMV's `group` in-flight (n, g) gather temps
+                # plus the buffered previous superblock half exceed HBM with
+                # group=3 (measured RESOURCE_EXHAUSTED); group=2 costs ~8%
+                spmv_group = 2 if n_cells * min(gene_block_size, n_block or 1) * 4 > 1_500_000_000 else None
+                ub = _spmv(zb, group=spmv_group)
                 # buffered u (and v) drop to bf16 at once so the f32 SpMV
                 # output frees before the next block (HBM headroom at 1M×1024)
                 gdt = jnp.bfloat16 if gather_bf16 else zb.dtype
                 if mode == SpatialAutocorr.MORAN:
                     score_parts.append(_strip(np.asarray(moran_scores_from_u(zb, ub, s0))))
+                    # z buffers in bf16 too at scale: the sims denominator is
+                    # re-accumulated in f32 inside moran_perm_scores
                     perm_buf.append((
-                        zb[:, :n_block] if pad_g else zb,
+                        (zb[:, :n_block] if pad_g else zb).astype(gdt),
                         (ub[:, :n_block] if pad_g else ub).astype(gdt),
                     ))
                 else:

@@ -85,6 +85,16 @@ def sepal(
     vals, genes = _extract_expression(adata, genes=genes, use_raw=use_raw, layer=layer)
     start = logg.info(f"Calculating sepal score for `{len(genes)}` genes on device")
 
+    # session-scoped device expression: reuse/create the cached device X
+    # (ships once, shared with spatial_autocorr/ligrec — _core/device_x.py)
+    from squidpy_tpu._core.device_x import device_expression
+
+    n_vars_src = adata.raw.n_vars if (use_raw and adata.raw is not None) else adata.n_vars
+    dev_handle = device_expression(
+        adata, layer=layer, use_raw=use_raw, create=2 * len(genes) >= n_vars_src
+    )
+    dev_cols = dev_handle.columns_of(list(map(str, genes))) if dev_handle is not None else None
+
     use_hex = max_neighs == 6
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
@@ -95,10 +105,13 @@ def sepal(
 
     scores_parts: list[np.ndarray] = []
     for c0 in range(0, len(genes), gene_block_size):
-        block = vals[:, c0 : c0 + gene_block_size]
-        if issparse(block):
-            block = np.asarray(block.todense())
-        conc = jnp.asarray(np.ascontiguousarray(block), dtype=dtype)
+        if dev_cols is not None:
+            conc = dev_handle.dense_block(dev_cols[c0 : c0 + gene_block_size]).astype(dtype)
+        else:
+            block = vals[:, c0 : c0 + gene_block_size]
+            if issparse(block):
+                block = np.asarray(block.todense())
+            conc = jnp.asarray(np.ascontiguousarray(block), dtype=dtype)
         from squidpy_tpu.parallel.sharded import auto_sepal_iters
 
         iters = auto_sepal_iters(
