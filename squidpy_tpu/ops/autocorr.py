@@ -259,6 +259,14 @@ def geary_scores(
     return ((n - 1) / (2.0 * s0)) * num / den
 
 
+@partial(
+    jax.jit,
+    static_argnames=("chunk_size", "gather_bf16", "z_bf16"),
+    # z and u exist only for this call at the caller: donating them gives
+    # XLA their HBM for the per-perm gather temporaries (peak matters at
+    # 1M cells × 2048-gene superblocks)
+    donate_argnums=(0, 1),
+)
 def moran_perm_scores(
     z: jax.Array,
     u: jax.Array,
@@ -267,6 +275,7 @@ def moran_perm_scores(
     *,
     chunk_size: int | None = None,
     gather_bf16: bool = False,
+    z_bf16: bool = False,
 ) -> jax.Array:
     """Moran's I under row-permutation of W, batched over permutations.
 
@@ -274,20 +283,32 @@ def moran_perm_scores(
     ``(n_perms, n)`` permutation index batches. Matches the reference's
     ``morans_i(g[idx_shuffle, :], vals)`` semantics exactly.
 
-    ``gather_bf16``: gather ``u`` in bf16. The per-perm O(n·g) row gather is
-    the whole cost, and the gather engine is bandwidth-limited (~150 GB/s)
-    only once rows reach ~2 KB — bf16 halves the gathered bytes so a
-    2×-wider gene superblock keeps the 2 KB row sweet spot. Null sims shift
-    by ~1e-3 relative (the products still accumulate in f32/f64 against the
-    full-precision ``z``), far below permutation-test resolution; scores and
-    analytic p-values never use this path.
+    ``gather_bf16``: gather ``u`` in bf16 — the per-perm O(n·g) row gather
+    is the whole permutation-mode cost and the gather engine is
+    bandwidth-limited (measured ~200-280 GB/s at ≥2 KB rows), so halving the
+    gathered bytes over a 2×-wider superblock is a direct win.
+    ``z_bf16``: additionally stream ``z`` in bf16, halving the sequential
+    read too (and the HBM held by the superblock, which allows width 2048).
+    Null sims shift ≲1e-3 relative — the denominator is still accumulated in
+    f32, products accumulate in f32, and the shift is far below the
+    Monte-Carlo resolution of a permutation null; scores and analytic
+    p-values never use this path.
     """
     n = z.shape[0]
-    den = jnp.sum(z * z, axis=0)
+    # denominator at ≥f32 precision regardless of how z arrives (callers may
+    # buffer z in bf16 at scale); f64 inputs keep the f64 parity path
+    den_t = jnp.promote_types(z.dtype, jnp.float32)
+    den = jnp.sum(jnp.square(z.astype(den_t)), axis=0)
+    if z_bf16:
+        z = z.astype(jnp.bfloat16)
     u_g = u.astype(jnp.bfloat16) if gather_bf16 else u
 
     def one(perm: jax.Array) -> jax.Array:
-        return (n / s0) * jnp.sum(z * u_g[perm, :].astype(z.dtype), axis=0) / den
+        # mixed-precision product: an explicit f32 cast of the gathered
+        # (n, g) block would materialize a second full-size buffer (measured
+        # HBM OOM at 1M×1024); dtype promotion keeps the convert inside the
+        # fused multiply-reduce
+        return (n / s0) * jnp.sum(z * u_g[perm, :], axis=0) / den
 
     if chunk_size is None:
         bytes_per_perm = 8 * z.shape[0] * max(z.shape[1], 1)
@@ -295,6 +316,11 @@ def moran_perm_scores(
     return chunked_vmap(one, perms, chunk_size=chunk_size)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("chunk_size", "gather_bf16"),
+    donate_argnums=(0, 1, 2),
+)
 def geary_perm_scores(
     z: jax.Array,
     u: jax.Array,
@@ -320,10 +346,10 @@ def geary_perm_scores(
     v_g = v.astype(jnp.bfloat16) if gather_bf16 else v
 
     def one(perm: jax.Array) -> jax.Array:
+        # mixed precision as in moran_perm_scores: promotion fuses the
+        # bf16→f32 convert into the reduce instead of materializing it
         num = jnp.sum(
-            z2 * r[perm, None]
-            - 2.0 * z * u_g[perm, :].astype(z.dtype)
-            + v_g[perm, :].astype(z.dtype),
+            z2 * r[perm, None] - 2.0 * (z * u_g[perm, :]) + v_g[perm, :].astype(z.dtype),
             axis=0,
         )
         return ((n - 1) / (2.0 * s0)) * num / den

@@ -65,6 +65,12 @@ def chunked_vmap(
     if chunk_size is None or chunk_size >= n:
         return jax.vmap(call)(batch_t)
 
+    if chunk_size == 1:
+        # plain sequential map — a vmap over a unit batch axis is NOT free
+        # on TPU: batched bf16 gathers scalarize (measured 100× slower at
+        # 1M×1024), and even f32 batched gathers lose ~35%
+        return jax.lax.map(call, batch_t)
+
     n_chunks = n // chunk_size
     rem = n - n_chunks * chunk_size
     main = tuple(b[: n_chunks * chunk_size].reshape((n_chunks, chunk_size) + b.shape[1:]) for b in batch_t)
