@@ -32,3 +32,12 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+# shared parameter documentation: appended to every public gr/im/tl/pl
+# function at import (raises if a public parameter has no entry —
+# utils/_docs.py)
+from squidpy_tpu.utils._docs import inject_parameter_docs as _inject_docs
+
+for _mod in (gr, im, tl, pl):
+    _inject_docs(_mod)
+del _inject_docs, _mod
