@@ -100,6 +100,7 @@ class BinnedPairPlan:
     ti: np.ndarray  # (B,) int32 block row ids, −1 = padding item
     tj: np.ndarray  # (B,) int32
     rfull: np.ndarray  # (B,) int32 first threshold index where the block is full
+    rempty: np.ndarray  # (B,) int32 first threshold index where the block is non-empty
     gid: np.ndarray  # (B,) int32 threshold-group id of this work item
     thr_groups: np.ndarray  # (G, gsize) f32 squared thresholds, −inf padded
     offsets: np.ndarray  # (G,) int32 global threshold index of each group start
@@ -193,6 +194,7 @@ def plan_binned_pairs(
     pti = ti[has_work].astype(np.int32)
     ptj = tj[has_work].astype(np.int32)
     prf = np.minimum(r_full[has_work], np.iinfo(np.int32).max).astype(np.int32)
+    pre = pe.astype(np.int32)
 
     g_start = pe // gsize
     g_end = (pf - 1) // gsize + 1
@@ -211,10 +213,12 @@ def plan_binned_pairs(
     item_ti = np.full(B, -1, np.int32)
     item_tj = np.zeros(B, np.int32)
     item_rf = np.zeros(B, np.int32)
+    item_re = np.zeros(B, np.int32)
     item_g = np.zeros(B, np.int32)
     item_ti[:total] = pti[pair_rep]
     item_tj[:total] = ptj[pair_rep]
     item_rf[:total] = prf[pair_rep]
+    item_re[:total] = pre[pair_rep]
     item_g[:total] = gid
 
     return BinnedPairPlan(
@@ -225,6 +229,7 @@ def plan_binned_pairs(
         ti=item_ti,
         tj=item_tj,
         rfull=item_rf,
+        rempty=item_re,
         gid=item_g,
         thr_groups=thr_groups,
         offsets=offsets,
@@ -351,12 +356,11 @@ def binned_cooccur_counts(
     n = coords.shape[0]
     use_pallas = engine == "pallas" or (engine == "auto" and _pallas_engine_available())
     if tile is None:
-        # the Pallas engine's cost is dominated by a ~6 µs/item grid overhead
-        # (measured at 1M cells): larger tiles cut the item count ~3× and win
-        # despite the coarser empty/full classification; the XLA engine is
-        # HBM-traffic-bound and prefers the tighter 1024 windows
-        big = 2048 if use_pallas else 1024
-        tile = big if n >= 300_000 else 512 if n >= 20_000 else 256
+        # measured at 1M cells: the Pallas engine is VPU-compare-bound, so
+        # per-pair threshold-window width (∝ tile bbox size) dominates —
+        # tile 2048 did NOT beat 1024 (15.3 vs 15.8 s) and loses on short
+        # intervals; both engines use 1024 at scale
+        tile = 1024 if n >= 300_000 else 512 if n >= 20_000 else 256
     perm = morton_argsort(coords)
     coords_s = np.ascontiguousarray(coords[perm])
     labels_s = np.ascontiguousarray(labels[perm])

@@ -51,7 +51,7 @@ from squidpy_tpu.ops.pairbins import BinnedPairPlan
 
 __all__ = ["pallas_item_chunks", "binned_pair_counts_pallas"]
 
-# items per pallas_call: 5 int32 scalar-prefetch arrays must fit SMEM (~1 MB)
+# items per pallas_call: 6 int32 scalar-prefetch arrays must fit SMEM (~1 MB)
 CHUNK = 16384
 
 
@@ -65,13 +65,14 @@ def pallas_item_chunks(plan: BinnedPairPlan) -> tuple[np.ndarray, ...]:
     exactly one consecutive run per call — monotonic gid guarantees it, and
     the per-group dummy guarantees every block is initialized (a chunk whose
     real items skip a group would otherwise return garbage for it).
-    Returns ``(ti, tj, rf, gid, first)`` of shape ``(n_chunks, CHUNK)``.
+    Returns ``(ti, tj, rf, re, gid, first)`` of shape ``(n_chunks, CHUNK)``.
     """
     G = plan.thr_groups.shape[0]
     m = plan.n_items
     order = np.argsort(plan.gid[:m], kind="stable")
     ti, tj = plan.ti[:m][order], plan.tj[:m][order]
     rf, gid = plan.rfull[:m][order], plan.gid[:m][order]
+    re = plan.rempty[:m][order]
 
     per_chunk = CHUNK - G
     n_chunks = max(1, -(-m // per_chunk))
@@ -88,6 +89,7 @@ def pallas_item_chunks(plan: BinnedPairPlan) -> tuple[np.ndarray, ...]:
     ti_c = np.zeros((n_chunks, CHUNK), np.int32)
     tj_c = np.zeros((n_chunks, CHUNK), np.int32)
     rf_c = np.zeros((n_chunks, CHUNK), np.int32)
+    re_c = np.zeros((n_chunks, CHUNK), np.int32)
     gid_c = np.full((n_chunks, CHUNK), G - 1, np.int32)  # tail padding: keep gid monotone
     first_c = np.zeros((n_chunks, CHUNK), np.int32)
     for c in range(n_chunks):
@@ -99,26 +101,29 @@ def pallas_item_chunks(plan: BinnedPairPlan) -> tuple[np.ndarray, ...]:
         row_ti = np.insert(ti[sl], ins, zeros_g[: len(ins)])
         row_tj = np.insert(tj[sl], ins, zeros_g)
         row_rf = np.insert(rf[sl], ins, zeros_g)
+        row_re = np.insert(re[sl], ins, zeros_g)
         row_gid = np.insert(pg, ins, dummy_gids)
         row_first = np.insert(np.zeros(len(pg), np.int32), ins, ones_g)
         k = len(row_gid)
         ti_c[c, :k] = row_ti
         tj_c[c, :k] = row_tj
         rf_c[c, :k] = row_rf
+        re_c[c, :k] = row_re
         gid_c[c, :k] = row_gid
         first_c[c, :k] = row_first
         # tail padding items keep the LAST group id so gid stays monotone
         if k < CHUNK:
             gid_c[c, k:] = row_gid[-1]
-    return ti_c, tj_c, rf_c, gid_c, first_c
+    return ti_c, tj_c, rf_c, re_c, gid_c, first_c
 
 
 def _kernel_body(gsize: int, c_pad: int, tile: int):
-    def kernel(ti_s, tj_s, rf_s, gid_s, first_s, thr_s,
+    def kernel(ti_s, tj_s, rf_s, re_s, gid_s, first_s, thr_s,
                rows_ref, cols_ref, labi_ref, labj_ref,
-               hi_ref, lo_ref):
+               hi_ref, lo_ref, d2_ref):
         g = pl.program_id(0)
         rf = rf_s[g]
+        re = re_s[g]
         gd = gid_s[g]
         ti = ti_s[g]
         tj = tj_s[g]
@@ -135,34 +140,48 @@ def _kernel_body(gsize: int, c_pad: int, tile: int):
         # expanded form would truncate inputs to bf16
         dx = rows[:, 0:1] - cols[:, 0:1].T
         dy = rows[:, 1:2] - cols[:, 1:2].T
-        d2 = dx * dx + dy * dy
-        # strict upper triangle on diagonal blocks (off-diagonal ti<tj blocks
-        # have gi<gj for every element already)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
-        d2 = jnp.where((ti != tj) | (ri < ci), d2, -1.0)
+        d2_ref[...] = dx * dx + dy * dy
 
-        classes = jax.lax.broadcasted_iota(jnp.int32, (tile, c_pad), 1)
-        oh_i = jnp.where(labi_ref[...] == classes, 1.0, 0.0).astype(jnp.bfloat16)
-        oh_j = jnp.where(labj_ref[...] == classes, 1.0, 0.0).astype(jnp.bfloat16)
+        # strict upper triangle — but ONLY diagonal blocks need it
+        # (off-diagonal ti<tj blocks have gi<gj for every element), so the
+        # iota mask pass runs for T of the ~T²/2 items, not all of them.
+        # Invalid pairs get +inf: a single ``d2 <= thr`` compare suffices
+        # per threshold (thr ≥ 0).
+        @pl.when(ti == tj)
+        def _mask_diag():
+            ri = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+            d2_ref[...] = jnp.where(ri < ci, d2_ref[...], jnp.inf)
+
+        # one-hots built directly in their used orientations (no transposes)
+        cls_row = jax.lax.broadcasted_iota(jnp.int32, (c_pad, tile), 0)
+        oh_iT = jnp.where(labi_ref[...].T == cls_row, 1.0, 0.0).astype(jnp.bfloat16)  # (C, tile)
+        cls_col = jax.lax.broadcasted_iota(jnp.int32, (tile, c_pad), 1)
+        oh_j = jnp.where(labj_ref[...] == cls_col, 1.0, 0.0).astype(jnp.bfloat16)  # (tile, C)
 
         for k in range(gsize):
             r_id = gd * gsize + k
             thr = thr_s[r_id]
 
-            @pl.when((r_id < rf) & (thr >= 0.0))
+            # skip thresholds outside the item's boundary window: below
+            # ``re`` every pair is farther than thr (all-false compare +
+            # zero matmul would still cost a full VPU/MXU pass), at/past
+            # ``rf`` the host adds the analytic full count instead
+            @pl.when((r_id < rf) & (r_id >= re) & (thr >= 0.0))
             def _count():
-                # d2 < 0 marks invalid pairs; thresholds are squared distances ≥ 0
-                ind = jnp.where((d2 <= thr) & (d2 >= 0.0), 1.0, 0.0).astype(jnp.bfloat16)
-                s = jnp.dot(ind, oh_j, preferred_element_type=jnp.float32)  # (tile, C), ≤ tile
+                ind = jnp.where(d2_ref[...] <= thr, 1.0, 0.0).astype(jnp.bfloat16)
+                # class-by-row reduction FIRST: (C, tile) @ (tile, tile) runs
+                # the MXU with N=tile (full lanes) — the (tile, tile) @
+                # (tile, C) order wastes 7/8 of the array on N=C
+                u = jnp.dot(oh_iT, ind, preferred_element_type=jnp.float32)  # (C, tile), ≤ tile
                 # digit-split second reduction: the MXU truncates inputs to
-                # bf16, which cannot represent integers > 256 — s reaches
+                # bf16, which cannot represent integers > 256 — u reaches
                 # `tile`. Both digits are ≤ 256, hence bf16-exact.
-                s_hi = jnp.floor(s * (1.0 / 256.0))
-                s_lo = s - s_hi * 256.0
+                u_hi = jnp.floor(u * (1.0 / 256.0))
+                u_lo = u - u_hi * 256.0
                 cnt = (
-                    jnp.dot(oh_i.T, s_hi.astype(jnp.bfloat16), preferred_element_type=jnp.float32) * 256.0
-                    + jnp.dot(oh_i.T, s_lo.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+                    jnp.dot(u_hi.astype(jnp.bfloat16), oh_j, preferred_element_type=jnp.float32) * 256.0
+                    + jnp.dot(u_lo.astype(jnp.bfloat16), oh_j, preferred_element_type=jnp.float32)
                 )  # (C, C), ≤ tile² < 2²⁴ — exact f32
                 d1 = jnp.floor(cnt * (1.0 / 4096.0)).astype(jnp.int32)
                 d0 = cnt.astype(jnp.int32) - d1 * 4096
@@ -173,17 +192,11 @@ def _kernel_body(gsize: int, c_pad: int, tile: int):
     return kernel
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_cls", "tile", "gsize", "n_groups", "interpret"),
-    # tile=2048 keeps ~26 MB of f32 distance/indicator intermediates on the
-    # kernel's VMEM stack; the default scoped-vmem stack limit is 16 MB
-    compiler_options={"xla_tpu_scoped_vmem_limit_kib": 49152},
-)
+@partial(jax.jit, static_argnames=("n_cls", "tile", "gsize", "n_groups", "interpret"))
 def _pallas_call_chunked(
     coords_p: jax.Array,  # (n_pad, 2) f32
     labels_p: jax.Array,  # (n_pad, 1) int32, −1 padding
-    ti: jax.Array, tj: jax.Array, rf: jax.Array, gid: jax.Array, first: jax.Array,  # (n_chunks, CHUNK)
+    ti: jax.Array, tj: jax.Array, rf: jax.Array, re: jax.Array, gid: jax.Array, first: jax.Array,  # (n_chunks, CHUNK)
     thr_all: jax.Array,  # (G*gsize,) f32, −1 padding
     n_cls: int, tile: int, gsize: int, n_groups: int,
     interpret: bool = False,
@@ -192,18 +205,19 @@ def _pallas_call_chunked(
     G = n_groups
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(CHUNK,),
         in_specs=[
-            pl.BlockSpec((tile, 2), lambda g, ti_s, tj_s, rf_s, gid_s, first_s, thr_s: (ti_s[g], 0)),
-            pl.BlockSpec((tile, 2), lambda g, ti_s, tj_s, rf_s, gid_s, first_s, thr_s: (tj_s[g], 0)),
-            pl.BlockSpec((tile, 1), lambda g, ti_s, tj_s, rf_s, gid_s, first_s, thr_s: (ti_s[g], 0)),
-            pl.BlockSpec((tile, 1), lambda g, ti_s, tj_s, rf_s, gid_s, first_s, thr_s: (tj_s[g], 0)),
+            pl.BlockSpec((tile, 2), lambda g, ti_s, tj_s, rf_s, re_s, gid_s, first_s, thr_s: (ti_s[g], 0)),
+            pl.BlockSpec((tile, 2), lambda g, ti_s, tj_s, rf_s, re_s, gid_s, first_s, thr_s: (tj_s[g], 0)),
+            pl.BlockSpec((tile, 1), lambda g, ti_s, tj_s, rf_s, re_s, gid_s, first_s, thr_s: (ti_s[g], 0)),
+            pl.BlockSpec((tile, 1), lambda g, ti_s, tj_s, rf_s, re_s, gid_s, first_s, thr_s: (tj_s[g], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, gsize, c_pad, c_pad), lambda g, ti_s, tj_s, rf_s, gid_s, first_s, thr_s: (gid_s[g], 0, 0, 0)),
-            pl.BlockSpec((1, gsize, c_pad, c_pad), lambda g, ti_s, tj_s, rf_s, gid_s, first_s, thr_s: (gid_s[g], 0, 0, 0)),
+            pl.BlockSpec((1, gsize, c_pad, c_pad), lambda g, ti_s, tj_s, rf_s, re_s, gid_s, first_s, thr_s: (gid_s[g], 0, 0, 0)),
+            pl.BlockSpec((1, gsize, c_pad, c_pad), lambda g, ti_s, tj_s, rf_s, re_s, gid_s, first_s, thr_s: (gid_s[g], 0, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((tile, tile), jnp.float32)],
     )
     out_shape = [
         jax.ShapeDtypeStruct((G, gsize, c_pad, c_pad), jnp.int32),
@@ -217,14 +231,14 @@ def _pallas_call_chunked(
     )
 
     def step(acc, chunk_args):
-        ti_k, tj_k, rf_k, gid_k, first_k = chunk_args
-        hi, lo = call(ti_k, tj_k, rf_k, gid_k, first_k, thr_all, coords_p, coords_p, labels_p, labels_p)
+        ti_k, tj_k, rf_k, re_k, gid_k, first_k = chunk_args
+        hi, lo = call(ti_k, tj_k, rf_k, re_k, gid_k, first_k, thr_all, coords_p, coords_p, labels_p, labels_p)
         # per-call lo < 4096 (in-kernel carry) and hi ≤ CHUNK·257; int32 sums
         # stay exact while total items × 257 < 2³¹
         return (acc[0] + hi, acc[1] + lo), None
 
     acc0 = (jnp.zeros((G, gsize, c_pad, c_pad), jnp.int32),) * 2
-    (hi, lo), _ = jax.lax.scan(step, acc0, (ti, tj, rf, gid, first))
+    (hi, lo), _ = jax.lax.scan(step, acc0, (ti, tj, rf, re, gid, first))
     return hi, lo
 
 
@@ -250,15 +264,15 @@ def binned_pair_counts_pallas(
     coords_p[:n] = coords_s[:, :2]
     labels_p = np.full((plan.n_pad, 1), -1, np.int32)
     labels_p[:n, 0] = labels_s
-    ti, tj, rf, gid, first = pallas_item_chunks(plan)
+    ti, tj, rf, re, gid, first = pallas_item_chunks(plan)
     thr_all = np.full(G * gsize, -1.0, np.float32)
     flat = plan.thr_groups.ravel()
     thr_all[np.isfinite(flat)] = flat[np.isfinite(flat)]
 
     hi, lo = _pallas_call_chunked(
         jnp.asarray(coords_p), jnp.asarray(labels_p),
-        jnp.asarray(ti), jnp.asarray(tj), jnp.asarray(rf), jnp.asarray(gid),
-        jnp.asarray(first), jnp.asarray(thr_all),
+        jnp.asarray(ti), jnp.asarray(tj), jnp.asarray(rf), jnp.asarray(re),
+        jnp.asarray(gid), jnp.asarray(first), jnp.asarray(thr_all),
         n_cls, plan.tile, gsize, G, interpret=interpret,
     )
     from squidpy_tpu.utils import to_host
