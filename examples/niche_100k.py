@@ -32,9 +32,9 @@ def main() -> None:
     print(f"[graph] {time.perf_counter() - t0:.1f}s")
 
     for flavor, kw in [
-        ("neighborhood", dict(groups="ct", resolutions=1.0)),
-        ("utag", dict(resolutions=1.0)),
-        ("cellcharter", dict(groups="ct", n_components=8)),
+        ("neighborhood", dict(groups="ct", resolutions=1.0, n_neighbors=15)),
+        ("utag", dict(resolutions=1.0, n_neighbors=15)),
+        ("cellcharter", dict(groups="ct", n_components=8, n_neighbors=15)),
     ]:
         t0 = time.perf_counter()
         sq.gr.calculate_niche(adata, flavor=flavor, **kw)

@@ -341,7 +341,7 @@ def spatial_autocorr(
                     score_parts.append(_strip(np.asarray(_geary(xb, s0))))
                     vb = _spmv(zb * zb)
                     perm_buf.append((
-                        zb[:, :n_block] if pad_g else zb,
+                        (zb[:, :n_block] if pad_g else zb).astype(gdt),
                         (ub[:, :n_block] if pad_g else ub).astype(gdt),
                         (vb[:, :n_block] if pad_g else vb).astype(gdt),
                     ))

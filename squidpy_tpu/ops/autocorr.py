@@ -340,7 +340,10 @@ def geary_perm_scores(
     :func:`moran_perm_scores` (applies to the gathered ``u``/``v``).
     """
     n = z.shape[0]
-    den = jnp.sum(z * z, axis=0)
+    # denominator at ≥f32 precision regardless of how z arrives (callers may
+    # buffer z in bf16 at scale); f64 inputs keep the f64 parity path
+    den_t = jnp.promote_types(z.dtype, jnp.float32)
+    den = jnp.sum(jnp.square(z.astype(den_t)), axis=0)
     z2 = z * z
     u_g = u.astype(jnp.bfloat16) if gather_bf16 else u
     v_g = v.astype(jnp.bfloat16) if gather_bf16 else v
