@@ -145,9 +145,15 @@ def plan_binned_pairs(
     starts = np.arange(0, n, t)
     lo = np.minimum.reduceat(c64, starts, axis=0)
     hi = np.maximum.reduceat(c64, starts, axis=0)
-    # per-tile class histograms over REAL points only
+    # per-tile class histograms over REAL points only; labels outside
+    # [0, n_cls) contribute nothing, matching the device kernels' one-hot
+    # behavior (out-of-range -> zero row)
     tile_id = np.arange(n) // t
-    cnt = np.bincount(tile_id * n_cls + labels_sorted.astype(np.int64), minlength=n_tiles * n_cls)
+    lab64 = labels_sorted.astype(np.int64)
+    in_range = (lab64 >= 0) & (lab64 < n_cls)
+    cnt = np.bincount(
+        (tile_id * n_cls + lab64)[in_range], minlength=n_tiles * n_cls
+    )
     cnt = cnt.reshape(n_tiles, n_cls).astype(np.float64)
 
     ti, tj = np.triu_indices(n_tiles)
