@@ -16,7 +16,14 @@ from itertools import product
 import numpy as np
 import pandas as pd
 
-import squidpy_tpu as sq
+try:
+    import squidpy_tpu as sq  # noqa: F401
+except ModuleNotFoundError:  # running the script in place, package not installed
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import squidpy_tpu as sq  # noqa: F401
 
 
 def main() -> None:

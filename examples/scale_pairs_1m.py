@@ -16,7 +16,14 @@ import time
 
 import numpy as np
 
-import squidpy_tpu  # noqa: F401  (platform init)
+try:
+    import squidpy_tpu  # noqa: F401  (platform init)
+except ModuleNotFoundError:  # running the script in place, package not installed
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import squidpy_tpu  # noqa: F401
 
 
 def main() -> None:

@@ -79,6 +79,15 @@ class DeviceExpression:
             self.ship_count = 1
             self.nbytes = self._dense.nbytes
 
+    @property
+    def bf16_exact(self) -> bool:
+        """True when every stored value is exactly representable in bf16
+        (u8 containers: integers ≤ 255) — downstream one-hot × expression
+        matmuls can then run at DEFAULT MXU precision without error."""
+        if self._kind == "dense":
+            return self._dense.dtype == jnp.uint8
+        return self._data.dtype == jnp.uint8
+
     def columns_of(self, genes: list[str]) -> np.ndarray | None:
         """Column indices for a gene-name list, or None if any is missing."""
         try:

@@ -257,6 +257,7 @@ class PermutationTestABC(ABC):
         # path and any row-subset / NaN-cleaned / renamed-genes case keep the
         # host route.
         x_dev = None
+        x_dev_bf16_exact = False
         import jax as _jax
 
         exact = bool(_jax.config.jax_enable_x64) and data.size <= _EXACT_SIZE_LIMIT
@@ -280,6 +281,7 @@ class PermutationTestABC(ABC):
                     cols = np.asarray([upper_map[str(c).upper()] for c in data.columns], dtype=np.int64)
                     if (cols >= 0).all():
                         x_dev = handle.dense_block(cols)
+                        x_dev_bf16_exact = handle.bf16_exact
                 except KeyError:
                     x_dev = None
 
@@ -293,6 +295,7 @@ class PermutationTestABC(ABC):
             n_perms=n_perms,
             seed=seed,
             x_dev=x_dev,
+            x_dev_bf16_exact=x_dev_bf16_exact,
         )
 
         index = pd.MultiIndex.from_frame(interactions, names=[SOURCE, TARGET])
@@ -501,6 +504,7 @@ def _analysis(
     n_perms: int,
     seed: int | None,
     x_dev: Any = None,         # device-resident expression (see device_x.py)
+    x_dev_bf16_exact: bool = False,  # values bf16-exact (u8 counts): DEFAULT MXU precision suffices
 ) -> tuple[np.ndarray, np.ndarray]:
     """Observed means/mask on host, permutation loop on device.
 
@@ -525,9 +529,12 @@ def _analysis(
 
         labels_dev = jnp.asarray(clustering)
         counts = np.bincount(clustering, minlength=n_cls).astype(np.float64)
-        mean = np.asarray(cluster_means(x_dev, labels_dev, n_cls)).T.astype(np.float64)
+        exact_bf16 = bool(x_dev_bf16_exact)
+        mean = np.asarray(
+            cluster_means(x_dev, labels_dev, n_cls, exact_bf16=exact_bf16)
+        ).T.astype(np.float64)
         frac = np.asarray(
-            cluster_means((x_dev > 0).astype(x_dev.dtype), labels_dev, n_cls)
+            cluster_means((x_dev > 0).astype(x_dev.dtype), labels_dev, n_cls, exact_bf16=True)
         ).T.astype(np.float64)
         mask = frac >= threshold
     else:
@@ -550,6 +557,9 @@ def _analysis(
         x_dev = jnp.asarray(x_ship)
         if x_dev.dtype != data_h.dtype:
             x_dev = x_dev.astype(data_h.dtype)
+        # u8 counts are bf16-exact: the perm kernel's one-hot × expression
+        # matmul can run at DEFAULT MXU precision (1 pass instead of 3)
+        exact_bf16 = x_ship.dtype == np.uint8
 
         # observed per-cluster means and expression-fraction mask
         onehot = np.zeros((len(clustering), n_cls), dtype=host_t)
@@ -583,6 +593,7 @@ def _analysis(
             jnp.asarray(c2),
             jnp.asarray(m1 + m2, x_dev.dtype),
             n_cls,
+            exact_bf16=exact_bf16,
         ),
         dtype=np.float64,
     )

@@ -252,8 +252,11 @@ def spatial_autocorr(
     gather_bf16 = (not jax.config.jax_enable_x64) and n_cells >= (1 << 19)
     # at scale z also streams in bf16, which frees the HBM for a 4×-wide
     # superblock (2048-gene = 4 KB gather rows, the measured gather-engine
-    # sweet spot); sims shift ≲1e-3 relative — see ops/autocorr.py
-    perm_width = 4 * gene_block_size if gather_bf16 else gene_block_size
+    # sweet spot); sims shift ≲1e-3 relative — see ops/autocorr.py. Geary
+    # buffers THREE (n, w) vectors (z, u, v) — 2× width is its HBM limit
+    # at 1M cells (4× measured RESOURCE_EXHAUSTED).
+    width_mult = 4 if mode == SpatialAutocorr.MORAN else 2
+    perm_width = width_mult * gene_block_size if gather_bf16 else gene_block_size
 
     def _score_blocks() -> dict[str, np.ndarray]:
         score_parts: list[np.ndarray] = []

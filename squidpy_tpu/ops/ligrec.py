@@ -21,22 +21,32 @@ import jax.numpy as jnp
 __all__ = ["ligrec_perm_counts", "cluster_means"]
 
 
-@partial(jax.jit, static_argnames=("n_cls",))
-def cluster_means(x: jax.Array, labels: jax.Array, n_cls: int) -> jax.Array:
+def _expr_precision(exact_bf16: bool):
+    """MXU precision for one-hot × expression matmuls.
+
+    The MXU truncates f32 inputs to bf16 at DEFAULT — exact only for values
+    representable in bf16 (raw counts ≤ 256). HIGHEST on the data operand
+    (3 passes) restores f32 accuracy for everything else; the 0/1 one-hot
+    side is always bf16-exact and stays DEFAULT.
+    """
+    if exact_bf16:
+        return (jax.lax.Precision.DEFAULT, jax.lax.Precision.DEFAULT)
+    return (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("n_cls", "exact_bf16"))
+def cluster_means(x: jax.Array, labels: jax.Array, n_cls: int, exact_bf16: bool = False) -> jax.Array:
     """Per-cluster gene means ``(n_cls, n_genes)`` via one-hot matmul."""
     onehot = jax.nn.one_hot(labels, n_cls, dtype=x.dtype)  # (n, C)
-    # rhs HIGHEST: expression values are full f32 — the MXU's DEFAULT bf16
-    # input truncation would corrupt the means (~0.4% relative); the 0/1
-    # one-hot side is bf16-exact and stays DEFAULT (3 passes, not 9)
     sums = jnp.dot(
         onehot.T, x, preferred_element_type=x.dtype,
-        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+        precision=_expr_precision(exact_bf16),
     )
     counts = jnp.sum(onehot, axis=0)[:, None]
     return sums / jnp.where(counts == 0, 1.0, counts)
 
 
-@partial(jax.jit, static_argnames=("n_cls", "chunk"))
+@partial(jax.jit, static_argnames=("n_cls", "chunk", "exact_bf16"))
 def _perm_counts_scan(
     x: jax.Array,
     shuffled: jax.Array,     # (n_chunks*chunk, n) — padded
@@ -49,6 +59,7 @@ def _perm_counts_scan(
     m_sum: jax.Array,
     n_cls: int,
     chunk: int,
+    exact_bf16: bool = False,
 ) -> jax.Array:
     n, n_genes = x.shape
 
@@ -59,9 +70,7 @@ def _perm_counts_scan(
         oh2 = oh.reshape(n, chunk * n_cls)                              # free reshape
         groups = jnp.dot(
             oh2.T, x, preferred_element_type=x.dtype,
-            # rhs HIGHEST: full-f32 expression vs the MXU's bf16 input
-            # truncation at DEFAULT; 0/1 lhs stays DEFAULT
-            precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST),
+            precision=_expr_precision(exact_bf16),
         )                                                                # ONE matmul
         groups = groups.reshape(chunk, n_cls, n_genes) * inv_counts[None, :, None]
         g_rec = groups[:, c1[None, :], rec[:, None]]                    # (chunk, I, J)
@@ -86,6 +95,7 @@ def ligrec_perm_counts(
     n_cls: int,
     *,
     chunk_size: int | None = None,
+    exact_bf16: bool = False,
 ) -> jax.Array:
     """Σ over permutations of ``(groups[c1, rec] + groups[c2, lig]) > (m1 + m2)``.
 
@@ -110,5 +120,6 @@ def ligrec_perm_counts(
         )
     inv_counts = (1.0 / jnp.where(counts_per_cluster == 0, 1.0, counts_per_cluster)).astype(x.dtype)
     return _perm_counts_scan(
-        x, shuffled_labels, weights, inv_counts, rec, lig, c1, c2, m_sum, n_cls, chunk_size
+        x, shuffled_labels, weights, inv_counts, rec, lig, c1, c2, m_sum, n_cls,
+        chunk_size, exact_bf16,
     )

@@ -126,13 +126,21 @@ def plan_binned_pairs(
     tile: int,
     gsize: int = 8,
     bucket_min: int = 256,
+    pair_enum: str = "auto",
 ) -> BinnedPairPlan:
     """Classify every upper-triangle tile pair against every threshold.
 
     ``coords_sorted`` must already be Morton-sorted f32; ``thresholds_sq``
     ascending squared thresholds (any float dtype, compared in f64 with a
     conservative margin for the device's f32 expanded-form rounding).
+
+    ``pair_enum`` selects the tile-pair enumeration: ``'triu'`` classifies
+    all T² upper-triangle pairs, ``'tree'`` enumerates only KDTree-near
+    pairs (identical plans — omitted pairs are provably empty at every
+    threshold), ``'auto'`` picks by tile count and threshold reach.
     """
+    if pair_enum not in ("auto", "tree", "triu"):
+        raise ValueError(f"Unknown pair enumeration `{pair_enum}`.")
     coords_sorted = np.asarray(coords_sorted, dtype=np.float32)
     n = coords_sorted.shape[0]
     thr = np.asarray(thresholds_sq, dtype=np.float64)
@@ -156,7 +164,54 @@ def plan_binned_pairs(
     )
     cnt = cnt.reshape(n_tiles, n_cls).astype(np.float64)
 
-    ti, tj = np.triu_indices(n_tiles)
+    # Pair enumeration: the O(T²) triu sweep allocates and classifies every
+    # tile pair — ~48M pairs and ~1 GB of temporaries at 10M cells, most of
+    # which are provably empty. When a KDTree reach query over tile centers
+    # would prune (short-range thresholds, large T), enumerate only pairs
+    # with center distance ≤ max threshold + both tile radii: every omitted
+    # pair has dmin > thr_max ⇒ empty at all thresholds and never full.
+    centers = (lo + hi) * 0.5
+    radii = 0.5 * np.sqrt(np.sum((hi - lo) ** 2, axis=1))
+    thr_dist = float(np.sqrt(max(thr[-1], 0.0))) * (1.0 + 1e-5)
+    # typical (median) tile radius drives the prune estimate — clustered data
+    # leaves a few huge gap-spanning tiles whose radius would otherwise veto
+    # the tree path for everyone
+    r_med = float(np.median(radii)) if n_tiles else 0.0
+    domain = np.prod(np.maximum(c64.max(axis=0) - c64.min(axis=0), 1e-30)) if n else 1.0
+    est_reach = thr_dist + 2.0 * r_med
+    near_fraction = min(1.0, np.pi * est_reach * est_reach / max(domain, 1e-30))
+    if pair_enum == "tree" or (
+        pair_enum == "auto" and n_tiles > 2048 and near_fraction < 0.5
+    ):
+        from scipy.spatial import cKDTree
+
+        # per-tile reach thr + 2·r_i: a near pair (d_center ≤ thr + r_i + r_j)
+        # always falls inside the FATTER endpoint's ball, since
+        # r_i + r_j ≤ 2·max(r_i, r_j) — conservative with per-tile radii, no
+        # dependence on the global max radius
+        tree = cKDTree(centers)
+        balls = tree.query_ball_point(centers, r=thr_dist + 2.0 * radii, workers=-1)
+        counts_b = np.fromiter((len(b) for b in balls), dtype=np.int64, count=n_tiles)
+        src = np.repeat(np.arange(n_tiles, dtype=np.int64), counts_b)
+        dst = np.concatenate(balls).astype(np.int64) if counts_b.sum() else np.empty(0, np.int64)
+        # canonicalize to i<j BEFORE filtering: a pair may be discovered only
+        # from its fatter endpoint's ball, in either orientation (the original
+        # `src < dst` filter silently dropped pairs whose fat endpoint had the
+        # larger index — caught by a label-independent total-count check)
+        ti = np.minimum(src, dst)
+        tj = np.maximum(src, dst)
+        keep = ti < tj
+        ti, tj = ti[keep], tj[keep]
+        # dedupe (a pair can appear from both endpoints' balls), keep i<j order
+        key = ti * n_tiles + tj
+        key, uniq_idx = np.unique(key, return_index=True)
+        ti, tj = ti[uniq_idx], tj[uniq_idx]
+        ti = np.concatenate([ti, np.arange(n_tiles)])
+        tj = np.concatenate([tj, np.arange(n_tiles)])
+        order_p = np.lexsort((tj, ti))
+        ti, tj = ti[order_p], tj[order_p]
+    else:
+        ti, tj = np.triu_indices(n_tiles)
     gap = np.maximum(np.maximum(lo[tj] - hi[ti], lo[ti] - hi[tj]), 0.0)
     dmin2 = np.sum(gap * gap, axis=1)
     span = np.maximum(hi[tj] - lo[ti], hi[ti] - lo[tj])
@@ -344,6 +399,7 @@ def binned_cooccur_counts(
     tile: int | None = None,
     gsize: int = 8,
     engine: str = "auto",
+    pair_enum: str = "auto",
 ) -> np.ndarray:
     """Cumulative ordered pair counts ``(C, C, L)`` via the binned sweep.
 
@@ -370,7 +426,9 @@ def binned_cooccur_counts(
     perm = morton_argsort(coords)
     coords_s = np.ascontiguousarray(coords[perm])
     labels_s = np.ascontiguousarray(labels[perm])
-    plan = plan_binned_pairs(coords_s, labels_s, thresholds_sq, n_cls, tile=tile, gsize=gsize)
+    plan = plan_binned_pairs(
+        coords_s, labels_s, thresholds_sq, n_cls, tile=tile, gsize=gsize, pair_enum=pair_enum
+    )
     if use_pallas:
         from squidpy_tpu.ops.pallas_binned import binned_pair_counts_pallas
 

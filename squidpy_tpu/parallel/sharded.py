@@ -234,6 +234,7 @@ def sharded_ligrec_counts(
     n_cls: int,
     *,
     chunk_size: int | None = None,
+    exact_bf16: bool = False,
 ) -> jax.Array:
     """Ligrec exceedance counts with the **permutation axis** sharded.
 
@@ -252,7 +253,8 @@ def sharded_ligrec_counts(
     return _sharded_ligrec_weighted(
         mesh, x, shuffled_labels,
         jnp.ones((shuffled_labels.shape[0],), jnp.float32),
-        counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls, chunk_size=chunk_size,
+        counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls,
+        chunk_size=chunk_size, exact_bf16=exact_bf16,
     )
 
 
@@ -270,6 +272,7 @@ def _sharded_ligrec_weighted(
     n_cls: int,
     *,
     chunk_size: int | None = None,
+    exact_bf16: bool = False,
 ) -> jax.Array:
     from squidpy_tpu.ops.ligrec import _perm_counts_scan
 
@@ -299,7 +302,7 @@ def _sharded_ligrec_weighted(
     def f(x_r, lab_s, w_s, rec_r, lig_r, c1_r, c2_r, m_sum_r):
         part = _perm_counts_scan(
             x_r, lab_s, w_s.astype(x_r.dtype), inv_counts,
-            rec_r, lig_r, c1_r, c2_r, m_sum_r, n_cls, chunk_size,
+            rec_r, lig_r, c1_r, c2_r, m_sum_r, n_cls, chunk_size, exact_bf16,
         )
         return jax.lax.psum(part, axis)
 
@@ -316,6 +319,7 @@ def auto_ligrec_counts(
     c2: jax.Array,
     m_sum: jax.Array,
     n_cls: int,
+    exact_bf16: bool = False,
 ) -> jax.Array:
     """Perm-sharded ligrec counts across all local devices when available
     (permutation axis padded with zero-weight rows for divisibility);
@@ -326,7 +330,8 @@ def auto_ligrec_counts(
     n_dev = jax.device_count()
     if n_dev <= 1:
         return ligrec_perm_counts(
-            x, shuffled_labels, counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls
+            x, shuffled_labels, counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls,
+            exact_bf16=exact_bf16,
         )
     n_perms = shuffled_labels.shape[0]
     pad = (-n_perms) % n_dev
@@ -337,7 +342,7 @@ def auto_ligrec_counts(
         )
     return _sharded_ligrec_weighted(
         default_mesh(axis_name="perms"), x, shuffled_labels, weights,
-        counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls,
+        counts_per_cluster, rec, lig, c1, c2, m_sum, n_cls, exact_bf16=exact_bf16,
     )
 
 

@@ -81,6 +81,46 @@ class TestHandle:
         assert h.columns_of(["g1", "NOT_THERE"]) is None
 
 
+class TestBf16Exact:
+    """`bf16_exact` gates the DEFAULT-precision MXU fast path: only u8
+    containers (integers ≤ 255, exactly representable in bf16) qualify —
+    u16 values need up to 16 mantissa bits and floats are arbitrary."""
+
+    def test_u8_dense_is_exact(self):
+        x = np.arange(12, dtype=np.float32).reshape(4, 3)
+        h = DeviceExpression(x, ["a", "b", "c"])
+        assert h._dense.dtype == np.uint8 and h.bf16_exact
+
+    def test_u16_dense_is_not(self):
+        x = (np.arange(12, dtype=np.float32) * 300).reshape(4, 3)
+        h = DeviceExpression(x, ["a", "b", "c"])
+        assert h._dense.dtype == np.uint16 and not h.bf16_exact
+
+    def test_float_dense_is_not(self):
+        x = np.arange(12, dtype=np.float32).reshape(4, 3) + 0.5
+        h = DeviceExpression(x, ["a", "b", "c"])
+        assert not h.bf16_exact
+
+    def test_sparse_u8(self):
+        x = sp.csr_matrix(np.array([[0, 3.0], [1.0, 0]], dtype=np.float32))
+        h = DeviceExpression(x, ["a", "b"])
+        assert h.bf16_exact
+
+    def test_cluster_means_flag_is_lossless(self):
+        """exact_bf16=True must change nothing for u8-valued data (on TPU it
+        halves MXU passes; on any backend the result is identical)."""
+        import jax.numpy as jnp
+
+        from squidpy_tpu.ops.ligrec import cluster_means
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.integers(0, 256, size=(300, 20)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 4, size=300).astype(np.int32))
+        a = np.asarray(cluster_means(x, labels, 4, exact_bf16=True))
+        b = np.asarray(cluster_means(x, labels, 4, exact_bf16=False))
+        np.testing.assert_array_equal(a, b)
+
+
 class TestSharedAcrossStats:
     def test_autocorr_then_sepal_one_shipment(self, adata_counts):
         sq.gr.spatial_autocorr(adata_counts, mode="moran")

@@ -84,6 +84,71 @@ class TestPlan:
         assert counts[0, 0, 0] == 64 * 63
 
 
+class TestTreeEnumeration:
+    """The KDTree near-pair enumeration must produce the IDENTICAL plan to
+    the exhaustive triu sweep: every omitted pair is provably empty at all
+    thresholds (dmin > max threshold), so the work list, threshold windows,
+    and analytic full-block counts are all bitwise equal."""
+
+    @pytest.mark.parametrize("seed,tile", [(12, 8), (13, 16), (14, 8)])
+    def test_plan_identical_clustered(self, seed, tile):
+        # clustered data is the regression scenario: Morton order leaves a
+        # few huge gap-spanning tiles whose balls discover pairs in either
+        # orientation — the original `src < dst` pre-canonicalization filter
+        # dropped pairs whose fatter endpoint had the larger index
+        rng = np.random.default_rng(seed)
+        n = 4000
+        pts = _clustered_points(rng, n, n_blobs=12, spread=1.5, extent=400.0)
+        labs = rng.integers(0, 4, size=n).astype(np.int32)
+        perm = morton_argsort(pts)
+        pts, labs = np.ascontiguousarray(pts[perm]), np.ascontiguousarray(labs[perm])
+        thr = (np.linspace(0.5, 12.0, 9) ** 2).astype(np.float32)
+        ref = plan_binned_pairs(pts, labs, thr, 4, tile=tile, gsize=4, pair_enum="triu")
+        got = plan_binned_pairs(pts, labs, thr, 4, tile=tile, gsize=4, pair_enum="tree")
+        # the tree path must actually have pruned, or this test is vacuous
+        assert got.n_pairs_total < ref.n_pairs_total
+        assert got.n_items == ref.n_items
+        for field in ("ti", "tj", "rfull", "rempty", "gid", "thr_groups", "offsets"):
+            np.testing.assert_array_equal(getattr(got, field), getattr(ref, field))
+        np.testing.assert_array_equal(got.full_cum, ref.full_cum)
+
+    def test_plan_identical_uniform(self):
+        rng = np.random.default_rng(15)
+        n = 5000
+        pts = rng.uniform(0, 300, size=(n, 2)).astype(np.float32)
+        labs = rng.integers(0, 3, size=n).astype(np.int32)
+        perm = morton_argsort(pts)
+        pts, labs = np.ascontiguousarray(pts[perm]), np.ascontiguousarray(labs[perm])
+        thr = (np.linspace(1.0, 20.0, 7) ** 2).astype(np.float32)
+        ref = plan_binned_pairs(pts, labs, thr, 3, tile=16, gsize=4, pair_enum="triu")
+        got = plan_binned_pairs(pts, labs, thr, 3, tile=16, gsize=4, pair_enum="tree")
+        assert got.n_pairs_total < ref.n_pairs_total
+        for field in ("ti", "tj", "rfull", "rempty", "gid"):
+            np.testing.assert_array_equal(getattr(got, field), getattr(ref, field))
+        np.testing.assert_array_equal(got.full_cum, ref.full_cum)
+
+    def test_end_to_end_counts_vs_dense(self):
+        """Tree-enumerated binned counts == dense oracle (and therefore the
+        label-independent total at the max threshold matches too)."""
+        rng = np.random.default_rng(16)
+        n = 3000
+        pts = _clustered_points(rng, n, n_blobs=10, spread=2.0, extent=300.0)
+        labs = rng.integers(0, 5, size=n).astype(np.int32)
+        thr = (np.linspace(0.5, 15.0, 11) ** 2).astype(np.float32)
+        want = co_occurrence_counts(pts, labs, thr, 5, method="dense")
+        got = binned_cooccur_counts(pts, labs, thr, 5, tile=16, gsize=4, pair_enum="tree")
+        np.testing.assert_array_equal(got, want)
+
+    def test_bad_enum_raises(self):
+        rng = np.random.default_rng(17)
+        pts = rng.uniform(0, 10, size=(100, 2)).astype(np.float32)
+        with pytest.raises(ValueError, match="pair enumeration"):
+            plan_binned_pairs(
+                pts, np.zeros(100, np.int32), np.array([1.0], np.float32), 1,
+                tile=16, pair_enum="nope",
+            )
+
+
 class TestBinnedParity:
     @pytest.mark.parametrize("tile,gsize", [(64, 3), (128, 8), (256, 5)])
     def test_bitwise_vs_dense(self, tile, gsize):

@@ -214,12 +214,17 @@ class TestSegmentParams:
             uns: dict = {}
             obs = pd.DataFrame({"c": values})
 
-        t0 = time.perf_counter()
-        lut = _segment_lut(n, cell_ids, values, True, adata=_A(), col_name="c",
-                           palette=None, cmap="viridis")
-        dt = time.perf_counter() - t0
+        # best-of-2 with a generous bound: the 1-core host under full-suite
+        # load can double any single timing (CLAUDE.md), while the per-cell
+        # Python loop this guards against takes >10 s at 1M
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            lut = _segment_lut(n, cell_ids, values, True, adata=_A(), col_name="c",
+                               palette=None, cmap="viridis")
+            dt = min(dt, time.perf_counter() - t0)
         assert lut.shape == (n + 1, 4)
-        assert dt < 1.0, f"LUT build took {dt:.2f}s"
+        assert dt < 3.0, f"LUT build took {dt:.2f}s"
 
     def test_continuous_lut(self):
         adata = _segment_fixture(16, 32)
