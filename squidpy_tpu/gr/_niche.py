@@ -223,7 +223,8 @@ def _get_nhood_profile_niches(
     resolutions = resolutions if isinstance(resolutions, list) else [resolutions]
     for res in resolutions:
         niche_key = f"nhood_niche_res={res}"
-        adata.obs.pop(niche_key, None) if niche_key in adata.obs.columns else None
+        if niche_key in adata.obs.columns:  # re-runs overwrite (DataFrame.pop takes no default)
+            adata.obs.pop(niche_key)
         adata.uns.pop(f"{niche_key}_colors", None)
 
         labels = graph_cluster(features_used, n_neighbors, resolution=float(res) if not isinstance(res, tuple) else float(res[0]), random_state=random_state)

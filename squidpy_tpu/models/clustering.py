@@ -27,11 +27,31 @@ from squidpy_tpu.ops.knn import brute_force_knn
 __all__ = ["knn_graph", "graph_cluster", "gmm_cluster", "pca_embed", "zscore"]
 
 
+def _pad_feature_bucket(X: np.ndarray) -> np.ndarray:
+    """Zero-pad the feature axis to a bucket size so different niche runs
+    share device-kNN compiles.
+
+    Appended zero columns leave every pairwise distance unchanged, while the
+    remote compile of a new (n, d) shape costs 20-200 s here — far more than
+    any warm search. Buckets: powers of two up to 256, then multiples of 128.
+    """
+    d = X.shape[1]
+    for b in (8, 16, 32, 64, 128, 256):
+        if d <= b:
+            target = b
+            break
+    else:
+        target = -(-d // 128) * 128
+    if target == d:
+        return X
+    return np.pad(X, ((0, 0), (0, target - d)))
+
+
 def knn_graph(X: np.ndarray, n_neighbors: int) -> sp.csr_matrix:
     """Symmetrized exact kNN adjacency of the rows of ``X`` (device search)."""
     n = X.shape[0]
     k = min(n_neighbors, n - 1)
-    _, idx = brute_force_knn(np.asarray(X, dtype=np.float32), k)
+    _, idx = brute_force_knn(_pad_feature_bucket(np.asarray(X, dtype=np.float32)), k)
     rows = np.repeat(np.arange(n), k)
     adj = sp.csr_matrix((np.ones(n * k), (rows, idx.ravel())), shape=(n, n))
     adj = adj.maximum(adj.T)
@@ -60,9 +80,22 @@ def graph_cluster(
     return remap[labels].astype(str)
 
 
+# above this, sklearn's host EM loop costs ~0.3 ms/sample/iter on this
+# 1-core host (30+ s at 100k) while the device EM amortizes to ~us/sample
+_GMM_DEVICE_MIN_N = 20_000
+
+
 def gmm_cluster(X: np.ndarray, n_components: int, random_state: int = 42) -> np.ndarray:
     """Gaussian-mixture cluster labels (reference: ``_get_GMM_clusters``,
-    gr/_niche.py:708-721)."""
+    gr/_niche.py:708-721).
+
+    Small inputs keep sklearn's exact host EM; at scale the fit runs as
+    batched MXU matmuls on device (:func:`squidpy_tpu.ops.gmm.gmm_em_labels`
+    — same ``random_from_data`` init semantics, full covariances)."""
+    if len(X) >= _GMM_DEVICE_MIN_N:
+        from squidpy_tpu.ops.gmm import gmm_em_labels
+
+        return gmm_em_labels(np.asarray(X), n_components, random_state)
     gmm = GaussianMixture(
         n_components=n_components,
         random_state=random_state,

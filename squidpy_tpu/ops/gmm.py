@@ -1,0 +1,137 @@
+"""Full-covariance Gaussian-mixture EM as batched device matmuls.
+
+The reference's cellcharter niche flavor fits ``sklearn.mixture.
+GaussianMixture(init_params='random_from_data')`` on the aggregated
+embedding (/root/reference/src/squidpy/gr/_niche.py:708-721) — a host
+Cython/BLAS EM loop that costs ~30 s at (100k, 50) on this host. Here every
+E and M step is a handful of MXU matmuls over the full ``(n, d)`` data: the
+per-sample axis is the large one and TPUs eat it as the contraction axis,
+while d ≤ ~50 and K ≤ ~20 keep all per-component state tiny.
+
+Numerics: quadratic forms run at HIGHEST MXU precision (the data operand is
+full f32 — DEFAULT would truncate to bf16, see CLAUDE.md), covariances use
+the centered two-pass form (never the E[x²]−μ² expansion, which cancels
+catastrophically in f32), and the init mirrors sklearn's
+``random_from_data``: means are K distinct data rows, covariances start at
+``reg_covar·I`` so the first E-step is the same hard Voronoi assignment.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["gmm_em_labels"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _e_step(X, weights, means, covs):
+    """Responsibilities ``(K, n)`` and mean per-sample log-likelihood."""
+    n, d = X.shape
+    K = means.shape[0]
+    chol = jnp.linalg.cholesky(covs)  # (K, d, d)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)  # (K,)
+    eye = jnp.eye(d, dtype=X.dtype)
+    prec = jax.scipy.linalg.cho_solve((chol, True), jnp.broadcast_to(eye, (K, d, d)))
+    # quad(x, k) = xᵀP_k x − 2 xᵀP_k μ_k + μ_kᵀP_k μ_k  (all MXU matmuls)
+    XP = jnp.einsum("nd,kde->kne", X, prec, precision=_HI)          # (K, n, d)
+    xPx = jnp.einsum("knd,nd->kn", XP, X, precision=_HI)            # (K, n)
+    Pmu = jnp.einsum("kde,ke->kd", prec, means, precision=_HI)      # (K, d)
+    xPmu = jnp.einsum("nd,kd->kn", X, Pmu, precision=_HI)           # (K, n)
+    muPmu = jnp.einsum("kd,kd->k", means, Pmu, precision=_HI)       # (K,)
+    quad = xPx - 2.0 * xPmu + muPmu[:, None]
+    log2pi = jnp.asarray(np.log(2.0 * np.pi), X.dtype)
+    logp = -0.5 * (d * log2pi + logdet[:, None] + quad)             # (K, n)
+    logr = logp + jnp.log(weights)[:, None]
+    lse = jax.scipy.special.logsumexp(logr, axis=0)                  # (n,)
+    resp = jnp.exp(logr - lse[None, :])
+    return resp, jnp.mean(lse)
+
+
+def _m_step(X, resp, reg_covar):
+    """Weights/means/covariances from responsibilities (centered form)."""
+    n, d = X.shape
+    nk = jnp.sum(resp, axis=1) + 10.0 * jnp.finfo(X.dtype).eps       # (K,)
+    means = jnp.einsum("kn,nd->kd", resp, X, precision=_HI) / nk[:, None]
+    xc = X[None, :, :] - means[:, None, :]                           # (K, n, d)
+    covs = jnp.einsum("kn,knd,kne->kde", resp, xc, xc, precision=_HI) / nk[:, None, None]
+    covs = covs + reg_covar * jnp.eye(d, dtype=X.dtype)
+    return nk / n, means, covs
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _gmm_em(X, means0, reg_covar, tol, max_iter):
+    n, d = X.shape
+    K = means0.shape[0]
+    covs0 = jnp.broadcast_to(reg_covar * jnp.eye(d, dtype=X.dtype), (K, d, d))
+    weights0 = jnp.full((K,), 1.0 / K, X.dtype)
+
+    def cond(state):
+        _, _, _, ll_prev, it, dll = state
+        del ll_prev
+        return (it < max_iter) & (dll >= tol)
+
+    def body(state):
+        weights, means, covs, ll_prev, it, _ = state
+        # ONE E-step per iteration: its log-likelihood (under the params
+        # entering the iteration) doubles as the convergence monitor —
+        # successive-E-step deltas, same fixed point as sklearn's
+        # after-M lower-bound check, one iteration of lag
+        resp, ll = _e_step(X, weights, means, covs)
+        weights, means, covs = _m_step(X, resp, reg_covar)
+        return weights, means, covs, ll, it + 1, jnp.abs(ll - ll_prev)
+
+    neg_inf = jnp.asarray(-jnp.inf, X.dtype)
+    state = (weights0, means0, covs0, neg_inf, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, X.dtype))
+    weights, means, covs, _, n_it, _ = jax.lax.while_loop(cond, body, state)
+    resp, ll = _e_step(X, weights, means, covs)
+    return jnp.argmax(resp, axis=0).astype(jnp.int32), means, ll, n_it
+
+
+def gmm_em_labels(
+    X: np.ndarray,
+    n_components: int,
+    random_state: int = 42,
+    *,
+    reg_covar: float = 1e-6,
+    tol: float = 1e-3,
+    max_iter: int = 100,
+) -> np.ndarray:
+    """Cluster labels from a device full-covariance GMM EM fit.
+
+    Matches sklearn's ``GaussianMixture(init_params='random_from_data',
+    reg_covar=1e-6, tol=1e-3, max_iter=100)`` semantics: means initialize to
+    ``n_components`` distinct data rows, covariances to ``reg_covar·I``
+    (⇒ hard Voronoi first assignment), EM stops when the mean per-sample
+    log-likelihood improves by less than ``tol``. Labels are argmax
+    responsibilities at the converged parameters. Trajectories are not
+    bit-identical to sklearn (f32 + different RNG), so quality tests compare
+    cluster recovery, not label sequences.
+    """
+    X = np.asarray(X, dtype=np.float32)
+    n, d = X.shape
+    if n_components > n:
+        raise ValueError(f"n_components={n_components} exceeds n_samples={n}.")
+    # legacy RandomState to pick the SAME init rows sklearn's
+    # random_from_data would for this seed — EM is init-dominated, so this
+    # makes per-seed outcomes line up with the reference (verified: from
+    # identical init rows the device EM converges in the same iteration
+    # counts to the same optimum, f32 and f64)
+    rng = np.random.RandomState(random_state)
+    # global centering: shift-invariant for EM, improves f32 quad-form conditioning
+    center = X.mean(axis=0)
+    Xc = X - center
+    idx = rng.choice(n, size=n_components, replace=False)
+    means0 = Xc[idx]
+    labels, _, _, _ = _gmm_em(
+        jnp.asarray(Xc),
+        jnp.asarray(means0),
+        jnp.asarray(reg_covar, jnp.float32),
+        jnp.asarray(tol, jnp.float32),
+        max_iter,
+    )
+    return np.asarray(labels)

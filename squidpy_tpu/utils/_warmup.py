@@ -35,7 +35,7 @@ import numpy as np
 
 __all__ = ["warmup"]
 
-_FAMILIES = ("graph", "nhood", "moran", "cooccur", "ripley", "ligrec", "features")
+_FAMILIES = ("graph", "nhood", "moran", "cooccur", "ripley", "ligrec", "features", "niche")
 
 
 def _synthetic_adata(n_cells: int, n_genes: int, n_clusters: int, seed: int = 0):
@@ -78,9 +78,16 @@ def warmup(
     timings double as a compile-cost report for the configuration.
 
     ``families``: subset of ``{"graph", "nhood", "moran", "cooccur",
-    "ripley", "ligrec", "features"}`` (order respected; "graph" is implied
-    by the graph statistics and always runs first when any of them is
-    requested).
+    "ripley", "ligrec", "features", "niche"}`` (order respected; "graph" is
+    implied by the graph statistics and always runs first when any of them
+    is requested).
+
+    The "niche" family drives all three device-backed ``calculate_niche``
+    flavors: the feature-space kNN compiles once per (n_cells,
+    bucketed-width, n_neighbors) — widths are zero-padded to buckets so the
+    neighborhood profile (bucket of ``n_clusters``) and PCA embeddings
+    (bucket 64) cover later runs — and the cellcharter GMM compiles per
+    (n_cells, embedding width, n_components).
     """
     import squidpy_tpu as sq
     from squidpy_tpu.utils import logg
@@ -89,7 +96,7 @@ def warmup(
     unknown = set(families) - set(_FAMILIES)
     if unknown:
         raise ValueError(f"Unknown warmup families {sorted(unknown)}. Valid: {_FAMILIES}.")
-    graph_users = {"nhood", "moran", "cooccur", "ripley", "ligrec"}
+    graph_users = {"nhood", "moran", "cooccur", "ripley", "ligrec", "niche"}
     if graph_users & set(families):
         # the graph build must precede every statistic that reads it —
         # including when the caller listed "graph" explicitly but later
@@ -180,6 +187,30 @@ def warmup(
             _run(
                 "features",
                 lambda: exp_im.calculate_image_features(img, labels, tile_size=side),
+            )
+        elif fam == "niche":
+            # the three device backends behind calculate_niche: feature-kNN
+            # at the n_clusters bucket (neighborhood flavor), at bucket 64
+            # (utag/cellcharter PCA embeddings), and the GMM EM
+            _run(
+                "niche_neighborhood",
+                lambda: sq.gr.calculate_niche(
+                    adata, flavor="neighborhood", groups="cluster",
+                    n_neighbors=15, resolutions=1.0, inplace=False,
+                ),
+            )
+            _run(
+                "niche_utag",
+                lambda: sq.gr.calculate_niche(
+                    adata, flavor="utag", n_neighbors=15, resolutions=1.0, inplace=False,
+                ),
+            )
+            _run(
+                "niche_cellcharter",
+                lambda: sq.gr.calculate_niche(
+                    adata, flavor="cellcharter", groups="cluster",
+                    n_components=min(8, n_clusters), inplace=False,
+                ),
             )
 
     return timings

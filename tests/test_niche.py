@@ -144,6 +144,16 @@ class TestNicheCommon:
         with pytest.raises(ValueError, match="flavor"):
             sq.gr.calculate_niche(domain_adata, flavor="banana")
 
+    def test_rerun_same_resolution_overwrites(self, domain_adata):
+        """Second call with the same resolution must overwrite, not crash
+        (regression: DataFrame.pop was called with a default it rejects)."""
+        for _ in range(2):
+            sq.gr.calculate_niche(
+                domain_adata, flavor="neighborhood", groups="cell_type",
+                n_neighbors=10, resolutions=1.0,
+            )
+        assert "nhood_niche_res=1.0" in domain_adata.obs
+
     def test_inplace_false_returns_copy(self, domain_adata):
         out = sq.gr.calculate_niche(
             domain_adata, flavor="utag", n_neighbors=10, resolutions=0.5, inplace=False,

@@ -49,3 +49,10 @@ class TestWarmup:
             families=["ligrec", "cooccur"], verbose=False,
         )
         assert {"graph", "ligrec", "cooccur"} <= set(t)
+
+    def test_niche_family(self):
+        t = sq.warmup(
+            300, n_genes=12, n_clusters=3, n_perms=8,
+            families=["niche"], verbose=False,
+        )
+        assert {"graph", "niche_neighborhood", "niche_utag", "niche_cellcharter"} <= set(t)
