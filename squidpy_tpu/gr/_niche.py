@@ -268,10 +268,16 @@ def _neighborhood_profile(adata: Any, groups: str, adj: sps.spmatrix, abs_nhood:
 def _get_utag_niches(
     adata: Any, n_neighbors: int, resolutions: Any, spatial_connectivities_key: str, random_state: int
 ) -> None:
-    """UTAG: L1-normalized A @ X via the device SpMV, PCA, cluster."""
+    """UTAG: L1-normalized A @ X via the device SpMV, PCA, cluster.
+
+    The smoothed matrix never leaves the device: SpMV → covariance-PCA run
+    back to back in HBM and only the (n, n_comps) embedding's kNN pull
+    crosses the tunnel (inside ``graph_cluster``)."""
+    import jax.numpy as jnp
+
     graph = SpatialGraph.from_csr(sps.csr_matrix(adata.obsp[spatial_connectivities_key])).row_normalize()
     X = _dense_X(adata)
-    smoothed = np.asarray(graph.spmv(X.astype(np.float32)))
+    smoothed = graph.spmv(jnp.asarray(X, jnp.float32))
     emb = pca_embed(smoothed)
 
     resolutions = resolutions if isinstance(resolutions, list) else [resolutions]
@@ -289,32 +295,40 @@ def _get_cellcharter_niches(
     spatial_connectivities_key: str,
     use_rep: str | None = None,
 ) -> None:
-    """CellCharter-style k-hop aggregated features → embedding → GMM."""
+    """CellCharter-style k-hop aggregated features → embedding → GMM.
+
+    Device-resident end to end: X ships once, every hop's SpMV, the
+    concatenated feature block, the covariance-PCA and the GMM EM all stay
+    in HBM — only the hop adjacency structure (host scipy spgemm) and the
+    final labels cross the tunnel."""
+    import jax.numpy as jnp
+
     adjacency_matrix = sps.csr_matrix(adata.obsp[spatial_connectivities_key])
     X = _dense_X(adata)
+    x_dev = jnp.asarray(X, jnp.float32)
 
     aggregated = []
     adj_hop = _setdiag(adjacency_matrix, 0)
     adj_visited = _setdiag(adjacency_matrix.copy(), 1)
     for k in range(distance + 1):
         if k == 0:
-            aggregated.append(X)
+            aggregated.append(x_dev)
             continue
         if k > 1:
             adj_hop, adj_visited = _hop(adj_hop, adjacency_matrix, adj_visited)
         adj_norm = _normalize(adj_hop)
         graph = SpatialGraph.from_csr(sps.csr_matrix(adj_norm))
-        mean_m = np.asarray(graph.spmv(X.astype(np.float32)), dtype=float)
+        mean_m = graph.spmv(x_dev)
         if aggregation == "mean":
             aggregated.append(mean_m)
         elif aggregation == "variance":
-            mean_sq = np.asarray(graph.spmv((X * X).astype(np.float32)), dtype=float)
+            mean_sq = graph.spmv(x_dev * x_dev)
             aggregated.append(mean_sq - mean_m * mean_m)
         else:
             raise ValueError(
                 f"Invalid aggregation method '{aggregation}'. Please choose either 'mean' or 'variance'."
             )
-    arr = np.hstack(aggregated)
+    arr = jnp.concatenate(aggregated, axis=1)
 
     if use_rep is not None:
         assert_key_in_adata(adata, use_rep, attr="obsm")

@@ -17,6 +17,8 @@ available here, so:
 
 from __future__ import annotations
 
+from typing import Any
+
 import numpy as np
 from scipy import sparse as sp
 from sklearn.decomposition import PCA
@@ -85,31 +87,47 @@ def graph_cluster(
 _GMM_DEVICE_MIN_N = 20_000
 
 
-def gmm_cluster(X: np.ndarray, n_components: int, random_state: int = 42) -> np.ndarray:
+def gmm_cluster(X: Any, n_components: int, random_state: int = 42) -> np.ndarray:
     """Gaussian-mixture cluster labels (reference: ``_get_GMM_clusters``,
     gr/_niche.py:708-721).
 
-    Small inputs keep sklearn's exact host EM; at scale the fit runs as
-    batched MXU matmuls on device (:func:`squidpy_tpu.ops.gmm.gmm_em_labels`
-    — same ``random_from_data`` init semantics, full covariances)."""
-    if len(X) >= _GMM_DEVICE_MIN_N:
+    Small inputs keep sklearn's exact host EM; at scale (or whenever the
+    data is already a device array) the fit runs as batched MXU matmuls on
+    device (:func:`squidpy_tpu.ops.gmm.gmm_em_labels` — same
+    ``random_from_data`` init semantics, full covariances)."""
+    import jax
+
+    if len(X) >= _GMM_DEVICE_MIN_N or isinstance(X, jax.Array):
         from squidpy_tpu.ops.gmm import gmm_em_labels
 
-        return gmm_em_labels(np.asarray(X), n_components, random_state)
+        return gmm_em_labels(X, n_components, random_state)
     gmm = GaussianMixture(
         n_components=n_components,
         random_state=random_state,
         init_params="random_from_data",
     )
-    gmm.fit(X)
-    return gmm.predict(X)
+    gmm.fit(np.asarray(X))
+    return gmm.predict(np.asarray(X))
 
 
-def pca_embed(X: np.ndarray, n_comps: int | None = None, random_state: int = 0) -> np.ndarray:
-    """PCA embedding (scanpy ``tl.pca`` default: min(50, min(shape)-1) comps)."""
+def pca_embed(X: Any, n_comps: int | None = None, random_state: int = 0) -> np.ndarray:
+    """PCA embedding (scanpy ``tl.pca`` default: min(50, min(shape)-1) comps).
+
+    Device arrays embed on device (covariance + projection on the MXU, eigh
+    of the tiny (d, d) on host — :func:`squidpy_tpu.ops.pca.pca_device`) and
+    the result STAYS on device; so do huge host inputs where sklearn's f64
+    SVD would dominate. Everything else keeps sklearn's exact host path."""
+    import jax
+
     if n_comps is None:
         n_comps = min(50, min(X.shape) - 1)
     n_comps = max(1, min(n_comps, min(X.shape) - 1))
+    if isinstance(X, jax.Array) or (getattr(X, "size", 0) >= 100_000_000):
+        from squidpy_tpu.ops.pca import pca_device
+
+        import jax.numpy as jnp
+
+        return pca_device(jnp.asarray(X, jnp.float32), n_comps)
     return PCA(n_components=n_comps, svd_solver="auto", random_state=random_state).fit_transform(
         np.asarray(X, dtype=np.float64)
     )

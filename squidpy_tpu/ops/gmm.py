@@ -64,9 +64,13 @@ def _m_step(X, resp, reg_covar):
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
-def _gmm_em(X, means0, reg_covar, tol, max_iter):
+def _gmm_em(X, init_idx, reg_covar, tol, max_iter):
     n, d = X.shape
-    K = means0.shape[0]
+    K = init_idx.shape[0]
+    # global centering: shift-invariant for EM, improves f32 quad-form
+    # conditioning; done inside the jit so jax-array inputs never round-trip
+    X = X - jnp.mean(X, axis=0)
+    means0 = X[init_idx]
     covs0 = jnp.broadcast_to(reg_covar * jnp.eye(d, dtype=X.dtype), (K, d, d))
     weights0 = jnp.full((K,), 1.0 / K, X.dtype)
 
@@ -93,7 +97,7 @@ def _gmm_em(X, means0, reg_covar, tol, max_iter):
 
 
 def gmm_em_labels(
-    X: np.ndarray,
+    X: np.ndarray | jax.Array,
     n_components: int,
     random_state: int = 42,
     *,
@@ -111,9 +115,12 @@ def gmm_em_labels(
     responsibilities at the converged parameters. Trajectories are not
     bit-identical to sklearn (f32 + different RNG), so quality tests compare
     cluster recovery, not label sequences.
+
+    ``X`` may be a device array — the fit then runs without any host
+    round-trip of the data (only the ``(n,)`` int32 labels come back).
     """
-    X = np.asarray(X, dtype=np.float32)
-    n, d = X.shape
+    X_dev = jnp.asarray(X, jnp.float32)
+    n, d = X_dev.shape
     if n_components > n:
         raise ValueError(f"n_components={n_components} exceeds n_samples={n}.")
     # legacy RandomState to pick the SAME init rows sklearn's
@@ -122,14 +129,10 @@ def gmm_em_labels(
     # identical init rows the device EM converges in the same iteration
     # counts to the same optimum, f32 and f64)
     rng = np.random.RandomState(random_state)
-    # global centering: shift-invariant for EM, improves f32 quad-form conditioning
-    center = X.mean(axis=0)
-    Xc = X - center
     idx = rng.choice(n, size=n_components, replace=False)
-    means0 = Xc[idx]
     labels, _, _, _ = _gmm_em(
-        jnp.asarray(Xc),
-        jnp.asarray(means0),
+        X_dev,
+        jnp.asarray(idx),
         jnp.asarray(reg_covar, jnp.float32),
         jnp.asarray(tol, jnp.float32),
         max_iter,

@@ -135,3 +135,72 @@ class TestKnnFeatureBucket:
         g_plain = sp.csr_matrix((np.ones(300 * 5), (rows, idx.ravel())), shape=(300, 300))
         g_plain = g_plain.maximum(g_plain.T)
         assert (g_bucketed != g_plain).nnz == 0
+
+
+class TestDevicePCA:
+    """ops/pca.py — covariance-eigh PCA used by the device niche pipelines."""
+
+    def test_matches_sklearn_up_to_sign(self):
+        from sklearn.decomposition import PCA
+
+        from squidpy_tpu.ops.pca import pca_device
+
+        rng = np.random.default_rng(0)
+        # well-separated spectrum so component order is unambiguous
+        X = (rng.normal(size=(2000, 10)) * np.array([16, 8, 4, 2, 1, 0.5, 0.25, 0.1, 0.05, 0.01])).astype(
+            np.float32
+        )
+        dev = np.asarray(pca_device(X, 4))
+        sk = PCA(n_components=4).fit_transform(X.astype(np.float64))
+        for j in range(4):
+            agree = np.abs(np.corrcoef(dev[:, j], sk[:, j])[0, 1])
+            assert agree > 0.9999, f"component {j}: |corr|={agree}"
+
+    def test_distances_preserved_at_full_rank(self):
+        """Full-rank projection is an orthogonal change of basis."""
+        from squidpy_tpu.ops.pca import pca_device
+
+        rng = np.random.default_rng(1)
+        X = rng.normal(size=(300, 6)).astype(np.float32)
+        emb = np.asarray(pca_device(X, 6))
+        d0 = ((X[:, None] - X[None]) ** 2).sum(-1)
+        d1 = ((emb[:, None] - emb[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(d0, d1, rtol=2e-4, atol=1e-4)
+
+    def test_pca_embed_dispatch(self):
+        """jax-array input routes to the device path and stays on device."""
+        import jax
+        import jax.numpy as jnp
+
+        from squidpy_tpu.models.clustering import pca_embed
+
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(500, 8)).astype(np.float32)
+        out_dev = pca_embed(jnp.asarray(X), 3)
+        assert isinstance(out_dev, jax.Array) and out_dev.shape == (500, 3)
+        out_host = pca_embed(X, 3)
+        assert isinstance(out_host, np.ndarray)
+        # same subspace: per-component correlation up to sign
+        a, b = np.asarray(out_dev), out_host
+        for j in range(3):
+            assert abs(np.corrcoef(a[:, j], b[:, j])[0, 1]) > 0.999
+
+    def test_deterministic_sign_convention(self):
+        from squidpy_tpu.ops.pca import pca_device
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(400, 5)).astype(np.float32)
+        a = np.asarray(pca_device(X, 3))
+        b = np.asarray(pca_device(X, 3))
+        np.testing.assert_array_equal(a, b)
+        # largest-|loading| convention: recompute loadings and check positivity
+        Xc = X - X.mean(0)
+        cov = (Xc.T @ Xc) / (len(X) - 1)
+        w, v = np.linalg.eigh(cov.astype(np.float64))
+        v = v[:, ::-1][:, :3]
+        for j in range(3):
+            i = np.argmax(np.abs(v[:, j]))
+            # the embedding's correlation with the raw (unflipped) eigvec
+            # matches the sign the convention dictates
+            c = np.corrcoef(a[:, j], Xc @ v[:, j])[0, 1]
+            assert np.sign(c) == np.sign(v[i, j]) or abs(c) < 0.99
