@@ -192,21 +192,25 @@ def _get_nhood_profile_niches(
 ) -> None:
     """Neighbor-category profiles (+ weighted n-hop sums) → clustering."""
     adj = sps.csr_matrix(adata.obsp[spatial_connectivities_key])
-    profile = _neighborhood_profile(adata, groups, adj, abs_nhood)
-
     if distance > 1:
         if n_hop_weights is None:
             n_hop_weights = [1] * distance
         elif len(n_hop_weights) < distance:
             n_hop_weights = n_hop_weights + [n_hop_weights[-1]] * (distance - len(n_hop_weights))
-        weighted = n_hop_weights[0] * profile
-        hop_adj = adj.copy()
-        for n_hop in range(1, distance):
-            hop_adj = hop_adj @ adj
-            weighted = weighted + n_hop_weights[n_hop] * _neighborhood_profile(adata, groups, hop_adj, abs_nhood)
-        if not abs_nhood:
-            weighted = weighted / sum(n_hop_weights)
-        profile = weighted
+
+    if adata.n_obs >= _DEVICE_HOPS_MIN_N:
+        profile = _nhood_profiles_device(adata, groups, adj, abs_nhood, distance, n_hop_weights)
+    else:
+        profile = _neighborhood_profile(adata, groups, adj, abs_nhood)
+        if distance > 1:
+            weighted = n_hop_weights[0] * profile
+            hop_adj = adj.copy()
+            for n_hop in range(1, distance):
+                hop_adj = hop_adj @ adj
+                weighted = weighted + n_hop_weights[n_hop] * _neighborhood_profile(adata, groups, hop_adj, abs_nhood)
+            if not abs_nhood:
+                weighted = weighted / sum(n_hop_weights)
+            profile = weighted
 
     features = profile.to_numpy(copy=True).astype(float)
     if scale:
@@ -265,6 +269,51 @@ def _neighborhood_profile(adata: Any, groups: str, adj: sps.spmatrix, abs_nhood:
     return pd.DataFrame(abs_freq / k, index=adata.obs.index)
 
 
+def _nhood_profiles_device(
+    adata: Any,
+    groups: str,
+    adj: sps.spmatrix,
+    abs_nhood: bool,
+    distance: int,
+    n_hop_weights: list[float] | None,
+) -> pd.DataFrame:
+    """Device n-hop neighbor-category profiles.
+
+    Same numbers as the host path (``_neighborhood_profile`` over the
+    ``hop_adj = hop_adj @ adj`` chain) but the ``A^k`` *patterns* come from
+    :func:`squidpy_tpu.ops.hops.hop_reach` and the per-category counts are
+    SpMVs of the one-hot matrix — no host spgemm, no 40M-nnz matrices
+    through the tunnel. Counts are integers (exact in f32)."""
+    import jax.numpy as jnp
+
+    from squidpy_tpu.ops.autocorr import spmv_genes
+    from squidpy_tpu.ops.hops import ell_sentinel, hop_reach
+
+    n = adj.shape[0]
+    unique_categories = np.unique(np.asarray(adata.obs[groups].values))
+    cat_to_pos = {c: i for i, c in enumerate(unique_categories)}
+    codes = np.array([cat_to_pos[c] for c in np.asarray(adata.obs[groups])], dtype=np.int64)
+    onehot = jnp.asarray(np.eye(len(unique_categories), dtype=np.float32)[codes])
+
+    bi, bw = ell_sentinel(adj)
+    bi_d, bw_d = jnp.asarray(bi), jnp.asarray(bw)
+
+    def profile_of(idx, deg_max):
+        counts = spmv_genes(idx, (idx < n).astype(jnp.float32), onehot)
+        return counts if abs_nhood else counts / deg_max
+
+    deg1 = int(np.diff(adj.indptr).max()) if n else 1
+    profile = profile_of(bi_d, deg1)
+    if distance > 1:
+        weighted = n_hop_weights[0] * profile
+        for n_hop, (idx, deg) in enumerate(hop_reach(bi_d, bw_d, distance), start=1):
+            weighted = weighted + n_hop_weights[n_hop] * profile_of(idx, int(jnp.max(deg)))
+        if not abs_nhood:
+            weighted = weighted / sum(n_hop_weights)
+        profile = weighted
+    return pd.DataFrame(np.asarray(profile, dtype=float), index=adata.obs.index)
+
+
 def _get_utag_niches(
     adata: Any, n_neighbors: int, resolutions: Any, spatial_connectivities_key: str, random_state: int
 ) -> None:
@@ -307,28 +356,31 @@ def _get_cellcharter_niches(
     X = _dense_X(adata)
     x_dev = jnp.asarray(X, jnp.float32)
 
-    aggregated = []
-    adj_hop = _setdiag(adjacency_matrix, 0)
-    adj_visited = _setdiag(adjacency_matrix.copy(), 1)
-    for k in range(distance + 1):
-        if k == 0:
-            aggregated.append(x_dev)
-            continue
-        if k > 1:
-            adj_hop, adj_visited = _hop(adj_hop, adjacency_matrix, adj_visited)
-        adj_norm = _normalize(adj_hop)
-        graph = SpatialGraph.from_csr(sps.csr_matrix(adj_norm))
-        mean_m = graph.spmv(x_dev)
-        if aggregation == "mean":
-            aggregated.append(mean_m)
-        elif aggregation == "variance":
-            mean_sq = graph.spmv(x_dev * x_dev)
-            aggregated.append(mean_sq - mean_m * mean_m)
-        else:
-            raise ValueError(
-                f"Invalid aggregation method '{aggregation}'. Please choose either 'mean' or 'variance'."
-            )
-    arr = jnp.concatenate(aggregated, axis=1)
+    if adata.n_obs >= _DEVICE_HOPS_MIN_N:
+        arr = _cellcharter_hop_features(adjacency_matrix, x_dev, distance, aggregation)
+    else:
+        aggregated = []
+        adj_hop = _setdiag(adjacency_matrix, 0)
+        adj_visited = _setdiag(adjacency_matrix.copy(), 1)
+        for k in range(distance + 1):
+            if k == 0:
+                aggregated.append(x_dev)
+                continue
+            if k > 1:
+                adj_hop, adj_visited = _hop(adj_hop, adjacency_matrix, adj_visited)
+            adj_norm = _normalize(adj_hop)
+            graph = SpatialGraph.from_csr(sps.csr_matrix(adj_norm))
+            mean_m = graph.spmv(x_dev)
+            if aggregation == "mean":
+                aggregated.append(mean_m)
+            elif aggregation == "variance":
+                mean_sq = graph.spmv(x_dev * x_dev)
+                aggregated.append(mean_sq - mean_m * mean_m)
+            else:
+                raise ValueError(
+                    f"Invalid aggregation method '{aggregation}'. Please choose either 'mean' or 'variance'."
+                )
+        arr = jnp.concatenate(aggregated, axis=1)
 
     if use_rep is not None:
         assert_key_in_adata(adata, use_rep, attr="obsm")
@@ -383,6 +435,47 @@ def _get_spatialleiden_domains(
 
 
 # -- sparse helpers (reference: gr/_niche.py:659-706) ------------------------
+
+def _cellcharter_hop_features(adjacency_matrix: sps.spmatrix, x_dev: Any, distance: int, aggregation: str) -> Any:
+    """Device k-hop ring aggregation — same numbers as the host
+    ``_setdiag``/``_hop``/``_normalize`` chain below, but the exact ring
+    adjacencies come from :func:`squidpy_tpu.ops.hops.hop_rings` (reference
+    ``prod > visited`` semantics reproduced on device) so no spgemm runs on
+    host and no 40M-nnz ELL ships through the tunnel."""
+    import jax.numpy as jnp
+
+    from squidpy_tpu.ops.autocorr import spmv_genes
+    from squidpy_tpu.ops.hops import ell_sentinel, hop_rings
+
+    if aggregation not in ("mean", "variance"):
+        raise ValueError(f"Invalid aggregation method '{aggregation}'. Please choose either 'mean' or 'variance'.")
+
+    n = adjacency_matrix.shape[0]
+    bi, bw = ell_sentinel(adjacency_matrix)
+    bi_d, bw_d = jnp.asarray(bi), jnp.asarray(bw)
+    # hop 1 = setdiag(A, 0), row-normalized by *weighted* degree (_normalize)
+    self_col = jnp.arange(n, dtype=jnp.int32)[:, None]
+    r1_idx = jnp.where(bi_d == self_col, jnp.int32(n), bi_d)
+    r1_w = jnp.where(r1_idx < n, bw_d, 0.0)
+    rs = jnp.sum(r1_w, axis=1, keepdims=True)
+    hops = [(r1_idx, jnp.where(rs > 0, r1_w / rs, 0.0))]
+    if distance >= 2:
+        for idx, deg in hop_rings(bi_d, bw_d, distance):
+            d = jnp.maximum(deg.astype(jnp.float32), 1.0)[:, None]
+            hops.append((idx, jnp.where(idx < n, 1.0 / d, 0.0)))
+
+    feats = [x_dev]
+    for idx, w in hops:
+        mean_m = spmv_genes(idx, w, x_dev)
+        if aggregation == "mean":
+            feats.append(mean_m)
+        else:
+            feats.append(spmv_genes(idx, w, x_dev * x_dev) - mean_m * mean_m)
+    return jnp.concatenate(feats, axis=1)
+
+
+_DEVICE_HOPS_MIN_N = 20_000
+
 
 def _setdiag(adjacency_matrix: sps.spmatrix, value: int) -> sps.csr_matrix:
     adjacency_matrix = adjacency_matrix.tolil()
