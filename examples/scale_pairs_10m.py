@@ -88,11 +88,13 @@ def _geary(rng) -> None:
     graph = SpatialGraph.from_csr(sp.csr_matrix(g))
     s0 = float(g.sum())
     r_dev = jnp.asarray(np.asarray(g.sum(axis=1), dtype=np.float32).ravel())
+    c_dev = jnp.asarray(np.asarray(g.sum(axis=0), dtype=np.float32).ravel())
     print("[geary graph ready]", flush=True)
 
     perms_idx = cipher_index_batch(spawn_keys(0, n_perms), m)
-    # Geary buffers THREE (n, w) vectors — 1024 is its HBM-safe superblock
-    sub, super_w = 512, 1024
+    # Geary now buffers the SAME two (n, w) vectors as Moran (the W z² term is
+    # permutation-invariant), so it shares Moran's 2048-wide superblocks
+    sub, super_w = 512, 2048
 
     @jax.jit
     def gen_block(key):
@@ -103,23 +105,24 @@ def _geary(rng) -> None:
     total = checksum = 0.0
     for it in range(-(-n_genes // super_w)):
         t0 = time.perf_counter()
-        z_parts, u_parts, v_parts = [], [], []
+        z_parts, u_parts, cg_parts = [], [], []
         for c in range(0, super_w, sub):
             xb = gen_block(gkeys[ki]); ki += 1
             checksum += float(jnp.sum(geary_scores(graph.indices, graph.weights, xb, s0, group=2)))
             zb = xb - jnp.mean(xb, axis=0, keepdims=True)
             xb = None
             ub = spmv_genes(graph.indices, graph.weights, zb, group=2)
-            vb = spmv_genes(graph.indices, graph.weights, zb * zb, group=2)
+            cg_parts.append(jnp.sum(c_dev[:, None] * (zb * zb), axis=0))
             z_parts.append(zb.astype(jnp.bfloat16))
             u_parts.append(ub.astype(jnp.bfloat16))
-            v_parts.append(vb.astype(jnp.bfloat16))
-            del zb, ub, vb
+            del zb, ub
         zc = jnp.concatenate(z_parts, axis=1); del z_parts
         uc = jnp.concatenate(u_parts, axis=1); del u_parts
-        vc = jnp.concatenate(v_parts, axis=1); del v_parts
-        sims = geary_perm_scores(zc, uc, vc, r_dev, perms_idx, s0, gather_bf16=True)
-        del zc, uc, vc
+        cgc = jnp.concatenate(cg_parts); del cg_parts
+        sims = geary_perm_scores(
+            zc, uc, r_dev, cgc, perms_idx, s0, gather_bf16=True, z_bf16=True,
+        )
+        del zc, uc
         checksum += float(jnp.sum(sims)); del sims
         dt = time.perf_counter() - t0
         total += dt

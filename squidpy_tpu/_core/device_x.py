@@ -9,8 +9,11 @@ and serves device-side dense gene blocks to every consumer
 
 Cache protocol mirrors the device-graph cache
 (:func:`squidpy_tpu._core.graph.graph_from_adata`): the handle lives on
-``adata.uns`` keyed by a weak reference to the exact live X object, so any
-replacement of ``adata.X``/the layer invalidates it. Sparse X ships as CSC
+``adata.uns`` keyed by a weak reference to the exact live X object PLUS a
+strided value fingerprint, so both replacement of ``adata.X``/the layer and
+in-place mutation (``adata.X[:] = ...``, ``X.data *= ...``) invalidate it.
+The fingerprint samples ≤4096 strided values — adversarial edits that dodge
+the sample grid while preserving shape/nnz are the only undetected case. Sparse X ships as CSC
 (one transfer of the nnz arrays) and densifies blocks on device with a
 segment scatter — at typical spatial sparsity that is 10-20× fewer bytes
 than dense streaming.
@@ -49,6 +52,21 @@ def _narrowest_container(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _x_fingerprint(x: Any) -> tuple:
+    """Cheap strided value checksum (≤4096 samples) + shape/nnz — catches
+    in-place mutation (``adata.X[:] = ...``, ``X.data *= ...``) that weakref
+    identity cannot. Deterministic, so equal data ⇒ equal fingerprint."""
+    arr = x.data if sp.issparse(x) else np.asarray(x)
+    if arr.ndim == 2 and not arr.flags.c_contiguous:
+        arr = np.ascontiguousarray(arr[:: max(1, arr.shape[0] // 64)])
+    flat = arr.ravel()
+    k = flat.size
+    if k == 0:
+        return (tuple(x.shape), 0)
+    s = flat[:: max(1, k // 4096)][:4096].astype(np.float64, copy=False)
+    return (tuple(x.shape), k, float(s.sum()), float(s[0]), float(s[-1]))
+
+
 class DeviceExpression:
     """Device-resident (n_cells × n_genes) expression with block access.
 
@@ -60,6 +78,14 @@ class DeviceExpression:
     def __init__(self, x: Any, var_names: list[str]):
         self.var_names = list(map(str, var_names))
         self._col_of = {g: i for i, g in enumerate(self.var_names)}
+        # duplicated names are ambiguous here (the dict keeps the LAST
+        # occurrence) while the streaming fallback is positional — force
+        # callers onto the fallback for those genes (columns_of → None)
+        if len(self._col_of) != len(self.var_names):
+            seen: set[str] = set()
+            self._dup_names = {g for g in self.var_names if g in seen or seen.add(g)}
+        else:
+            self._dup_names = set()
         self.n_obs, self.n_vars = x.shape
         self.ship_count = 0
         self._float = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -89,8 +115,12 @@ class DeviceExpression:
         return self._data.dtype == jnp.uint8
 
     def columns_of(self, genes: list[str]) -> np.ndarray | None:
-        """Column indices for a gene-name list, or None if any is missing."""
+        """Column indices for a gene-name list, or None if any is missing or
+        ambiguous (duplicated in ``var_names`` — the streaming fallback
+        resolves those positionally)."""
         try:
+            if self._dup_names and any(str(g) in self._dup_names for g in genes):
+                return None
             return np.asarray([self._col_of[str(g)] for g in genes], dtype=np.int64)
         except KeyError:
             return None
@@ -150,7 +180,12 @@ def device_expression(
     x = src_holder.X if layer is None else adata.layers[layer]
     cache_key = f"__squidpy_tpu_device_x__{layer}_{use_raw}"
     cached = adata.uns.get(cache_key)
-    if cached is not None and cached.get("x_ref") is not None and cached["x_ref"]() is x:
+    if (
+        cached is not None
+        and cached.get("x_ref") is not None
+        and cached["x_ref"]() is x
+        and cached.get("fp") == _x_fingerprint(x)
+    ):
         return cached["handle"]
     if not create:
         return None
@@ -167,5 +202,5 @@ def device_expression(
         x_ref = weakref.ref(x)
     except TypeError:
         x_ref = None
-    adata.uns[cache_key] = {"handle": handle, "x_ref": x_ref}
+    adata.uns[cache_key] = {"handle": handle, "x_ref": x_ref, "fp": _x_fingerprint(x)}
     return handle

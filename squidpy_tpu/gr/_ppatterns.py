@@ -33,6 +33,7 @@ from squidpy_tpu.ops.autocorr import (
     geary_perm_scores,
     geary_scores,
     geary_scores_bucketed,
+    geary_scores_from_u,
     moran_perm_scores,
     moran_scores,
     moran_scores_bucketed,
@@ -253,10 +254,10 @@ def spatial_autocorr(
     # at scale z also streams in bf16, which frees the HBM for a 4×-wide
     # superblock (2048-gene = 4 KB gather rows, the measured gather-engine
     # sweet spot); sims shift ≲1e-3 relative — see ops/autocorr.py. Geary
-    # buffers THREE (n, w) vectors (z, u, v) — 2× width is its HBM limit
-    # at 1M cells (4× measured RESOURCE_EXHAUSTED).
-    width_mult = 4 if mode == SpatialAutocorr.MORAN else 2
-    perm_width = width_mult * gene_block_size if gather_bf16 else gene_block_size
+    # buffers the SAME two (n, w) vectors as Moran: the third term of the
+    # permuted numerator, Σ_i (W z²)_{p(i)}, is permutation-invariant (p is a
+    # bijection) and collapses to a per-gene constant Σ_j colsum_j z_j².
+    perm_width = 4 * gene_block_size if gather_bf16 else gene_block_size
 
     def _score_blocks() -> dict[str, np.ndarray]:
         score_parts: list[np.ndarray] = []
@@ -265,8 +266,11 @@ def spatial_autocorr(
         # numpy operand on a non-x64 backend emits a truncation warning
         host_float = np.float64 if jax.config.jax_enable_x64 else np.float32
         row_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=1), dtype=host_float).ravel())
+        col_sums_dev = None
+        if mode == SpatialAutocorr.GEARY:
+            col_sums_dev = jnp.asarray(np.asarray(g_csr.sum(axis=0), dtype=host_float).ravel())
 
-        perm_buf: list[tuple[Any, ...]] = []  # stripped (z, u[, v]) device parts
+        perm_buf: list[tuple[Any, ...]] = []  # stripped (z, u[, cg]) device parts
         perm_cols = 0
 
         def _flush_perms() -> None:
@@ -285,10 +289,13 @@ def spatial_autocorr(
                     )
                 )
             else:
-                vc = jnp.concatenate([p[2] for p in perm_buf], axis=1) if len(perm_buf) > 1 else perm_buf[0][2]
+                cgc = jnp.concatenate([p[2] for p in perm_buf]) if len(perm_buf) > 1 else perm_buf[0][2]
                 sims_parts.append(
                     np.asarray(
-                        geary_perm_scores(zc, uc, vc, row_sums_dev, perms_idx, s0, gather_bf16=gather_bf16)
+                        geary_perm_scores(
+                            zc, uc, row_sums_dev, cgc, perms_idx, s0,
+                            gather_bf16=gather_bf16, z_bf16=gather_bf16,
+                        )
                     )
                 )
             perm_buf = []
@@ -341,12 +348,16 @@ def spatial_autocorr(
                         (ub[:, :n_block] if pad_g else ub).astype(gdt),
                     ))
                 else:
-                    score_parts.append(_strip(np.asarray(_geary(xb, s0))))
-                    vb = _spmv(zb * zb)
+                    # observed score + the perm-invariant third term both come
+                    # pointwise from zb/ub — no W z² SpMV, no third buffer
+                    score_parts.append(
+                        _strip(np.asarray(geary_scores_from_u(zb, ub, row_sums_dev, col_sums_dev, s0)))
+                    )
+                    cgb = jnp.sum(col_sums_dev[:, None] * (zb * zb), axis=0)
                     perm_buf.append((
                         (zb[:, :n_block] if pad_g else zb).astype(gdt),
                         (ub[:, :n_block] if pad_g else ub).astype(gdt),
-                        (vb[:, :n_block] if pad_g else vb).astype(gdt),
+                        (cgb[:n_block] if pad_g else cgb),
                     ))
                 perm_cols += n_block
                 if perm_cols >= perm_width:

@@ -40,6 +40,8 @@ __all__ = [
     "geary_scores_bucketed",
     "moran_perm_scores",
     "geary_perm_scores",
+    "moran_scores_from_u",
+    "geary_scores_from_u",
 ]
 
 # Gathers issued per scan step. Measured at (1M cells, k=6, 512 genes) on one
@@ -316,46 +318,76 @@ def moran_perm_scores(
     return chunked_vmap(one, perms, chunk_size=chunk_size)
 
 
+@jax.jit
+def geary_scores_from_u(
+    z: jax.Array,
+    u: jax.Array,
+    row_sums: jax.Array,
+    col_sums: jax.Array,
+    s0: jax.Array,
+) -> jax.Array:
+    """Geary's C from precomputed centered values and ``u = W z``.
+
+    ``Σ_ij w_ij (z_i - z_j)² = Σ_i r_i z_i² - 2 zᵀu + Σ_j c_j z_j²`` with
+    ``r``/``c`` the row/column sums of W. Used by the permutation path so the
+    SpMV that produces ``u`` is paid once for both the observed score and the
+    null (the reference recomputes the full pass per call,
+    gr/_ppatterns.py:518).
+    """
+    n = z.shape[0]
+    num = jnp.sum((row_sums + col_sums)[:, None] * (z * z) - 2.0 * (z * u), axis=0)
+    den = jnp.sum(z * z, axis=0)
+    return ((n - 1) / (2.0 * s0)) * num / den
+
+
 @partial(
     jax.jit,
-    static_argnames=("chunk_size", "gather_bf16"),
-    donate_argnums=(0, 1, 2),
+    static_argnames=("chunk_size", "gather_bf16", "z_bf16"),
+    donate_argnums=(0, 1),
 )
 def geary_perm_scores(
     z: jax.Array,
     u: jax.Array,
-    v: jax.Array,
     r: jax.Array,
+    cg: jax.Array,
     perms: jax.Array,
     s0: jax.Array,
     *,
     chunk_size: int | None = None,
     gather_bf16: bool = False,
+    z_bf16: bool = False,
 ) -> jax.Array:
-    """Geary's C under row-permutation of W.
+    """Geary's C under row-permutation of W — same gather cost as Moran's I.
 
-    With ``W' = P W``: ``Σ_ij w'_ij (z_i - z_j)²
-    = Σ_i [z_i² r_{p(i)} - 2 z_i u_{p(i)} + v_{p(i)}]`` where ``u = W z``,
-    ``v = W z²``, ``r`` = row sums of W. ``gather_bf16`` as in
-    :func:`moran_perm_scores` (applies to the gathered ``u``/``v``).
+    With ``W' = P W`` (the reference's ``g[idx_shuffle, :]`` semantics):
+    ``Σ_ij w'_ij (z_i - z_j)² = Σ_i [z_i² r_{p(i)} - 2 z_i u_{p(i)}] + c_g``
+    where ``u = W z``, ``r`` = row sums of W, and — because ``p`` is a
+    bijection — the third term ``Σ_i (W z²)_{p(i)} = Σ_i (W z²)_i
+    = Σ_j colsum_j z_j² = c_g`` is a permutation-INVARIANT per-gene constant.
+    No ``W z²`` SpMV and no third gathered buffer are needed (round-4 builds
+    paid both; the 1M full-panel cost was 2.2× Moran's for it).
+
+    ``gather_bf16``/``z_bf16`` as in :func:`moran_perm_scores`; ``cg`` must be
+    computed from full-precision ``z`` by the caller (it is perm-invariant, so
+    any error in it shifts observed and null identically — but f32 is free).
     """
     n = z.shape[0]
     # denominator at ≥f32 precision regardless of how z arrives (callers may
     # buffer z in bf16 at scale); f64 inputs keep the f64 parity path
     den_t = jnp.promote_types(z.dtype, jnp.float32)
     den = jnp.sum(jnp.square(z.astype(den_t)), axis=0)
-    z2 = z * z
+    if z_bf16:
+        z = z.astype(jnp.bfloat16)
     u_g = u.astype(jnp.bfloat16) if gather_bf16 else u
-    v_g = v.astype(jnp.bfloat16) if gather_bf16 else v
+    r = r.astype(den_t)
+    cg = cg.astype(den_t)
 
     def one(perm: jax.Array) -> jax.Array:
-        # mixed precision as in moran_perm_scores: promotion fuses the
-        # bf16→f32 convert into the reduce instead of materializing it
-        num = jnp.sum(
-            z2 * r[perm, None] - 2.0 * (z * u_g[perm, :]) + v_g[perm, :].astype(z.dtype),
-            axis=0,
-        )
-        return ((n - 1) / (2.0 * s0)) * num / den
+        # mixed precision as in moran_perm_scores: r arrives ≥f32, so
+        # z * r[perm] promotes in the fused multiply and the bf16→f32
+        # converts never materialize an (n, g) buffer
+        num = jnp.sum(z * (z * r[perm, None] - 2.0 * u_g[perm, :]), axis=0)
+        return ((n - 1) / (2.0 * s0)) * (num + cg) / den
 
     if chunk_size is None:
         bytes_per_perm = 8 * z.shape[0] * max(z.shape[1], 1)

@@ -416,7 +416,17 @@ def binned_cooccur_counts(
     coords = np.ascontiguousarray(coords, dtype=np.float32)
     labels = np.asarray(labels, dtype=np.int32)
     n = coords.shape[0]
-    use_pallas = engine == "pallas" or (engine == "auto" and _pallas_engine_available())
+    # the fused Pallas kernel is 2D-only (dx/dy distances); the XLA engine
+    # and the host planner are dimension-general — 3D coords must not be
+    # silently routed onto the 2D kernel
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and coords.shape[1] == 2 and _pallas_engine_available()
+    )
+    if use_pallas and coords.shape[1] != 2:
+        raise ValueError(
+            f"engine='pallas' supports 2D coordinates only, got {coords.shape[1]}D; "
+            "use engine='xla' (or 'auto')."
+        )
     if tile is None:
         # measured at 1M cells: the Pallas engine is VPU-compare-bound, so
         # per-pair threshold-window width (∝ tile bbox size) dominates —
@@ -429,6 +439,12 @@ def binned_cooccur_counts(
     plan = plan_binned_pairs(
         coords_s, labels_s, thresholds_sq, n_cls, tile=tile, gsize=gsize, pair_enum=pair_enum
     )
+    if use_pallas and engine == "auto":
+        # extreme-scale / adversarially clustered plans can exceed the digit-
+        # carry exactness bound — degrade to the exact XLA engine, not an error
+        from squidpy_tpu.ops.pallas_binned import pallas_budget_ok
+
+        use_pallas = pallas_budget_ok(plan)
     if use_pallas:
         from squidpy_tpu.ops.pallas_binned import binned_pair_counts_pallas
 

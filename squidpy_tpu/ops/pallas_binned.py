@@ -242,6 +242,14 @@ def _pallas_call_chunked(
     return hi, lo
 
 
+def pallas_budget_ok(plan: BinnedPairPlan) -> bool:
+    """True iff the plan's work-item count is inside the digit-carry
+    exactness bound (~8M items incl. per-chunk group re-emissions); callers
+    on the auto path fall back to the exact XLA engine when it isn't."""
+    G = plan.thr_groups.shape[0]
+    return (plan.n_items + G * (plan.n_items // (CHUNK - G) + 1)) <= 8_000_000
+
+
 def binned_pair_counts_pallas(
     coords_s: np.ndarray,
     labels_s: np.ndarray,
@@ -255,7 +263,7 @@ def binned_pair_counts_pallas(
     combine with ``plan.full_cum`` like the XLA path)."""
     n = plan.n
     G, gsize = plan.thr_groups.shape
-    if (plan.n_items + G * (plan.n_items // (CHUNK - G) + 1)) > 8_000_000:
+    if not pallas_budget_ok(plan):
         raise ValueError(
             "Pallas binned sweep digit carry is exact only below ~8M work "
             "items; re-plan with a larger tile."

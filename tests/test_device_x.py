@@ -80,6 +80,43 @@ class TestHandle:
         h = device_expression(adata_counts)
         assert h.columns_of(["g1", "NOT_THERE"]) is None
 
+    def test_inplace_mutation_invalidates(self, adata_counts):
+        """In-place edits (same live object) must not serve a stale device
+        copy — the fingerprint, not weakref identity, catches these."""
+        h1 = device_expression(adata_counts)
+        x = adata_counts.X
+        x[:] = x * 2.0
+        h2 = device_expression(adata_counts)
+        assert h2 is not h1
+        np.testing.assert_array_equal(
+            np.asarray(h2.dense_block(np.array([0]))).ravel(), np.asarray(x)[:, 0]
+        )
+
+    def test_inplace_sparse_mutation_invalidates(self):
+        rng = np.random.default_rng(2)
+        x = sp.random(300, 40, density=0.1, random_state=2, format="csr", dtype=np.float32)
+        adata = sq.AnnData(X=x, obs=pd.DataFrame(index=[str(i) for i in range(300)]))
+        adata.var_names = [f"g{i}" for i in range(40)]
+        h1 = device_expression(adata)
+        adata.X.data *= 3.0
+        h2 = device_expression(adata)
+        assert h2 is not h1
+        np.testing.assert_allclose(
+            np.asarray(h2.full_dense()), np.asarray(adata.X.todense()), rtol=1e-6
+        )
+
+    def test_duplicated_var_names_fall_back(self, adata_counts):
+        """Duplicated var_names resolve ambiguously by name — columns_of must
+        defer those genes to the positional streaming path."""
+        names = list(adata_counts.var_names)
+        names[5] = names[3]  # duplicate "g3"
+        adata_counts.var_names = names
+        h = device_expression(adata_counts)
+        assert h.columns_of(["g3"]) is None
+        assert h.columns_of(["g3", "g1"]) is None
+        cols = h.columns_of(["g1", "g2"])  # unique names still resolve
+        np.testing.assert_array_equal(cols, [1, 2])
+
 
 class TestBf16Exact:
     """`bf16_exact` gates the DEFAULT-precision MXU fast path: only u8

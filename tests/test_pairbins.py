@@ -191,6 +191,50 @@ class TestBinnedParity:
         with pytest.raises(ValueError, match="method"):
             co_occurrence_counts(pts, labs, thr, 3, method="nope")
 
+    def test_3d_parity_vs_dense(self):
+        """3D coords must route to the dim-general XLA engine, never the
+        2D-only Pallas kernel, and match the dense oracle."""
+        rng = np.random.default_rng(9)
+        n = 2000
+        pts = rng.uniform(0, 30, size=(n, 3)).astype(np.float32)
+        labs = rng.integers(0, 4, size=n).astype(np.int32)
+        thr = (np.linspace(1.0, 25.0, 11) ** 2).astype(np.float32)
+        want = co_occurrence_counts(pts, labs, thr, 4, method="dense")
+        got = binned_cooccur_counts(pts, labs, thr, 4, tile=128, gsize=4)
+        np.testing.assert_array_equal(got, want)
+
+    def test_3d_pallas_engine_raises(self):
+        rng = np.random.default_rng(10)
+        pts = rng.uniform(0, 10, size=(300, 3)).astype(np.float32)
+        labs = rng.integers(0, 2, size=300).astype(np.int32)
+        thr = np.array([1.0, 4.0], dtype=np.float32)
+        with pytest.raises(ValueError, match="2D"):
+            binned_cooccur_counts(pts, labs, thr, 2, engine="pallas")
+
+    def test_auto_engine_over_budget_falls_back(self, monkeypatch):
+        """Plans past the Pallas digit-carry bound degrade to XLA on the
+        auto path instead of raising."""
+        import squidpy_tpu.ops.pairbins as pb
+        from squidpy_tpu.ops import pallas_binned
+
+        monkeypatch.setattr(pb, "_pallas_engine_available", lambda: True)
+        monkeypatch.setattr(pallas_binned, "pallas_budget_ok", lambda plan: False)
+        calls = {"pallas": 0}
+
+        def boom(*a, **k):
+            calls["pallas"] += 1
+            raise AssertionError("Pallas engine must not run over budget")
+
+        monkeypatch.setattr(pallas_binned, "binned_pair_counts_pallas", boom)
+        rng = np.random.default_rng(11)
+        pts = rng.uniform(0, 10, size=(500, 2)).astype(np.float32)
+        labs = rng.integers(0, 3, size=500).astype(np.int32)
+        thr = (np.linspace(1.0, 8.0, 5) ** 2).astype(np.float32)
+        want = co_occurrence_counts(pts, labs, thr, 3, method="dense")
+        got = binned_cooccur_counts(pts, labs, thr, 3, tile=64, engine="auto")
+        np.testing.assert_array_equal(got, want)
+        assert calls["pallas"] == 0
+
 
 class TestRipleyBinned:
     def test_ordered_counts_parity(self):

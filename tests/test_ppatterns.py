@@ -90,11 +90,12 @@ class TestSpatialAutocorr:
         z = X - X.mean(axis=0, keepdims=True)
         zj = jnp.asarray(z)
         u = spmv_genes(graph.indices, graph.weights, zj)
-        v = spmv_genes(graph.indices, graph.weights, zj * zj)
         r = jnp.asarray(np.asarray(g.sum(axis=1)).ravel())
+        c = jnp.asarray(np.asarray(g.sum(axis=0)).ravel())
+        cg = jnp.sum(c[:, None] * (zj * zj), axis=0)
         rng = np.random.default_rng(1)
         perms = np.stack([rng.permutation(X.shape[0]) for _ in range(3)])
-        got = np.asarray(geary_perm_scores(zj, u, v, r, jnp.asarray(perms), g.sum()))
+        got = np.asarray(geary_perm_scores(zj, u, r, cg, jnp.asarray(perms), g.sum()))
         for p in range(3):
             gp = sp.csr_matrix(g[perms[p], :])
             for j in range(3):
@@ -108,6 +109,20 @@ class TestSpatialAutocorr:
             assert col in df.columns, col
         assert df["I"].is_monotonic_decreasing
         assert ((df["pval_sim"] > 0) & (df["pval_sim"] <= 1)).all()
+
+    def test_full_run_geary_perms(self, graph_adata):
+        """Geary + n_perms via the public API (regressed in round 4: the
+        perms branch freed xb then scored from it)."""
+        df = sq.gr.spatial_autocorr(graph_adata, mode="geary", n_perms=20, seed=0, copy=True)
+        for col in ["C", "pval_norm", "pval_z_sim", "pval_sim", "var_sim"]:
+            assert col in df.columns, col
+        assert ((df["pval_sim"] > 0) & (df["pval_sim"] <= 1)).all()
+        # the observed score must match the no-perm path exactly (it is
+        # derived from z/u, not recomputed from x)
+        df0 = sq.gr.spatial_autocorr(graph_adata, mode="geary", copy=True)
+        np.testing.assert_allclose(
+            df["C"].sort_index().to_numpy(), df0["C"].sort_index().to_numpy(), rtol=1e-10
+        )
 
     def test_writes_uns_key(self, graph_adata):
         sq.gr.spatial_autocorr(graph_adata, mode="moran")
