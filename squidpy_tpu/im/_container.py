@@ -581,7 +581,16 @@ class ImageContainer(FeatureMixin):
         fn_kwargs: Mapping[str, Any] = {},
         **kwargs: Any,
     ) -> ImageContainer | None:
-        """Apply a function per Z-slice of a layer (optionally per library id)."""
+        """Apply a function per Z-slice of a layer (optionally per library id).
+
+        With ``chunks`` set the function runs tile by tile on a global grid
+        (reference: dask ``map_blocks``; with ``depth`` in ``kwargs``,
+        ``map_overlap`` with reflect-padded halos —
+        /root/reference/src/squidpy/im/_container.py:1131-1139) so a
+        WSI-sized layer streams under a bounded peak RSS. ``lazy=True`` (only
+        meaningful with ``chunks``) defers the computation: 2D window reads
+        of the new layer compute only the intersecting tiles.
+        """
         layer = self._get_layer(layer)
         new_layer = layer if new_layer is None else new_layer
         arr = self._layers[layer]
@@ -599,41 +608,60 @@ class ImageContainer(FeatureMixin):
         # ``drop=True`` with a per-library func mapping keeps only the selected
         # Z-planes (reference: im/_container.py apply, tests/image/
         # test_container.py:790-800)
-        slices: list[NDArrayA | None] = []
         kept_ids = []
-        applied = []
+        plane_funcs: list[tuple[int, Callable[..., NDArrayA] | None]] = []
         for zi, lid in enumerate(self._library_ids):
-            plane = arr[:, :, zi, :]
             if lid in func_map:
-                res = np.asarray(func_map[lid](plane.squeeze(), **fn_kwargs))
+                plane_funcs.append((zi, func_map[lid]))
+            elif drop and not callable(func):
+                continue
+            else:
+                plane_funcs.append((zi, None))  # passthrough
+            kept_ids.append(lid)
+
+        if chunks is not None:
+            from squidpy_tpu.im._apply import DeferredApply, normalize_chunks, normalize_depth
+
+            deferred = DeferredApply(
+                arr,
+                plane_funcs,
+                fn_kwargs,
+                normalize_chunks(chunks, (arr.shape[0], arr.shape[1])),
+                normalize_depth(kwargs.get("depth", 0)),
+                boundary=kwargs.get("boundary", "reflect"),
+            )
+            new_arr: Any = deferred if lazy else deferred.compute()
+        else:
+            slices: list[NDArrayA | None] = []
+            applied = []
+            for zi, f in plane_funcs:
+                if f is None:
+                    slices.append(None)  # passthrough, resolved below
+                    continue
+                res = np.asarray(f(arr[:, :, zi, :].squeeze(), **fn_kwargs))
                 if res.ndim == 2:
                     res = res[:, :, None]
                 applied.append(res)
                 slices.append(res)
-            elif drop and not callable(func):
-                continue
-            else:
-                slices.append(None)  # passthrough, resolved below
-            kept_ids.append(lid)
-        if len({a.shape for a in applied}) > 1:
-            raise ValueError(
-                f"Unable to stack an array: Z-slice results have inconsistent shapes "
-                f"`{[a.shape for a in applied]}`."
-            )
-        target = applied[0].shape if applied else arr.shape[:2] + (arr.shape[3],)
-        resolved = []
-        for s, (zi, lid) in zip(slices, [(i, l) for i, l in enumerate(self._library_ids) if l in kept_ids]):
-            if s is None:
-                plane = arr[:, :, zi, :]
-                if plane.shape == target:
-                    s = plane
-                else:
-                    # the applied functions changed the channel count:
-                    # unselected planes are zero-filled (reference:
-                    # tests/image/test_segmentation.py:245-263)
-                    s = np.zeros(target, dtype=applied[0].dtype if applied else plane.dtype)
-            resolved.append(s)
-        new_arr = np.stack(resolved, axis=2)
+            if len({a.shape for a in applied}) > 1:
+                raise ValueError(
+                    f"Unable to stack an array: Z-slice results have inconsistent shapes "
+                    f"`{[a.shape for a in applied]}`."
+                )
+            target = applied[0].shape if applied else arr.shape[:2] + (arr.shape[3],)
+            resolved = []
+            for s, (zi, _) in zip(slices, plane_funcs):
+                if s is None:
+                    plane = arr[:, :, zi, :]
+                    if plane.shape == target:
+                        s = plane
+                    else:
+                        # the applied functions changed the channel count:
+                        # unselected planes are zero-filled (reference:
+                        # tests/image/test_segmentation.py:245-263)
+                        s = np.zeros(target, dtype=applied[0].dtype if applied else plane.dtype)
+                resolved.append(s)
+            new_arr = np.stack(resolved, axis=2)
 
         if copy:
             out = ImageContainer()
