@@ -1,8 +1,8 @@
 """calculate_niche flavors at 100k cells + 1M clustering smoke (VERDICT r3 #5).
 
-The clustering backend is the native C++ CSR Louvain
-(squidpy_tpu/native/louvain.cpp) — the pure-Python path this replaces needs
-minutes-to-hours at these sizes.
+The clustering backend is the native C++ CSR Leiden
+(squidpy_tpu/native/louvain.cpp, leiden_csr since round 5) — the pure-Python
+path this replaces needs minutes-to-hours at these sizes.
 
 Run: python examples/niche_100k.py [n_cells]
 """
@@ -49,11 +49,11 @@ def main() -> None:
         col = [c for c in adata.obs.columns if "niche" in c][-1]
         print(f"[{flavor}] {dt:.1f}s -> {adata.obs[col].nunique()} niches ({col})")
 
-    # 1M-node native Louvain smoke (kNN graph on spatial coords)
+    # 1M-node native Leiden smoke (kNN graph on spatial coords)
     from scipy import sparse as sp
     from scipy.spatial import cKDTree
 
-    from squidpy_tpu.native import louvain_csr
+    from squidpy_tpu.native import leiden_csr
 
     m = 1_000_000
     pts = rng.uniform(0, 10_000, size=(m, 2))
@@ -64,8 +64,8 @@ def main() -> None:
     adj = adj.maximum(adj.T)
     t_g = time.perf_counter() - t0
     t0 = time.perf_counter()
-    labels, k = louvain_csr(adj, seed=0)
-    print(f"[louvain 1M smoke] graph {t_g:.1f}s, cluster {time.perf_counter() - t0:.1f}s -> {k} communities")
+    labels, k = leiden_csr(adj, seed=0)
+    print(f"[leiden 1M smoke] graph {t_g:.1f}s, cluster {time.perf_counter() - t0:.1f}s -> {k} communities")
 
 
 if __name__ == "__main__":

@@ -5,13 +5,17 @@ leidenalg, ``tl.pca``, ``pp.scale``) and sklearn's GaussianMixture
 (/root/reference/src/squidpy/gr/_niche.py:399-721). scanpy/leidenalg are not
 available here, so:
 
-- graph clustering uses the native C++ CSR Louvain
-  (:func:`squidpy_tpu.native.louvain_csr` — the same modularity-optimization
-  family as Leiden; labels are sorted by community size for determinism) over
-  an exact kNN graph built by the device brute-force search. networkx's
-  pure-Python Louvain (the r1-r3 backend) takes minutes-to-hours at 100k-1M
-  cells and survives only as the small-fixture quality oracle in tests;
-- PCA and GMM come from sklearn;
+- graph clustering uses the native C++ CSR Leiden
+  (:func:`squidpy_tpu.native.leiden_csr` — local moves + the refinement
+  phase, so communities are internally connected like leidenalg's output;
+  labels are sorted by community size for determinism) over an exact kNN
+  graph built by the device brute-force search. networkx's pure-Python
+  Louvain (the r1-r3 backend) takes minutes-to-hours at 100k-1M cells and
+  survives only as the small-fixture quality oracle in tests;
+- PCA and GMM run on device at scale (:mod:`squidpy_tpu.ops.pca`,
+  :mod:`squidpy_tpu.ops.gmm` — covariance-eigh PCA, full-covariance EM with
+  sklearn's ``random_from_data`` init semantics); small inputs keep sklearn's
+  exact host paths;
 - z-scoring is plain numpy.
 """
 
@@ -67,14 +71,15 @@ def graph_cluster(
     random_state: int = 0,
 ) -> np.ndarray:
     """Community labels ('0', '1', …) for rows of ``X`` via the native C++
-    CSR Louvain on the kNN graph — squidpy_tpu's stand-in for scanpy's leiden
-    (which the reference drives through leidenalg's C core,
-    /root/reference/src/squidpy/gr/_niche.py:399-457). Communities are
-    numbered largest-first, matching scanpy's label convention."""
-    from squidpy_tpu.native import louvain_csr
+    CSR Leiden on the kNN graph — matching scanpy's leiden semantics (which
+    the reference drives through leidenalg's C core,
+    /root/reference/src/squidpy/gr/_niche.py:399-457): refinement-phase
+    aggregation, internally connected communities. Communities are numbered
+    largest-first, matching scanpy's label convention."""
+    from squidpy_tpu.native import leiden_csr
 
     adj = knn_graph(X, n_neighbors)
-    labels, k = louvain_csr(adj, resolution=resolution, seed=int(random_state))
+    labels, k = leiden_csr(adj, resolution=resolution, seed=int(random_state))
     sizes = np.bincount(labels, minlength=max(k, 1))
     order = np.argsort(-sizes, kind="stable")  # largest community -> '0'
     remap = np.empty(len(order), dtype=np.int64)

@@ -24,6 +24,10 @@ __all__ = ["auto_knn", "brute_force_knn", "cross_knn", "pairwise_sq_dists", "rad
 # both are exact, so the dispatch is purely a performance decision
 _BRUTE_FORCE_MAX_N = 50_000
 
+# pair evaluations per brute-force device call (~seconds each on v5e);
+# module-level so tests can shrink it to exercise the chunked path
+_PAIRS_PER_DISPATCH = 40_000_000_000
+
 
 def auto_knn(coords: "np.ndarray", k: int) -> tuple["np.ndarray", "np.ndarray"]:
     """Exact kNN with automatic engine dispatch: device MXU brute force for
@@ -75,6 +79,68 @@ def pairwise_sq_dists_exact(a: jax.Array, b: jax.Array) -> jax.Array:
         diff = a[:, dim][:, None] - b[:, dim][None, :]
         d2 = d2 + diff * diff
     return d2
+
+
+@partial(jax.jit, static_argnames=("k", "row_tile", "col_tile", "exclude_self", "chunk_tiles"))
+def _knn_device_chunk(
+    coords: jax.Array,
+    n_real: jax.Array,
+    row_lo_tile: jax.Array,
+    k: int,
+    row_tile: int,
+    col_tile: int,
+    exclude_self: bool,
+    chunk_tiles: int,
+) -> tuple[jax.Array, jax.Array]:
+    """kNN of ``chunk_tiles`` row tiles starting at row tile ``row_lo_tile``
+    against ALL of ``coords`` (pre-padded to tile multiples by the caller).
+
+    At 1M points the full sweep is ~1e12 pair evaluations; a single such
+    device call runs for minutes and gets the axon worker killed (observed:
+    "TPU worker process crashed or restarted"). The host wrapper therefore
+    dispatches bounded chunks of row tiles through ONE shared executable
+    (``row_lo_tile`` is traced, so every chunk reuses the compile).
+    """
+    n_pad, d = coords.shape
+    n_col_tiles = n_pad // col_tile
+    col_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def row_block(t: jax.Array) -> tuple[jax.Array, jax.Array]:
+        r = row_lo_tile + t
+        rows = jax.lax.dynamic_slice_in_dim(coords, r * row_tile, row_tile)
+        row_idx = r * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
+
+        def col_step(carry, c):
+            best_d, best_i = carry
+            cols = jax.lax.dynamic_slice_in_dim(coords, c * col_tile, col_tile)
+            cidx = jax.lax.dynamic_slice_in_dim(col_ids, c * col_tile, col_tile)
+            d2 = pairwise_sq_dists(rows, cols)
+            invalid = cidx[None, :] >= n_real
+            if exclude_self:
+                invalid = invalid | (cidx[None, :] == row_idx[:, None])
+            d2 = jnp.where(invalid, jnp.inf, d2)
+            cand_d = jnp.concatenate([best_d, d2], axis=1)
+            cand_i = jnp.concatenate([best_i, jnp.broadcast_to(cidx[None, :], d2.shape)], axis=1)
+            neg_top, top_pos = jax.lax.top_k(-cand_d, k)
+            return (-neg_top, jnp.take_along_axis(cand_i, top_pos, axis=1)), None
+
+        init = (
+            jnp.full((row_tile, k), jnp.inf, dtype=coords.dtype),
+            jnp.zeros((row_tile, k), dtype=jnp.int32),
+        )
+        (best_d, best_i), _ = jax.lax.scan(col_step, init, jnp.arange(n_col_tiles))
+        return best_d, best_i
+
+    d2, idx = jax.lax.map(row_block, jnp.arange(chunk_tiles))
+    d2 = d2.reshape(chunk_tiles * row_tile, k)
+    idx = idx.reshape(chunk_tiles * row_tile, k)
+    # recompute exact distances via the difference form: the |a|²-2ab+|b|²
+    # expansion loses precision for near-coincident points
+    nb = coords[idx]
+    row0 = row_lo_tile * row_tile
+    q = jax.lax.dynamic_slice_in_dim(coords, row0, chunk_tiles * row_tile)
+    diff = nb - q[:, None, :]
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1)), idx
 
 
 @partial(jax.jit, static_argnames=("k", "row_tile", "col_tile", "exclude_self"))
@@ -149,9 +215,35 @@ def brute_force_knn(
         raise ValueError(f"Expected `n_neighs` < number of observations ({n}), found `{k}`.")
     row_tile = min(row_tile, max(8, n))
     col_tile = min(col_tile, max(128, n))
-    d, i = _knn_device(jnp.asarray(coords), k, row_tile, col_tile, exclude_self)
-    d = np.asarray(d)
-    i = np.asarray(i)
+    # bound pair evaluations per device call: one monolithic 1M×1M dispatch
+    # runs for minutes and gets the remote worker killed (see
+    # _knn_device_chunk); every chunk reuses one compiled executable
+    n_row_tiles = (n + row_tile - 1) // row_tile
+    chunk_tiles = max(1, min(n_row_tiles, int(_PAIRS_PER_DISPATCH // max(n * row_tile, 1))))
+    if chunk_tiles >= n_row_tiles:
+        d, i = _knn_device(jnp.asarray(coords), k, row_tile, col_tile, exclude_self)
+        d = np.asarray(d)
+        i = np.asarray(i)
+    else:
+        n_col_tiles = (n + col_tile - 1) // col_tile
+        n_pad = max(n_row_tiles * row_tile, n_col_tiles * col_tile)
+        # pad rows so every chunk is exactly chunk_tiles row tiles wide
+        # (one executable); index masking keeps phantom rows inert
+        n_chunks = (n_row_tiles + chunk_tiles - 1) // chunk_tiles
+        n_pad = max(n_pad, n_chunks * chunk_tiles * row_tile)
+        coords_p = jnp.asarray(
+            np.concatenate([coords, np.zeros((n_pad - n, coords.shape[1]), np.float32)])
+        )
+        n_dev = jnp.asarray(n, jnp.int32)
+        parts = [
+            _knn_device_chunk(
+                coords_p, n_dev, jnp.asarray(c * chunk_tiles, jnp.int32),
+                k, row_tile, col_tile, exclude_self, chunk_tiles,
+            )
+            for c in range(n_chunks)
+        ]
+        d = np.concatenate([np.asarray(p[0]) for p in parts])[:n]
+        i = np.concatenate([np.asarray(p[1]) for p in parts])[:n]
     order = np.argsort(d, axis=1, kind="stable")
     return np.take_along_axis(d, order, axis=1), np.take_along_axis(i, order, axis=1)
 

@@ -192,11 +192,13 @@ def warmup(
             # the three device backends behind calculate_niche: feature-kNN
             # at the n_clusters bucket (neighborhood flavor), at bucket 64
             # (utag/cellcharter PCA embeddings), and the GMM EM
+            # distance=3 also precompiles the device hop_reach expansion
+            # (the hop_rings variant is covered by the cellcharter call)
             _run(
                 "niche_neighborhood",
                 lambda: sq.gr.calculate_niche(
                     adata, flavor="neighborhood", groups="cluster",
-                    n_neighbors=15, resolutions=1.0, inplace=False,
+                    n_neighbors=15, resolutions=1.0, distance=3, inplace=False,
                 ),
             )
             _run(

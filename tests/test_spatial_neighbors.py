@@ -35,6 +35,20 @@ class TestBruteForceKNN:
         d_want, _ = tree.kneighbors()
         np.testing.assert_allclose(d_got, d_want, rtol=1e-4, atol=1e-5)
 
+    def test_chunked_dispatch_matches_monolithic(self, monkeypatch):
+        """At scale, the sweep dispatches bounded row chunks (a single 1M
+        device call crashes the remote worker); results must be identical."""
+        import squidpy_tpu.ops.knn as knn_mod
+
+        rng = np.random.default_rng(11)
+        coords = rng.uniform(0, 50, size=(3000, 4))
+        d_mono, i_mono = brute_force_knn(coords, 6)
+        # force many small chunks: ≤ 2 row tiles of 1024 per dispatch
+        monkeypatch.setattr(knn_mod, "_PAIRS_PER_DISPATCH", 3000 * 1024 * 2)
+        d_chunk, i_chunk = brute_force_knn(coords, 6)
+        np.testing.assert_array_equal(i_chunk, i_mono)
+        np.testing.assert_allclose(d_chunk, d_mono, rtol=0, atol=0)
+
 
 class TestRadiusNeighbors:
     def test_matches_sklearn(self):
