@@ -4,8 +4,9 @@ Round-4 extension of the 1M measurements: the binned sweep's device work
 scales with the number of NEAR block pairs, so a realistic short-range
 interval stays tractable at 10× the north-star size (the reference's numba
 O(n²·L) scan would be ~100× its 1M cost). Also measures Geary's C
-permutation mode at the full 15k-gene panel (same superblock structure as
-Moran, 3 gathered vectors instead of 1).
+permutation mode at the full 15k-gene panel (same 2048-wide superblock
+structure and the same two buffered vectors as Moran — the W z² term is
+permutation-invariant and collapses to a per-gene constant).
 
 Run: python examples/scale_pairs_10m.py [pairs] [geary]
 (no arguments = both parts)
@@ -76,7 +77,11 @@ def _geary(rng) -> None:
     from squidpy_tpu._core.graph import SpatialGraph
     from squidpy_tpu._core.index_cipher import cipher_index_batch
     from squidpy_tpu._core.rng import spawn_keys
-    from squidpy_tpu.ops.autocorr import geary_perm_scores, geary_scores, spmv_genes
+    from squidpy_tpu.ops.autocorr import (
+        geary_perm_scores,
+        geary_scores_from_u,
+        spmv_genes,
+    )
 
     m, n_genes, n_perms = 1_000_000, 15_360, 100
     pts = rng.uniform(0, 10_000, size=(m, 2)).astype(np.float32)
@@ -108,10 +113,12 @@ def _geary(rng) -> None:
         z_parts, u_parts, cg_parts = [], [], []
         for c in range(0, super_w, sub):
             xb = gen_block(gkeys[ki]); ki += 1
-            checksum += float(jnp.sum(geary_scores(graph.indices, graph.weights, xb, s0, group=2)))
             zb = xb - jnp.mean(xb, axis=0, keepdims=True)
-            xb = None
+            xb = None  # free before the SpMV's in-flight gather temps
             ub = spmv_genes(graph.indices, graph.weights, zb, group=2)
+            # observed score + perm-invariant third term from zb/ub — the
+            # perm path pays ONE SpMV per block, like Moran
+            checksum += float(jnp.sum(geary_scores_from_u(zb, ub, r_dev, c_dev, s0)))
             cg_parts.append(jnp.sum(c_dev[:, None] * (zb * zb), axis=0))
             z_parts.append(zb.astype(jnp.bfloat16))
             u_parts.append(ub.astype(jnp.bfloat16))

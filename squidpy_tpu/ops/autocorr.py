@@ -379,15 +379,18 @@ def geary_perm_scores(
     if z_bf16:
         z = z.astype(jnp.bfloat16)
     u_g = u.astype(jnp.bfloat16) if gather_bf16 else u
-    r = r.astype(den_t)
+    # the whole per-perm expression must stay in ONE dtype: a single ≥f32
+    # operand (r) promotes the (n, g) products to f32 and MATERIALIZES them
+    # (measured at 1M×2048: ~10 s/perm of HBM churn, then OOM — vs the
+    # all-bf16 fused multiply-reduce at ~1 ms/perm/512 genes). TPU reduces
+    # bf16 with f32 accumulators, so the sum itself is fine; r's bf16
+    # rounding shifts sims ≲1e-3 relative, the Moran-documented tradeoff.
+    r_g = r.astype(jnp.bfloat16) if gather_bf16 else r.astype(den_t)
     cg = cg.astype(den_t)
 
     def one(perm: jax.Array) -> jax.Array:
-        # mixed precision as in moran_perm_scores: r arrives ≥f32, so
-        # z * r[perm] promotes in the fused multiply and the bf16→f32
-        # converts never materialize an (n, g) buffer
-        num = jnp.sum(z * (z * r[perm, None] - 2.0 * u_g[perm, :]), axis=0)
-        return ((n - 1) / (2.0 * s0)) * (num + cg) / den
+        num = jnp.sum(z * (z * r_g[perm, None] - 2.0 * u_g[perm, :]), axis=0)
+        return ((n - 1) / (2.0 * s0)) * (num.astype(den_t) + cg) / den
 
     if chunk_size is None:
         bytes_per_perm = 8 * z.shape[0] * max(z.shape[1], 1)
