@@ -91,13 +91,21 @@ def main() -> None:
         dt = time.perf_counter() - t0
         print(f"[ripley-L observed pairs 1M x 50 steps] rep{rep}: {dt:.2f}s (pairs@max={pairs[-1]:.3e})")
 
-    t0 = time.perf_counter()
+    # round-5 envelope: ALL 100 simulations in one batched device dispatch
+    # (was a serial per-simulation loop, 4.2-5.2 s)
+    from squidpy_tpu.ops.ripley import batched_pair_counts
+
     sims_rng = np.random.default_rng(1)
-    for s in range(100):
-        pts = ppp_sample(hull, n_simulations=1, n_observations=1000, rng=sims_rng)
-        pair_counts_cumulative(np.asarray(pts), support)
-    dt = time.perf_counter() - t0
-    print(f"[ripley-L 100 sims x 1000 obs] total: {dt:.2f}s")
+    t0 = time.perf_counter()
+    clouds = np.stack([ppp_sample(hull, 1, 1000, rng=sims_rng) for _ in range(100)])
+    t_draw = time.perf_counter() - t0
+    batched_pair_counts(clouds, support)  # compile
+    for rep in range(2):
+        clouds_r = np.stack([ppp_sample(hull, 1, 1000, rng=sims_rng) for _ in range(100)])
+        t0 = time.perf_counter()
+        batched_pair_counts(clouds_r, support)
+        print(f"[ripley-L 100-sim envelope, batched] rep{rep}: "
+              f"{time.perf_counter() - t0:.2f}s (+{t_draw:.2f}s host PPP draws)")
 
 
 if __name__ == "__main__":

@@ -15,9 +15,15 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.spatial import ConvexHull, Delaunay
 
+from squidpy_tpu.ops.knn import pairwise_sq_dists as pairwise_expanded
 from squidpy_tpu.ops.knn import pairwise_sq_dists_exact as pairwise_sq_dists
 
-__all__ = ["pair_counts_cumulative", "ppp_sample"]
+__all__ = [
+    "pair_counts_cumulative",
+    "ppp_sample",
+    "batched_nn_distances",
+    "batched_pair_counts",
+]
 
 
 @partial(jax.jit, static_argnames=("row_tile",))
@@ -109,6 +115,71 @@ def pair_counts_cumulative(
     )
     # triangular counts doubled to ordered pairs; int64 host sum (exact)
     return 2.0 * np.asarray(blocks, dtype=np.int64).sum(axis=0).astype(np.float64)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _batched_nn_device(queries: jax.Array, clouds: jax.Array, chunk: int) -> jax.Array:
+    from squidpy_tpu.utils._utils import chunked_vmap
+
+    def one(cloud: jax.Array) -> jax.Array:
+        # expanded MXU form selects the neighbor; the exact difference-form
+        # recompute on the selection matches cross_knn's output contract
+        d2 = pairwise_expanded(queries, cloud)
+        nb = cloud[jnp.argmin(d2, axis=1)]
+        return jnp.sqrt(jnp.sum(jnp.square(nb - queries), axis=-1))
+
+    return chunked_vmap(one, clouds, chunk_size=chunk)
+
+
+def batched_nn_distances(queries: np.ndarray, clouds: np.ndarray) -> np.ndarray:
+    """Exact nearest-neighbor distance from each query to each simulated
+    cloud: ``(m, d) × (S, n, d) → (S, m)`` in ONE device dispatch.
+
+    The envelope counterpart of per-simulation ``cross_knn(queries, cloud,
+    1)`` calls (the reference loops its KDTree queries one simulation at a
+    time, gr/_ripley.py:158-176)."""
+    queries = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+    clouds_d = jnp.asarray(np.ascontiguousarray(clouds, dtype=np.float32))
+    m, n = queries.shape[0], clouds_d.shape[1]
+    # ~64 MB of (chunk, m, n) f32 distance temporaries per step
+    chunk = max(1, min(clouds_d.shape[0], 16_000_000 // max(m * n, 1)))
+    return np.asarray(_batched_nn_device(queries, clouds_d, chunk))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _batched_pairs_device(clouds: jax.Array, support_sq: jax.Array, chunk: int) -> jax.Array:
+    from squidpy_tpu.utils._utils import chunked_vmap
+
+    n = clouds.shape[1]
+    iu = jnp.arange(n, dtype=jnp.int32)
+    tri = iu[:, None] < iu[None, :]
+
+    def one(cloud: jax.Array) -> jax.Array:
+        d2 = pairwise_sq_dists(cloud, cloud)  # difference form: threshold-safe
+
+        def per_thresh(thr: jax.Array) -> jax.Array:
+            return jnp.sum(jnp.where(tri & (d2 <= thr), 1, 0))
+
+        return jax.lax.map(per_thresh, support_sq)
+
+    return chunked_vmap(one, clouds, chunk_size=chunk)
+
+
+def batched_pair_counts(clouds: np.ndarray, support: np.ndarray) -> np.ndarray:
+    """Ordered pair counts ``(S, L)`` with ``d ≤ support[r]`` for every
+    simulated cloud in one device dispatch — the L-mode envelope batch.
+    Exact for ``n ≤ 65k`` per cloud (triangular int32 bound)."""
+    clouds = np.ascontiguousarray(clouds, dtype=np.float32)
+    S, n = clouds.shape[:2]
+    if n > 65_000:
+        raise ValueError(f"batched_pair_counts is exact only for n ≤ 65k per cloud, got {n}.")
+    support_sq = (np.asarray(support, dtype=np.float64) ** 2).astype(np.float32)
+    chunk = max(1, min(S, int(64_000_000 // max(n * n, 1)) or 1))
+    tri = np.asarray(
+        _batched_pairs_device(jnp.asarray(clouds), jnp.asarray(support_sq), chunk),
+        dtype=np.int64,
+    )
+    return 2.0 * tri.astype(np.float64)
 
 
 def ppp_sample(

@@ -25,6 +25,50 @@ class TestPairCounts:
         np.testing.assert_array_equal(got, want)
 
 
+class TestEcdfRows:
+    def test_matches_rowwise_histogram(self):
+        """The batched envelope ECDF must reproduce np.histogram bin
+        semantics exactly (right-open bins, closed last bin, out-of-range
+        dropped) — including values landing ON bin edges."""
+        from squidpy_tpu.gr._ripley import _ecdf, _ecdf_rows
+
+        rng = np.random.default_rng(0)
+        support = np.linspace(0, 5.0, 11)
+        for _ in range(100):
+            m = int(rng.integers(3, 40))
+            d = rng.uniform(-0.5, 6.5, size=(4, m))
+            d[0, :3] = [0.0, 5.0, 2.5]  # lo edge, closed hi edge, interior
+            d[1, 0] = 0.5  # exactly on an interior edge
+            got = _ecdf_rows(d, support)
+            want = np.stack([_ecdf(row, support) for row in d])
+            np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
+
+
+class TestBatchedEnvelopeKernels:
+    def test_batched_nn_matches_cross_knn(self):
+        from squidpy_tpu.ops.knn import cross_knn
+        from squidpy_tpu.ops.ripley import batched_nn_distances
+
+        rng = np.random.default_rng(3)
+        q = rng.uniform(0, 20, size=(150, 2)).astype(np.float32)
+        clouds = rng.uniform(0, 20, size=(5, 200, 2)).astype(np.float32)
+        got = batched_nn_distances(q, clouds)
+        for s in range(5):
+            want, _ = cross_knn(q, clouds[s], 1)
+            np.testing.assert_allclose(got[s], want.squeeze(), rtol=1e-6, atol=1e-6)
+
+    def test_batched_pairs_matches_serial(self):
+        from squidpy_tpu.ops.ripley import batched_pair_counts, pair_counts_cumulative
+
+        rng = np.random.default_rng(4)
+        clouds = rng.uniform(0, 10, size=(4, 120, 2)).astype(np.float32)
+        support = np.linspace(0, 6, 9)
+        got = batched_pair_counts(clouds, support)
+        for s in range(4):
+            want = pair_counts_cumulative(clouds[s], support)
+            np.testing.assert_array_equal(got[s], want)
+
+
 class TestPPP:
     def test_points_inside_hull(self):
         from scipy.spatial import ConvexHull, Delaunay
