@@ -53,11 +53,24 @@ def _pad_feature_bucket(X: np.ndarray) -> np.ndarray:
     return np.pad(X, ((0, 0), (0, target - d)))
 
 
+# above this the exact device sweep's lax.top_k merges dominate (200 s warm
+# at 1M×16, 95% of the neighborhood flavor); the reference's own clustering
+# graphs are approximate (scanpy pp.neighbors → pynndescent), so large
+# feature-space graphs use the PartialReduce sweep (98.5%+ neighbor
+# agreement, 3× faster — ops/knn.brute_force_knn_approx)
+_EXACT_KNN_MAX_N = 200_000
+
+
 def knn_graph(X: np.ndarray, n_neighbors: int) -> sp.csr_matrix:
-    """Symmetrized exact kNN adjacency of the rows of ``X`` (device search)."""
+    """Symmetrized kNN adjacency of the rows of ``X`` (device MXU search);
+    exact up to ``_EXACT_KNN_MAX_N`` rows, high-recall approximate beyond
+    (matching the reference's approximate pynndescent graphs)."""
+    from squidpy_tpu.ops.knn import brute_force_knn_approx
+
     n = X.shape[0]
     k = min(n_neighbors, n - 1)
-    _, idx = brute_force_knn(_pad_feature_bucket(np.asarray(X, dtype=np.float32)), k)
+    search = brute_force_knn if n <= _EXACT_KNN_MAX_N else brute_force_knn_approx
+    _, idx = search(_pad_feature_bucket(np.asarray(X, dtype=np.float32)), k)
     rows = np.repeat(np.arange(n), k)
     adj = sp.csr_matrix((np.ones(n * k), (rows, idx.ravel())), shape=(n, n))
     adj = adj.maximum(adj.T)

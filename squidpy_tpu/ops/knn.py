@@ -18,7 +18,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["auto_knn", "brute_force_knn", "cross_knn", "pairwise_sq_dists", "radius_neighbors"]
+__all__ = [
+    "auto_knn",
+    "brute_force_knn",
+    "brute_force_knn_approx",
+    "cross_knn",
+    "pairwise_sq_dists",
+    "radius_neighbors",
+]
 
 # above this size the O(n²) device sweep loses to a host tree (C, O(n log n));
 # both are exact, so the dispatch is purely a performance decision
@@ -141,6 +148,111 @@ def _knn_device_chunk(
     q = jax.lax.dynamic_slice_in_dim(coords, row0, chunk_tiles * row_tile)
     diff = nb - q[:, None, :]
     return jnp.sqrt(jnp.sum(diff * diff, axis=-1)), idx
+
+
+@partial(jax.jit, static_argnames=("k", "row_tile", "col_tile", "exclude_self", "chunk_tiles", "recall_target"))
+def _knn_device_chunk_approx(
+    coords: jax.Array,
+    n_real: jax.Array,
+    row_lo_tile: jax.Array,
+    k: int,
+    row_tile: int,
+    col_tile: int,
+    exclude_self: bool,
+    chunk_tiles: int,
+    recall_target: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Brute-force sweep with TPU PartialReduce selection (`approx_min_k`).
+
+    Per column tile the k best candidates come from one single-pass
+    PartialReduce (no carried merge — carrying best-so-far THROUGH
+    approx_min_k compounds its misses: measured 39% agreement); the
+    per-tile winners stack and ONE exact top_k merges them. Measured at
+    (1M, 16, k=15): 54 s vs 168 s for the exact lax.top_k merge sweep,
+    98.5% neighbor agreement at recall_target=0.99 (recall 0.999 falls
+    back to sort and costs 2.2× the exact path — don't raise it).
+    """
+    n_pad, d = coords.shape
+    n_col_tiles = n_pad // col_tile
+    col_ids = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def row_block(t: jax.Array) -> tuple[jax.Array, jax.Array]:
+        r = row_lo_tile + t
+        rows = jax.lax.dynamic_slice_in_dim(coords, r * row_tile, row_tile)
+        row_idx = r * row_tile + jnp.arange(row_tile, dtype=jnp.int32)
+
+        def col_step(c: jax.Array) -> tuple[jax.Array, jax.Array]:
+            cols = jax.lax.dynamic_slice_in_dim(coords, c * col_tile, col_tile)
+            cidx = jax.lax.dynamic_slice_in_dim(col_ids, c * col_tile, col_tile)
+            d2 = pairwise_sq_dists(rows, cols)
+            invalid = cidx[None, :] >= n_real
+            if exclude_self:
+                invalid = invalid | (cidx[None, :] == row_idx[:, None])
+            d2 = jnp.where(invalid, jnp.inf, d2)
+            vals, arg = jax.lax.approx_min_k(
+                d2, k, recall_target=recall_target, aggregate_to_topk=True
+            )
+            return vals, cidx[arg]
+
+        vals, idxs = jax.lax.map(col_step, jnp.arange(n_col_tiles))
+        vals = jnp.moveaxis(vals, 0, 1).reshape(row_tile, n_col_tiles * k)
+        idxs = jnp.moveaxis(idxs, 0, 1).reshape(row_tile, n_col_tiles * k)
+        neg_top, pos = jax.lax.top_k(-vals, k)  # exact final merge
+        return -neg_top, jnp.take_along_axis(idxs, pos, axis=1)
+
+    d2, idx = jax.lax.map(row_block, jnp.arange(chunk_tiles))
+    d2 = d2.reshape(chunk_tiles * row_tile, k)
+    idx = idx.reshape(chunk_tiles * row_tile, k)
+    nb = coords[idx]
+    q = jax.lax.dynamic_slice_in_dim(coords, row_lo_tile * row_tile, chunk_tiles * row_tile)
+    diff = nb - q[:, None, :]
+    return jnp.sqrt(jnp.sum(diff * diff, axis=-1)), idx
+
+
+def brute_force_knn_approx(
+    coords: np.ndarray,
+    k: int,
+    *,
+    exclude_self: bool = True,
+    recall_target: float = 0.99,
+    row_tile: int = 1024,
+    col_tile: int = 8192,
+) -> tuple[np.ndarray, np.ndarray]:
+    """High-recall approximate kNN for FEATURE-space graphs at scale.
+
+    The reference's niche/cluster graphs are themselves approximate (scanpy
+    ``pp.neighbors`` → pynndescent); this is the TPU counterpart — the same
+    tiled MXU distance sweep as :func:`brute_force_knn` with single-pass
+    PartialReduce selection per tile. ~3× faster at 1M (54 s vs 168 s),
+    ≥98.5% neighbor agreement (measured). On CPU backends ``approx_min_k``
+    lowers to the exact top-k, so results are exact there.
+    """
+    coords = np.ascontiguousarray(coords, dtype=np.float32)
+    n = coords.shape[0]
+    if k >= n:
+        raise ValueError(f"Expected `n_neighs` < number of observations ({n}), found `{k}`.")
+    row_tile = min(row_tile, max(8, n))
+    col_tile = min(col_tile, max(128, n))
+    n_row_tiles = (n + row_tile - 1) // row_tile
+    chunk_tiles = max(1, min(n_row_tiles, int(_PAIRS_PER_DISPATCH // max(n * row_tile, 1))))
+    n_col_tiles = (n + col_tile - 1) // col_tile
+    n_chunks = (n_row_tiles + chunk_tiles - 1) // chunk_tiles
+    n_pad = max(n_row_tiles * row_tile, n_col_tiles * col_tile, n_chunks * chunk_tiles * row_tile)
+    coords_p = jnp.asarray(
+        np.concatenate([coords, np.zeros((n_pad - n, coords.shape[1]), np.float32)])
+    )
+    n_dev = jnp.asarray(n, jnp.int32)
+    parts = [
+        _knn_device_chunk_approx(
+            coords_p, n_dev, jnp.asarray(c * chunk_tiles, jnp.int32),
+            k, row_tile, col_tile, exclude_self, chunk_tiles, recall_target,
+        )
+        for c in range(n_chunks)
+    ]
+    d = np.concatenate([np.asarray(p[0]) for p in parts])[:n]
+    i = np.concatenate([np.asarray(p[1]) for p in parts])[:n]
+    order = np.argsort(d, axis=1, kind="stable")
+    return np.take_along_axis(d, order, axis=1), np.take_along_axis(i, order, axis=1)
 
 
 @partial(jax.jit, static_argnames=("k", "row_tile", "col_tile", "exclude_self"))

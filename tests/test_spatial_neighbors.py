@@ -35,6 +35,22 @@ class TestBruteForceKNN:
         d_want, _ = tree.kneighbors()
         np.testing.assert_allclose(d_got, d_want, rtol=1e-4, atol=1e-5)
 
+    def test_approx_sweep_matches_exact_on_cpu(self, monkeypatch):
+        """On CPU backends approx_min_k lowers to exact selection, so the
+        approximate feature-graph sweep must reproduce the exact result,
+        including through its chunked dispatch path."""
+        import squidpy_tpu.ops.knn as knn_mod
+        from squidpy_tpu.ops.knn import brute_force_knn_approx
+
+        rng = np.random.default_rng(21)
+        coords = rng.normal(size=(2500, 16)).astype(np.float32)
+        d_exact, i_exact = brute_force_knn(coords, 15)
+        d_a, i_a = brute_force_knn_approx(coords, 15)
+        np.testing.assert_array_equal(np.sort(i_a, axis=1), np.sort(i_exact, axis=1))
+        monkeypatch.setattr(knn_mod, "_PAIRS_PER_DISPATCH", 2500 * 1024 * 2)
+        d_c, i_c = brute_force_knn_approx(coords, 15)
+        np.testing.assert_array_equal(np.sort(i_c, axis=1), np.sort(i_exact, axis=1))
+
     def test_chunked_dispatch_matches_monolithic(self, monkeypatch):
         """At scale, the sweep dispatches bounded row chunks (a single 1M
         device call crashes the remote worker); results must be identical."""
