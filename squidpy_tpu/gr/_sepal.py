@@ -103,6 +103,14 @@ def sepal(
     unsat_j = jnp.asarray(unsat)
     pos_j = jnp.asarray(unsat_to_sat_pos)
 
+    # the diffusion while_loop holds several (n, g) f32 buffers (state +
+    # rematerialized temps): (1M, 512) fails the compile-time HBM check at
+    # 17.8 GB on a 16 GB chip — cap cells×genes per block (~2.7e8 keeps
+    # ~9 GB peak, measured safe at 1M×256)
+    per_block_budget = 270_000_000
+    if adata.n_obs * gene_block_size > per_block_budget:
+        gene_block_size = max(64, (per_block_budget // adata.n_obs) // 64 * 64)
+
     scores_parts: list[np.ndarray] = []
     for c0 in range(0, len(genes), gene_block_size):
         if dev_cols is not None:
