@@ -35,11 +35,13 @@ def _grid_adata(rng: np.random.Generator, side: int, g: int) -> "sq.AnnData":
     # spatially variable genes: smooth Gaussian bumps of varying width over
     # the lattice (slow to diffuse flat) + spatially random genes (fast)
     n_sv = g // 4
-    # INTEGRAL counts (Poisson, bump-modulated rate): the device-expression
+    # INTEGRAL counts (floored gamma, bump-modulated): the device-expression
     # handle then ships X as u8 — a (1M, 1024) f32 panel costs ~160 s through
     # the ~25 MB/s tunnel, an artifact of synthetic float data, not of the
-    # kernel (real Visium-HD bins are integer counts)
-    lam = np.ones((n, g), np.float32)
+    # kernel (real Visium-HD bins are integer counts). Poisson(λ) draws at
+    # (1M, 1024) cost ~600 s on this 1-core host — the multiplicative gamma
+    # form keeps the same spatial structure at ~1/6 the setup cost.
+    X = rng.gamma(2.0, 1.0, size=(n, g)).astype(np.float32)
     cy = rng.uniform(0, side, size=n_sv).astype(np.float32)
     cx = rng.uniform(0, side, size=n_sv).astype(np.float32)
     w = rng.uniform(side / 20, side / 4, size=n_sv).astype(np.float32)
@@ -53,8 +55,9 @@ def _grid_adata(rng: np.random.Generator, side: int, g: int) -> "sq.AnnData":
         d2 *= np.float32(-1.0 / (2 * w[j] ** 2))
         np.exp(d2, out=d2)
         d2 *= np.float32(10.0)
-        lam[:, j] += d2
-    X = rng.poisson(lam).astype(np.float32)
+        d2 += np.float32(1.0)
+        X[:, j] *= d2
+    np.floor(X, out=X)
 
     rows, cols = [], []
     idx = np.arange(n).reshape(side, side)
@@ -83,32 +86,45 @@ def main() -> None:
     print(f"[setup] {side}x{side} grid ({side * side} bins) x {g} genes: "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
-    # the entropy-convergence deltas scale ~1/n: the reference's default
-    # thresh=1e-8 (tuned at ~5-10k Visium spots) saturates at 1M bins —
-    # EVERY gene "converges" at iteration 1 (measured) and the score stops
-    # discriminating. Scale the threshold with the bin count.
-    thresh = 1e-8 * min(1.0, 10_000 / (side * side))
+    # ENTROPY-CONVERGENCE BEHAVIOR AT SCALE (measured): the deltas scale
+    # ~1/n, so the reference's default thresh=1e-8 (tuned at ~5-10k Visium
+    # spots) saturates at 1M bins — every gene "converges" at iteration 1
+    # and the score stops discriminating; a 1/n-scaled threshold (1e-10)
+    # overshoots the other way (tens of thousands of iterations). Users at
+    # Visium-HD scale must pick thresh for their n; for the SCALE
+    # measurement the stable quantity is cost per diffusion iteration, so
+    # the timed runs use a fixed budget (thresh=0 → exactly n_iter steps).
+    budget = 300
 
     # cold (compiles) then warm with fresh expression (axon may cache
     # identical (executable, inputs) re-runs)
     t0 = time.perf_counter()
-    df = sq.gr.sepal(adata, max_neighs=4, thresh=thresh, copy=True)
+    sq.gr.sepal(adata, max_neighs=4, n_iter=budget, thresh=0.0, copy=True)
     print(f"[sepal cold] {time.perf_counter() - t0:.1f}s", flush=True)
     for it in range(2):
-        adata = _grid_adata(np.random.default_rng(it + 1), side, g)
+        # fresh input bytes per timed run (the axon runtime can serve
+        # identical (executable, inputs) re-runs from a cache) — a one-row
+        # grid roll keeps distributions and spatial patterns intact
+        adata.X = np.roll(adata.X, side, axis=0)
         t0 = time.perf_counter()
-        df = sq.gr.sepal(adata, max_neighs=4, thresh=thresh, copy=True)
+        sq.gr.sepal(adata, max_neighs=4, n_iter=budget, thresh=0.0, copy=True)
         dt = time.perf_counter() - t0
-        iters = df["sepal_score"].to_numpy() / 0.001
-        sv = df.loc[[f"G{i}" for i in range(g // 4)], "sepal_score"].mean()
-        bg = df.loc[[f"G{i}" for i in range(g // 4, g)], "sepal_score"].mean()
+        n_blocks = -(-g // 256) if side * side > 270_000_000 // 512 else -(-g // 512)
         print(
-            f"[sepal warm run{it}] {dt:.1f}s; iterations: median {np.nanmedian(iters):.0f}, "
-            f"p95 {np.nanpercentile(iters, 95):.0f}, max {np.nanmax(iters):.0f}, "
-            f"non-converged {np.isnan(iters).sum()}/{g}; "
-            f"mean score spatial-genes {sv:.4f} vs background {bg:.4f}",
+            f"[sepal warm run{it}] {dt:.1f}s for {g} genes x {budget} fixed iterations "
+            f"({1000 * dt / (budget * n_blocks):.1f} ms/iter/block)",
             flush=True,
         )
+
+    # score DISCRIMINATION check at the default-threshold regime (smaller
+    # grid where thresh=1e-8 resolves): spatial genes must outscore noise
+    sub = 316
+    adata_s = _grid_adata(np.random.default_rng(7), sub, 256)
+    sq.gr.sepal(adata_s, max_neighs=4, copy=False)
+    df = adata_s.uns["sepal_score"]
+    sv = df.loc[[f"G{i}" for i in range(64)], "sepal_score"].mean()
+    bg = df.loc[[f"G{i}" for i in range(64, 256)], "sepal_score"].mean()
+    print(f"[score check @ {sub * sub} bins] spatial-genes {sv:.4f} vs background {bg:.4f}", flush=True)
 
 
 if __name__ == "__main__":
