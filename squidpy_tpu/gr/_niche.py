@@ -176,6 +176,20 @@ def _dense_X(adata: Any) -> np.ndarray:
     return np.asarray(X.todense()) if sps.issparse(X) else np.asarray(X, dtype=float)
 
 
+def _device_X(adata: Any) -> Any:
+    """(n, g) f32 expression on device, shipped through the session handle
+    (u8/u16/CSC containers — the tunnel moves incompressible f32 at
+    ~25 MB/s; see _core/device_x.py) with a dense-f32 fallback."""
+    import jax.numpy as jnp
+
+    from squidpy_tpu._core.device_x import device_expression
+
+    handle = device_expression(adata)
+    if handle is not None:
+        return handle.full_dense().astype(jnp.float32)
+    return jnp.asarray(_dense_X(adata), jnp.float32)
+
+
 def _get_nhood_profile_niches(
     adata: Any,
     mask: pd.Series | None,
@@ -199,7 +213,13 @@ def _get_nhood_profile_niches(
             n_hop_weights = n_hop_weights + [n_hop_weights[-1]] * (distance - len(n_hop_weights))
 
     if adata.n_obs >= _DEVICE_HOPS_MIN_N:
-        profile = _nhood_profiles_device(adata, groups, adj, abs_nhood, distance, n_hop_weights)
+        # the profile stays a device array end-to-end: z-scoring and the
+        # feature-kNN both run on device, so only cluster labels ever cross
+        # the tunnel (a (1M, C) f32 profile alone is ~50 MB at ~25 MB/s)
+        features = _nhood_profiles_device(
+            adata, groups, adj, abs_nhood, distance, n_hop_weights, as_frame=False
+        )
+        idx_all = adata.obs.index
     else:
         profile = _neighborhood_profile(adata, groups, adj, abs_nhood)
         if distance > 1:
@@ -211,18 +231,18 @@ def _get_nhood_profile_niches(
             if not abs_nhood:
                 weighted = weighted / sum(n_hop_weights)
             profile = weighted
+        features = profile.to_numpy(copy=True).astype(float)
+        idx_all = profile.index
 
-    features = profile.to_numpy(copy=True).astype(float)
     if scale:
         features = zscore(features)
 
-    idx_all = profile.index
     if mask is not None:
         keep = np.asarray(idx_all.isin(mask.index[mask]))
+        features_used = np.asarray(features)[keep]
     else:
-        keep = np.ones(len(idx_all), dtype=bool)
-    features_used = features[keep]
-    used_index = idx_all[keep]
+        keep = None
+        features_used = features
 
     resolutions = resolutions if isinstance(resolutions, list) else [resolutions]
     for res in resolutions:
@@ -232,8 +252,12 @@ def _get_nhood_profile_niches(
         adata.uns.pop(f"{niche_key}_colors", None)
 
         labels = graph_cluster(features_used, n_neighbors, resolution=float(res) if not isinstance(res, tuple) else float(res[0]), random_state=random_state)
-        label_map = dict(zip(used_index, labels))
-        adata.obs[niche_key] = [label_map.get(ix, "not_a_niche") for ix in adata.obs.index]
+        if keep is None:
+            adata.obs[niche_key] = labels
+        else:
+            col = np.full(len(idx_all), "not_a_niche", dtype=object)
+            col[keep] = labels
+            adata.obs[niche_key] = col
 
         if min_niche_size is not None:
             counts = adata.obs[niche_key].value_counts()
@@ -276,14 +300,17 @@ def _nhood_profiles_device(
     abs_nhood: bool,
     distance: int,
     n_hop_weights: list[float] | None,
-) -> pd.DataFrame:
+    as_frame: bool = True,
+) -> "pd.DataFrame | Any":
     """Device n-hop neighbor-category profiles.
 
     Same numbers as the host path (``_neighborhood_profile`` over the
     ``hop_adj = hop_adj @ adj`` chain) but the ``A^k`` *patterns* come from
     :func:`squidpy_tpu.ops.hops.hop_reach` and the per-category counts are
     SpMVs of the one-hot matrix — no host spgemm, no 40M-nnz matrices
-    through the tunnel. Counts are integers (exact in f32)."""
+    through the tunnel. Counts are integers (exact in f32). With
+    ``as_frame=False`` the profile is returned as the device array itself
+    (row order = ``adata.obs.index``) so downstream stages can stay in HBM."""
     import jax.numpy as jnp
 
     from squidpy_tpu.ops.autocorr import spmv_genes
@@ -311,6 +338,8 @@ def _nhood_profiles_device(
         if not abs_nhood:
             weighted = weighted / sum(n_hop_weights)
         profile = weighted
+    if not as_frame:
+        return profile
     return pd.DataFrame(np.asarray(profile, dtype=float), index=adata.obs.index)
 
 
@@ -322,11 +351,8 @@ def _get_utag_niches(
     The smoothed matrix never leaves the device: SpMV → covariance-PCA run
     back to back in HBM and only the (n, n_comps) embedding's kNN pull
     crosses the tunnel (inside ``graph_cluster``)."""
-    import jax.numpy as jnp
-
     graph = SpatialGraph.from_csr(sps.csr_matrix(adata.obsp[spatial_connectivities_key])).row_normalize()
-    X = _dense_X(adata)
-    smoothed = graph.spmv(jnp.asarray(X, jnp.float32))
+    smoothed = graph.spmv(_device_X(adata))
     emb = pca_embed(smoothed)
 
     resolutions = resolutions if isinstance(resolutions, list) else [resolutions]
@@ -353,8 +379,7 @@ def _get_cellcharter_niches(
     import jax.numpy as jnp
 
     adjacency_matrix = sps.csr_matrix(adata.obsp[spatial_connectivities_key])
-    X = _dense_X(adata)
-    x_dev = jnp.asarray(X, jnp.float32)
+    x_dev = _device_X(adata)
 
     if adata.n_obs >= _DEVICE_HOPS_MIN_N:
         arr = _cellcharter_hop_features(adjacency_matrix, x_dev, distance, aggregation)

@@ -33,14 +33,18 @@ from squidpy_tpu.ops.knn import brute_force_knn
 __all__ = ["knn_graph", "graph_cluster", "gmm_cluster", "pca_embed", "zscore"]
 
 
-def _pad_feature_bucket(X: np.ndarray) -> np.ndarray:
+def _pad_feature_bucket(X: "np.ndarray | object") -> "np.ndarray | object":
     """Zero-pad the feature axis to a bucket size so different niche runs
     share device-kNN compiles.
 
     Appended zero columns leave every pairwise distance unchanged, while the
     remote compile of a new (n, d) shape costs 20-200 s here — far more than
     any warm search. Buckets: powers of two up to 256, then multiples of 128.
+    Device arrays pad on device (a PCA embedding must not round-trip the
+    ~25 MB/s tunnel just to gain zero columns).
     """
+    import jax
+
     d = X.shape[1]
     for b in (8, 16, 32, 64, 128, 256):
         if d <= b:
@@ -50,31 +54,55 @@ def _pad_feature_bucket(X: np.ndarray) -> np.ndarray:
         target = -(-d // 128) * 128
     if target == d:
         return X
+    if isinstance(X, jax.Array):
+        import jax.numpy as jnp
+
+        return jnp.pad(X, ((0, 0), (0, target - d)))
     return np.pad(X, ((0, 0), (0, target - d)))
 
 
 # above this the exact device sweep's lax.top_k merges dominate (200 s warm
 # at 1M×16, 95% of the neighborhood flavor); the reference's own clustering
 # graphs are approximate (scanpy pp.neighbors → pynndescent), so large
-# feature-space graphs use the PartialReduce sweep (98.5%+ neighbor
-# agreement, 3× faster — ops/knn.brute_force_knn_approx)
+# feature-space graphs use the device IVF index (ops/ivf_knn) guarded by a
+# sampled-recall check, with the PartialReduce full sweep (98.5%+ neighbor
+# agreement — ops/knn.brute_force_knn_approx) as the fallback
 _EXACT_KNN_MAX_N = 200_000
+# below this sampled recall the IVF graph falls back to the full sweep
+# (space partitioning leaks on unstructured high-dim data; the check is one
+# cheap (256, n) exact sweep)
+_IVF_RECALL_FLOOR = 0.92
 
 
-def knn_graph(X: np.ndarray, n_neighbors: int) -> sp.csr_matrix:
+def knn_graph(X: "np.ndarray | object", n_neighbors: int) -> sp.csr_matrix:
     """Symmetrized kNN adjacency of the rows of ``X`` (device MXU search);
-    exact up to ``_EXACT_KNN_MAX_N`` rows, high-recall approximate beyond
-    (matching the reference's approximate pynndescent graphs)."""
+    exact up to ``_EXACT_KNN_MAX_N`` rows, approximate beyond (matching the
+    reference's approximate pynndescent graphs). Accepts device arrays
+    without a host round-trip; the CSR symmetrization is native C++."""
+    from squidpy_tpu.native import symmetrize_knn
+    from squidpy_tpu.ops.ivf_knn import ivf_knn, sampled_recall
     from squidpy_tpu.ops.knn import brute_force_knn_approx
+    from squidpy_tpu.utils import logg
 
     n = X.shape[0]
     k = min(n_neighbors, n - 1)
-    search = brute_force_knn if n <= _EXACT_KNN_MAX_N else brute_force_knn_approx
-    _, idx = search(_pad_feature_bucket(np.asarray(X, dtype=np.float32)), k)
-    rows = np.repeat(np.arange(n), k)
-    adj = sp.csr_matrix((np.ones(n * k), (rows, idx.ravel())), shape=(n, n))
-    adj = adj.maximum(adj.T)
-    return adj
+    import jax
+
+    if not isinstance(X, jax.Array):
+        X = np.asarray(X, dtype=np.float32)
+    Xp = _pad_feature_bucket(X)
+    if n <= _EXACT_KNN_MAX_N:
+        _, idx = brute_force_knn(np.asarray(Xp, dtype=np.float32), k)
+    else:
+        _, idx = ivf_knn(Xp, k, return_distances=False)
+        recall = sampled_recall(Xp, idx, k, n_samples=256, seed=0)
+        if recall < _IVF_RECALL_FLOOR:
+            logg.info(
+                f"IVF kNN sampled recall {recall:.3f} < {_IVF_RECALL_FLOOR} "
+                "(unstructured features) — falling back to the full sweep"
+            )
+            _, idx = brute_force_knn_approx(np.asarray(Xp, dtype=np.float32), k)
+    return symmetrize_knn(idx, n)
 
 
 def graph_cluster(
@@ -151,8 +179,19 @@ def pca_embed(X: Any, n_comps: int | None = None, random_state: int = 0) -> np.n
     )
 
 
-def zscore(X: np.ndarray) -> np.ndarray:
-    """Column z-score with zero-variance guard (scanpy ``pp.scale``)."""
+def zscore(X: "np.ndarray | object") -> "np.ndarray | object":
+    """Column z-score with zero-variance guard (scanpy ``pp.scale``).
+
+    Device arrays stay on device (f32) — the niche feature blocks feed the
+    device kNN next and must not round-trip the tunnel."""
+    import jax
+
+    if isinstance(X, jax.Array):
+        import jax.numpy as jnp
+
+        mu = jnp.mean(X, axis=0)
+        sd = jnp.std(X, axis=0)
+        return (X - mu) / jnp.where(sd == 0, 1.0, sd)
     X = np.asarray(X, dtype=np.float64)
     mu = X.mean(axis=0)
     sd = X.std(axis=0)

@@ -14,10 +14,23 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["watershed", "relabel_merge", "felzenszwalb", "louvain_csr", "leiden_csr", "ensure_built"]
+__all__ = [
+    "watershed",
+    "relabel_merge",
+    "felzenszwalb",
+    "louvain_csr",
+    "leiden_csr",
+    "symmetrize_knn",
+    "ensure_built",
+]
 
 _HERE = Path(__file__).parent
-_SRCS = (_HERE / "watershed.cpp", _HERE / "felzenszwalb.cpp", _HERE / "louvain.cpp")
+_SRCS = (
+    _HERE / "watershed.cpp",
+    _HERE / "felzenszwalb.cpp",
+    _HERE / "louvain.cpp",
+    _HERE / "knngraph.cpp",
+)
 _SO = _HERE / "_native.so"
 _LIB: ctypes.CDLL | None = None
 
@@ -80,6 +93,14 @@ def _lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int32),
         ]
         lib.leiden_csr.restype = ctypes.c_int64
+        lib.symmetrize_knn.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.symmetrize_knn.restype = ctypes.c_int64
         _LIB = lib
     return _LIB
 
@@ -232,3 +253,39 @@ def leiden_csr(
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return labels, int(n_comm)
+
+
+def symmetrize_knn(idx: np.ndarray, n: int | None = None) -> "object":
+    """Symmetric binary CSR adjacency from an ``(n, k)`` neighbor table.
+
+    ``A = max(A_knn, A_knn.T)`` with unit weights — the graph the niche
+    clustering feeds to leiden (reference: scanpy ``pp.neighbors`` builds a
+    symmetric graph, /root/reference/src/squidpy/gr/_niche.py:399-457). The
+    scipy coo→csr + ``maximum(adj.T)`` route costs 13.7 s at 1M×15 on this
+    1-core host; this native counting-sort construction is O(nnz) (~1 s).
+    Out-of-range or self entries in ``idx`` are ignored.
+    """
+    from scipy import sparse as sp
+
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    if idx.ndim != 2:
+        raise ValueError(f"Expected a 2D neighbor table, found shape `{idx.shape}`.")
+    rows, k = idx.shape
+    if n is None:
+        n = rows
+    if rows != n:
+        raise ValueError(f"Neighbor table has {rows} rows for {n} nodes.")
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indices = np.empty(2 * rows * k, dtype=np.int32)
+    nnz = _lib().symmetrize_knn(
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        k,
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if nnz < 0:
+        raise ValueError("symmetrize_knn: bad arguments")
+    return sp.csr_matrix(
+        (np.ones(nnz, dtype=np.float64), indices[:nnz], indptr), shape=(n, n)
+    )

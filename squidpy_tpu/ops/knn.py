@@ -381,11 +381,15 @@ def _cross_knn_device(queries: jax.Array, data: jax.Array, k: int, row_tile: int
     return exact, idx
 
 
-def cross_knn(queries: np.ndarray, data: np.ndarray, k: int, *, row_tile: int = 2048) -> tuple[np.ndarray, np.ndarray]:
+def cross_knn(queries: np.ndarray, data: "np.ndarray | jax.Array", k: int, *, row_tile: int = 2048) -> tuple[np.ndarray, np.ndarray]:
     """k nearest points of ``data`` for each query point (self-matches allowed),
-    sorted ascending — the ``tree.kneighbors(queries)`` contract."""
+    sorted ascending — the ``tree.kneighbors(queries)`` contract. ``data``
+    may already live on device (no host round-trip)."""
     queries = np.ascontiguousarray(queries, dtype=np.float32)
-    data = np.ascontiguousarray(data, dtype=np.float32)
+    if isinstance(data, jax.Array):
+        data = data.astype(jnp.float32) if data.dtype != jnp.float32 else data
+    else:
+        data = np.ascontiguousarray(data, dtype=np.float32)
     k = min(k, data.shape[0])
     if queries.shape[0] == 0 or k == 0:
         # sklearn's tree.query on an empty query set returns empty results;
